@@ -1,0 +1,67 @@
+"""Cell-grid index invariants (the engine's spatial index — no reference
+counterpart; geomatics-geotk evaluates predicates pairwise with no index)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geomatics_geotk_spark import cells
+
+
+class TestCellIndex:
+    def test_point_within_own_cell_bounds(self):
+        lon, lat = -123.1839, 49.1947
+        c = cells.cell_of([lon], [lat], 12)[0]
+        x0, y0, x1, y1 = cells.cell_bounds(int(c))
+        assert x0 <= lon < x1 and y0 <= lat < y1
+
+    def test_resolution_encoded(self):
+        c = cells.cell_of([0.0], [0.0], 7)[0]
+        assert int(c) >> 58 == 7
+
+    def test_different_res_different_cells(self):
+        c1 = cells.cell_of([10.0], [20.0], 10)[0]
+        c2 = cells.cell_of([10.0], [20.0], 11)[0]
+        assert c1 != c2
+
+    def test_covering_contains_point_cell(self):
+        c = cells.cell_of([-123.0], [49.5], 12)[0]
+        cover = cells.cells_covering(-123.5, 49.0, -122.5, 50.0, 12)
+        assert int(c) in set(cover.tolist())
+
+    def test_covering_single_cell_for_tiny_box(self):
+        cover = cells.cells_covering(-123.001, 49.001, -123.0005, 49.0015, 8)
+        assert len(cover) == 1
+
+    def test_ring_sizes(self):
+        c = int(cells.cell_of([-123.0], [49.5], 10)[0])
+        assert len(cells.ring(c, 0)) == 1
+        assert len(cells.ring(c, 1)) == 8
+        assert len(cells.ring(c, 2)) == 16
+        assert len(cells.disk(c, 1)) == 9
+
+    def test_ring_cells_adjacent(self):
+        c = int(cells.cell_of([-123.0], [49.5], 10)[0])
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        for rc in cells.ring(c, 1):
+            bx0, by0, bx1, by1 = cells.cell_bounds(int(rc))
+            # shares at least a corner with the center cell
+            assert bx1 >= x0 - 1e-9 and bx0 <= x1 + 1e-9
+            assert by1 >= y0 - 1e-9 and by0 <= y1 + 1e-9
+
+    def test_res_for_meters(self):
+        r = cells.res_for_meters(5000.0)
+        x0, y0, x1, y1 = cells.cell_bounds(int(cells.cell_of([0.0], [0.0], r)[0]))
+        assert (y1 - y0) * 111_320.0 <= 5000.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(min_value=-179.999, max_value=179.999),
+        lat=st.floats(min_value=-89.999, max_value=89.999),
+        res=st.integers(min_value=0, max_value=20),
+    )
+    def test_roundtrip_property(self, lon, lat, res):
+        c = int(cells.cell_of([lon], [lat], res)[0])
+        x0, y0, x1, y1 = cells.cell_bounds(c)
+        assert x0 - 1e-9 <= lon <= x1 + 1e-9
+        assert y0 - 1e-9 <= lat <= y1 + 1e-9
