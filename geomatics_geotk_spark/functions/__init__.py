@@ -1,0 +1,233 @@
+"""JVM-side Column-expression helpers — the engine's hot path.
+
+Everything here compiles to Catalyst expressions inside whole-stage
+codegen: no Python is executed per row.  These re-express the reference
+operations that are pure arithmetic/string work:
+
+- WKT POINT decode (regexp) — scan-side geometry extraction;
+- Z-order cell id (bit-interleave as Column ops) — mirrors
+  :mod:`geomatics_geotk_spark.cells` exactly, so JVM- and numpy-computed
+  ids are interchangeable;
+- BBOX interval-overlap predicate (``SpatialAssert.java:39-67``);
+- antipode (``Extents.java:421-431``);
+- CRS-id normalization regexes (``GeodesyUtils.java:222-271``);
+- envelope KVP serialization (``Extents.java:364-382``) and GML-style
+  round-DOWN-to-2dp ordinates (``Extents.java:191-223``);
+- UCUM length conversion ladder (``GmlUtils.java:220-240``);
+- haversine distance (spherical) as pure Column math — the cheap
+  prefilter for DWITHIN before the exact geodesic refine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_SHIFT = 58
+
+# ---------------------------------------------------------------------------
+# WKT POINT decode (hot path: regexp in JVM, no Python)
+# ---------------------------------------------------------------------------
+
+_POINT_RE = r"POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)"
+
+
+def wkt_point_lon(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, _POINT_RE, 1).cast("double")
+
+
+def wkt_point_lat(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, _POINT_RE, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Z-order cell id — Column mirror of cells.cell_of
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits(c: Column) -> Column:
+    """Interleave-spread the low 29 bits of a long into even positions."""
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def cell_id_col(lon: Column, lat: Column, res: int) -> Column:
+    """Cell id at ``res`` as a pure Column expression (codegen'd JVM math).
+
+    Bit-identical to :func:`geomatics_geotk_spark.cells.cell_of`.
+    """
+    nx = F.lit(1 << (res + 1))
+    ny = F.lit(1 << res)
+    xi = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(0)),
+        nx - F.lit(1),
+    ).cast("long")
+    yi = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(0)),
+        ny - F.lit(1),
+    ).cast("long")
+    morton = _spread_bits(xi).bitwiseOR(F.shiftleft(_spread_bits(yi), 1))
+    return (F.lit(res << RES_SHIFT).bitwiseOR(morton)).alias("cell_id")
+
+
+# ---------------------------------------------------------------------------
+# BBOX predicate — SpatialAssert.java:39-67 (interval overlap per dimension)
+# ---------------------------------------------------------------------------
+
+
+def bbox_intersects(a_xmin, a_ymin, a_xmax, a_ymax, b_xmin, b_ymin, b_xmax, b_ymax) -> Column:
+    return (a_xmin <= b_xmax) & (a_xmax >= b_xmin) & (a_ymin <= b_ymax) & (a_ymax >= b_ymin)
+
+
+def bbox_contains_point(xmin, ymin, xmax, ymax, x, y) -> Column:
+    return (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+
+
+# ---------------------------------------------------------------------------
+# Antipode — Extents.java:421-431
+# ---------------------------------------------------------------------------
+
+
+def antipode_lat(lat: Column) -> Column:
+    return -lat
+
+
+def antipode_lon(lon: Column) -> Column:
+    return F.when(lon < 0, lon + F.lit(180.0)).otherwise(lon - F.lit(180.0))
+
+
+# ---------------------------------------------------------------------------
+# CRS id normalization — GeodesyUtils.java:222-271, as Column regexes
+# ---------------------------------------------------------------------------
+
+
+def abbreviated_crs_id_col(srs: Column) -> Column:
+    """URN or http CRS reference → 'AUTHORITY:CODE' (CRS84 → 'CRS:84')."""
+    urn_auth = F.regexp_extract(srs, r"^urn:ogc:def:crs:([^:]+):[^:]*:(.+)$", 1)
+    urn_code = F.regexp_extract(srs, r"^urn:ogc:def:crs:([^:]+):[^:]*:(.+)$", 2)
+    http_auth = F.regexp_extract(srs, r"^https?://www\.opengis\.net/def/crs/([^/]+)/[^/]*/(.+)$", 1)
+    http_code = F.regexp_extract(srs, r"^https?://www\.opengis\.net/def/crs/([^/]+)/[^/]*/(.+)$", 2)
+    auth = F.upper(F.when(urn_auth != "", urn_auth).otherwise(http_auth))
+    code = F.when(urn_code != "", urn_code).otherwise(http_code)
+    out = F.concat_ws(":", auth, code)
+    return F.when((auth == "OGC") & F.upper(code).isin("CRS84", "84"), F.lit("CRS:84")).otherwise(out)
+
+
+def srs_name_to_urn_col(srs: Column) -> Column:
+    """http CRS URI → OGC URN (version '0'/empty dropped); URNs pass through."""
+    auth = F.regexp_extract(srs, r"^https?://www\.opengis\.net/def/crs/([^/]+)/([^/]*)/(.+)$", 1)
+    ver = F.regexp_extract(srs, r"^https?://www\.opengis\.net/def/crs/([^/]+)/([^/]*)/(.+)$", 2)
+    code = F.regexp_extract(srs, r"^https?://www\.opengis\.net/def/crs/([^/]+)/([^/]*)/(.+)$", 3)
+    ver = F.when(ver == "0", F.lit("")).otherwise(ver)
+    built = F.concat(F.lit("urn:ogc:def:crs:"), auth, F.lit(":"), ver, F.lit(":"), code)
+    return F.when(F.lower(srs).startswith("urn:"), srs).otherwise(built)
+
+
+# ---------------------------------------------------------------------------
+# Envelope serialization — Extents.java:364-382 (KVP), :191-223 (GML 2dp DOWN)
+# ---------------------------------------------------------------------------
+
+
+def envelope_to_kvp(xmin, ymin, xmax, ymax, crs: Column) -> Column:
+    """'min1,min2,max1,max2[,crsURN]' — CRS84 omits the suffix.
+
+    Ordinates are emitted in the CRS's native axis order by the caller
+    (the reference stores lat,lon for EPSG:4326).
+    """
+    base = F.concat_ws(
+        ",",
+        xmin.cast("string"), ymin.cast("string"),
+        xmax.cast("string"), ymax.cast("string"),
+    )
+    return F.when(
+        crs.isin("CRS:84", "urn:ogc:def:crs:OGC:1.3:CRS84", ""), base
+    ).otherwise(F.concat_ws(",", base, crs))
+
+
+def round_down_2dp(x: Column) -> Column:
+    """RoundingMode.DOWN to 2 decimals (Extents.java:205) — toward zero,
+    which is NOT Spark's bankers/half-up ``round``: floor for positives,
+    ceil for negatives."""
+    scaled = x * F.lit(100.0)
+    return F.when(x >= 0, F.floor(scaled)).otherwise(F.ceil(scaled)) / F.lit(100.0)
+
+
+def envelope_as_gml_pos(xmin, ymin, xmax, ymax) -> Column:
+    """gml:Envelope lowerCorner/upperCorner text with 2dp-DOWN ordinates."""
+    return F.format_string(
+        "<gml:Envelope><gml:lowerCorner>%s %s</gml:lowerCorner><gml:upperCorner>%s %s</gml:upperCorner></gml:Envelope>",
+        round_down_2dp(xmin).cast("string"), round_down_2dp(ymin).cast("string"),
+        round_down_2dp(xmax).cast("string"), round_down_2dp(ymax).cast("string"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UCUM length conversion — GmlUtils.java:220-240
+# ---------------------------------------------------------------------------
+
+
+def length_in_meters_col(value: Column, uom: Column) -> Column:
+    sym = F.when(uom.contains("#"), F.substring_index(uom, "#", -1)).otherwise(uom)
+    factor = (
+        F.when(sym == "m", F.lit(1.0))
+        .when(sym == "km", F.lit(1000.0))
+        .when(sym == "mi", F.lit(1609.34))
+        .when(sym.isin("M", "NM", "[nmi_i]"), F.lit(1852.0))
+    )
+    return value * factor
+
+
+# ---------------------------------------------------------------------------
+# Haversine (spherical) distance — Column math, DWITHIN prefilter
+# ---------------------------------------------------------------------------
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    rad = F.lit(0.017453292519943295)
+    dlat = (lat2 - lat1) * rad / 2
+    dlon = (lon2 - lon1) * rad / 2
+    h = F.sin(dlat) ** 2 + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlon) ** 2
+    return F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+# ---------------------------------------------------------------------------
+# Temporal relation Column builders — TemporalUtils.java:36-66 as SQL
+# (instant = row with end IS NULL ⇒ treated as begin==end)
+# ---------------------------------------------------------------------------
+
+
+def _norm_end(b: Column, e: Column) -> Column:
+    return F.coalesce(e, b)
+
+
+def temporal_relation(rel: str, b1: Column, e1: Column, b2: Column, e2: Column) -> Column:
+    """Boolean Column: does (b1,e1) stand in ``rel`` to (b2,e2)?
+
+    Mirrors kernels.temporal.relation_mask exactly (ISO 19108 /
+    TemporalUtils.java:57-66); usable directly as a join condition.
+    """
+    e1 = _norm_end(b1, e1)
+    e2 = _norm_end(b2, e2)
+    exprs = {
+        "Before": e1 < b2,
+        "After": b1 > e2,
+        "Meets": e1 == b2,
+        "MetBy": b1 == e2,
+        "Begins": (b1 == b2) & (e1 < e2),
+        "BegunBy": (b1 == b2) & (e1 > e2),
+        "Ends": (e1 == e2) & (b1 > b2),
+        "EndedBy": (e1 == e2) & (b1 < b2),
+        "During": (b1 > b2) & (e1 < e2),
+        "Contains": (b1 < b2) & (e1 > e2),
+        "Equals": (b1 == b2) & (e1 == e2),
+        "Overlaps": (b1 < b2) & (e1 > b2) & (e1 < e2),
+        "OverlappedBy": (b1 > b2) & (b1 < e2) & (e1 > e2),
+    }
+    try:
+        return exprs[rel]
+    except KeyError as exc:
+        raise ValueError(f"Unknown temporal relation: {rel}") from exc

@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — each designed
+shuffle-light: candidate generation is an equi-join on a compact key
+(hash / band / shingle), never an O(N²) comparison.  JVM Column
+expressions wherever the math allows (exact, minhash, jaccard);
+SimHash's 64-lane bit accumulation is a vectorized numpy kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy, keeper = min(id) per content group
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text, keeping the smallest id (deterministic)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per duplicate-content group: (content_hash, n_dups, keeper_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles (word n-grams) — shared by minhash / jaccard
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-grams as an array column (JVM higher-order funcs)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("shingles", _shingles(text_col, n))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
+                      shingle_n: int = 3) -> DataFrame:
+    """Append ``minhash: array<bigint>`` (length n_hashes) — entirely JVM:
+    per hash lane i, min over shingles of xxhash64(shingle, seed=i)."""
+    shingles = _shingles(text_col, shingle_n)
+    lanes = F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(n_hashes)
+    ])
+    return df.withColumn("minhash", lanes)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = 32, bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket.  Returns (id_a, id_b, n_bands_shared), id_a < id_b.
+
+    Shuffle profile: one exchange on (band, band_hash) — the classic
+    minhash join; band buckets are the salt against giant clusters.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, text_col, n_hashes, shingle_n).select(id_col, "minhash")
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("minhash", b * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ])
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity on shingle sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard over word-shingle sets for pairs sharing ≥1 shingle.
+
+    Candidates via shingle-inverted-index equi-join (shuffle on shingle),
+    overlap counted by groupBy — no cross join.  Returns
+    (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = with_shingles(df, text_col, shingle_n).select(
+        id_col, F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return overlap.select(
+        "id_a", "id_b",
+        (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — numpy kernel (bit-lane accumulation)
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized-ish simhash: token hashes via numpy, 64-lane majority."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        # FNV-1a 64-bit per token, computed in numpy over the token list
+        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for bit_idx in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(bit_idx)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    simhash_udf = F.pandas_udf(_simhash64, T.LongType())
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
+
+    Candidates via 4×16-bit block LSH (a pair within distance 3 shares at
+    least one exact 16-bit block — pigeonhole), then exact popcount check.
+    """
+    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    blocks = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("block"),
+                F.shiftrightunsigned(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+            )
+            for bi in range(4)
+        ])).alias("blk"),
+    ).select(id_col, "simhash", "blk.block", "blk.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,115 @@
+"""Grid-partitioned kNN via cell-ring expansion.
+
+No reference counterpart (geomatics-geotk has no index, SURVEY.md §2.6);
+this is the distance-join generalization of its DWithin kernel: for each
+document point, the k nearest POIs by geodesic distance.
+
+Plan shape (scale-first):
+
+1. both sides cell-encoded at a resolution sized to poi density;
+2. POIs exploded into disk(cell, r) (small side — driver-prepared,
+   broadcast); docs equi-join on cell_id → candidates;
+3. geodesic distance (Arrow/numpy) + ``row_number() over (partition by
+   doc order by dist, poi_id)`` top-k;
+4. docs whose k-th distance is NOT covered by the ring guarantee (or with
+   < k candidates) fall back to a broadcast brute-force pass — the
+   deterministic escape hatch that keeps results exact while the ring
+   path handles ~all of the volume.
+
+The iteration is bounded (one ring pass + one fallback), so the whole job
+is two Catalyst plans — no driver-side per-row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import cells
+from ..kernels import geodesic
+from .spatial_join import tile_assign
+
+
+def _geo_dist_udf():
+    @F.pandas_udf(T.DoubleType())
+    def geo_dist(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        return pd.Series(
+            geodesic.inverse(lat1.to_numpy(), lon1.to_numpy(), lat2.to_numpy(), lon2.to_numpy())
+        )
+    return geo_dist
+
+
+def knn_join(
+    docs: DataFrame,
+    pois: DataFrame,
+    k: int = 3,
+    res: int | None = None,
+    rings: int = 2,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """k nearest pois per doc: (doc columns…, poi_id, dist_m, rank)."""
+    spark = docs.sparkSession
+    poi_rows = pois.collect()
+    n_pois = max(1, len(poi_rows))
+    if res is None:
+        # aim for ~4k candidate pois per disk: finer grid when pois dense
+        res = min(14, max(6, int(np.log2(np.sqrt(n_pois))) + 6))
+    edge_m = (180.0 / (1 << res)) * 111_320.0
+
+    exp = []
+    for r in poi_rows:
+        c = int(cells.cell_of([r["x"]], [r["y"]], res)[0])
+        for cc in cells.disk(c, rings):
+            exp.append((int(cc), r["poi_id"], float(r["x"]), float(r["y"])))
+    poi_cells = spark.createDataFrame(
+        exp, "cell_id long, poi_id string, poi_lon double, poi_lat double"
+    )
+
+    pts = docs if "cell_id" in docs.columns else tile_assign(docs, res, lon_col, lat_col)
+    geo_dist = _geo_dist_udf()
+
+    cand = (
+        pts.join(F.broadcast(poi_cells), "cell_id", "inner")
+        .withColumn(
+            "dist_m",
+            geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
+    topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+    # ring-coverage guarantee: the disk(rings) certainly contains every poi
+    # within (rings-0.5)*edge of the doc point (conservative: doc anywhere
+    # in its cell). kth distance beyond that ⇒ poi outside the disk could
+    # be closer ⇒ doc needs the exact fallback.
+    guarantee_m = max(0.0, (rings - 0.5)) * edge_m
+    per_doc = topk.groupBy(id_col).agg(
+        F.max("dist_m").alias("_kth"), F.count("*").alias("_n")
+    )
+    complete_ids = per_doc.where(
+        (F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee_m))
+    ).select(id_col)
+
+    resolved = topk.join(F.broadcast(complete_ids), id_col, "left_semi")
+    unresolved_docs = pts.join(F.broadcast(complete_ids), id_col, "left_anti")
+
+    # exact fallback: brute-force against the broadcast poi table
+    all_pois = spark.createDataFrame(
+        [(r["poi_id"], float(r["x"]), float(r["y"])) for r in poi_rows],
+        "poi_id string, poi_lon double, poi_lat double",
+    )
+    brute = (
+        unresolved_docs.crossJoin(F.broadcast(all_pois))
+        .withColumn(
+            "dist_m",
+            geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return resolved.unionByName(brute.select(*resolved.columns))

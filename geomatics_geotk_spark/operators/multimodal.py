@@ -1,0 +1,120 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The decode step itself (image/audio libs) is NOT in this container, so the
+pixel/sample work is stubbed behind a deterministic fake — but the
+Spark-side plumbing is real and tested: schema, Arrow batch shape,
+mapInPandas iterator contract, partitioning of media work separate from
+text work (media batches are fat, so fewer rows per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id string, media_ref string, media_kind string, "
+    "n_bytes long, content_hash string, width int, height int, duration_s double"
+)
+
+FEATURE_SCHEMA = "doc_id string, media_ref string, feature array<float>, decode_ok boolean"
+
+
+def media_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Project (doc_id, media_ref) rows for every media span — the spans
+    array itself is untouched on the main pipeline (invariant)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("media"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+
+def fetch_media_stub(df: DataFrame) -> DataFrame:
+    """'Fetch' binary payloads for media refs — deterministic fake bytes
+    (sha256 of the ref, repeated); real deployments swap in an object-store
+    reader here.  Returns binary column ``payload``."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                hashlib.sha256(ref.encode()).digest() * 4 for ref in pdf["media_ref"]
+            ]
+            yield pdf.assign(payload=payloads)
+
+    schema = df.schema.add("payload", "binary")
+    return df.mapInPandas(gen, schema=schema)
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Typed metadata from binary payloads (size, hash, fake dims).
+
+    The width/height/duration here come from a deterministic fake decoder;
+    the NotImplementedError path documents where a real codec plugs in.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                h = hashlib.sha256(payload).hexdigest()
+                seed = int(h[:8], 16)
+                rows.append({
+                    "doc_id": doc_id,
+                    "media_ref": ref,
+                    "media_kind": ["image", "audio", "video"][seed % 3],
+                    "n_bytes": len(payload),
+                    "content_hash": h,
+                    "width": 64 + seed % 1920,
+                    "height": 64 + (seed >> 8) % 1080,
+                    "duration_s": float(seed % 600) / 10.0,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real-codec seam
+    """Real image decode seam — not available in this container."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "extract_media_features uses the deterministic fake instead"
+    )
+
+
+def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature vectors from media payloads (Arrow-batched, numpy).
+
+    Deterministic fake features (hash-seeded) standing in for a model
+    forward pass; batch shape and schema are production-real.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.standard_normal(dim).astype(np.float32))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "feature": feats,
+                "decode_ok": [True] * len(pdf),
+            })
+
+    return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def media_pipeline(docs: DataFrame) -> DataFrame:
+    """media spans → fetch → metadata, repartitioned so fat binary batches
+    don't skew the text-processing partitions."""
+    spans = media_spans(docs)
+    fetched = fetch_media_stub(spans.repartition(docs.sparkSession.sparkContext.defaultParallelism, "media_ref"))
+    return extract_media_metadata(fetched)

@@ -1,0 +1,327 @@
+"""End-to-end operator tests on local Spark: synthetic interleaved docs →
+decode → tile → joins, cross-checked against brute-force numpy truth, with
+the span-sequence invariant asserted after every pipeline.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomatics_geotk_spark import cells
+from geomatics_geotk_spark.kernels import geodesic, geometry as geom_k
+from geomatics_geotk_spark.operators import dedup, envelope, knn, similarity, spatial_join, temporal, text, zonal
+from geomatics_geotk_spark.operators.spatial_join import (
+    decode_geo_spans,
+    dwithin_join,
+    prepare_zones,
+    tile_assign,
+)
+from geomatics_geotk_spark.sources import (
+    assert_spans_preserved,
+    pois_table,
+    raster_tiles_table,
+    synth_documents,
+    with_span_hash,
+    zones_table,
+)
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = synth_documents(spark, N_DOCS).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def decoded(docs):
+    return tile_assign(decode_geo_spans(docs), 12).cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(decoded):
+    return decoded.select("doc_id", "lon", "lat").toPandas().sort_values("doc_id")
+
+
+class TestSynthDocuments:
+    def test_deterministic_across_partitionings(self, spark):
+        a = with_span_hash(synth_documents(spark, 300, partitions=2))
+        b = with_span_hash(synth_documents(spark, 300, partitions=13))
+        assert a.select("doc_id", "span_hash").exceptAll(b.select("doc_id", "span_hash")).count() == 0
+
+    def test_schema_and_geo_span(self, docs):
+        row = docs.first()
+        kinds = [s["kind"] for s in row["spans"]]
+        assert kinds.count("geo") == 1
+        assert 2 <= len(kinds) <= 8
+        offsets = [s["offset"] for s in row["spans"]]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+
+    def test_interleaving_has_text_and_media(self, docs):
+        counts = docs.select(
+            F.explode("spans").alias("s")
+        ).groupBy("s.kind").count().collect()
+        kinds = {r["kind"]: r["count"] for r in counts}
+        assert kinds.get("text", 0) > 0 and kinds.get("media", 0) > 0
+        assert kinds["geo"] == N_DOCS
+
+    def test_hot_cells_skew(self, decoded):
+        top = decoded.groupBy("cell_id").count().orderBy(F.desc("count")).first()
+        assert top["count"] > N_DOCS * 0.03  # hot cells concentrate ~20%/3
+
+
+class TestDecodeAndTile:
+    def test_decode_matches_wkt(self, docs):
+        d = decode_geo_spans(docs).select("doc_id", "lon", "lat").first()
+        assert -123.5 - 0.01 <= d["lon"] <= -122.5 + 0.01
+        assert 49.0 - 0.01 <= d["lat"] <= 50.0 + 0.01
+
+    def test_jvm_cell_matches_numpy(self, decoded, docs_pd):
+        expected = cells.cell_of(docs_pd["lon"].to_numpy(), docs_pd["lat"].to_numpy(), 12)
+        got = decoded.select("doc_id", "cell_id").toPandas().sort_values("doc_id")["cell_id"].to_numpy()
+        assert np.array_equal(got, expected)
+
+    def test_spans_preserved_through_decode(self, docs, decoded):
+        assert_spans_preserved(docs, decoded.select("doc_id", "spans"))
+
+
+class TestSpatialJoin:
+    @pytest.fixture(scope="class")
+    def zones(self, spark):
+        return zones_table(spark, grid=4)
+
+    def _brute_truth(self, spark, zones, docs_pd):
+        _, ring_map = prepare_zones(zones, 12)
+        lon = docs_pd["lon"].to_numpy()
+        lat = docs_pd["lat"].to_numpy()
+        truth = set()
+        for z, rings in ring_map.items():
+            m = geom_k.points_in_polygon(lon, lat, rings)
+            for did in docs_pd["doc_id"].to_numpy()[m]:
+                truth.add((did, z))
+        return truth
+
+    def test_broadcast_matches_brute_force(self, spark, decoded, zones, docs_pd):
+        out = spatial_join.spatial_join(decoded, zones, res=12, strategy="broadcast")
+        got = {(r["doc_id"], r["zone_id"]) for r in out.select("doc_id", "zone_id").collect()}
+        assert got == self._brute_truth(spark, zones, docs_pd)
+
+    def test_shuffle_salted_same_rows(self, spark, decoded, zones):
+        bc = spatial_join.spatial_join(decoded, zones, res=12, strategy="broadcast")
+        sh = spatial_join.spatial_join(
+            decoded, zones, res=12, strategy="shuffle", salt=4, hot_cell_threshold=50
+        )
+        a = {(r["doc_id"], r["zone_id"]) for r in bc.select("doc_id", "zone_id").collect()}
+        b = {(r["doc_id"], r["zone_id"]) for r in sh.select("doc_id", "zone_id").collect()}
+        assert a == b
+
+    def test_disjoint_is_complement(self, spark, decoded, zones):
+        inter = spatial_join.spatial_join(decoded, zones, res=12)
+        dis = spatial_join.spatial_join(decoded, zones, res=12, predicate="disjoint")
+        n_matched = inter.select("doc_id").distinct().count()
+        assert dis.count() == N_DOCS - n_matched
+
+    def test_spans_survive_join(self, docs, decoded, zones):
+        out = spatial_join.spatial_join(decoded, zones, res=12).select("doc_id", "spans").dropDuplicates(["doc_id"])
+        joined_ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+        subset_before = docs.where(F.col("doc_id").isin(joined_ids[:50]))
+        subset_after = out.where(F.col("doc_id").isin(joined_ids[:50]))
+        assert_spans_preserved(subset_before, subset_after)
+
+
+class TestDWithinKnn:
+    @pytest.fixture(scope="class")
+    def pois(self, spark):
+        return pois_table(spark, n_random=32).cache()
+
+    def test_dwithin_matches_brute(self, spark, decoded, pois, docs_pd):
+        d_m = 3000.0
+        out = dwithin_join(decoded.limit(500), pois, d_m)
+        got = {(r["doc_id"], r["poi_id"]) for r in out.select("doc_id", "poi_id").collect()}
+        pp = pois.toPandas()
+        sub = decoded.limit(500).select("doc_id", "lon", "lat").toPandas()
+        truth = set()
+        for _, p in pp.iterrows():
+            d = geodesic.inverse(sub["lat"].to_numpy(), sub["lon"].to_numpy(),
+                                 np.full(len(sub), p["y"]), np.full(len(sub), p["x"]))
+            for did in sub["doc_id"].to_numpy()[d < d_m]:
+                truth.add((did, p["poi_id"]))
+        assert got == truth
+
+    def test_knn_matches_brute(self, spark, decoded, pois):
+        k = 3
+        sub = decoded.limit(200)
+        out = knn.knn_join(sub, pois, k=k)
+        got = {}
+        for r in out.select("doc_id", "poi_id", "rank").collect():
+            got.setdefault(r["doc_id"], []).append((r["rank"], r["poi_id"]))
+        pp = pois.toPandas()
+        sp = sub.select("doc_id", "lon", "lat").toPandas()
+        for _, row in sp.iterrows():
+            d = geodesic.inverse(np.full(len(pp), row["lat"]), np.full(len(pp), row["lon"]),
+                                 pp["y"].to_numpy(), pp["x"].to_numpy())
+            order = sorted(zip(d, pp["poi_id"]))[:k]
+            expect = [pid for _, pid in order]
+            gotlist = [pid for _, pid in sorted(got[row["doc_id"]])]
+            assert gotlist == expect, row["doc_id"]
+
+
+class TestZonal:
+    def test_zonal_pairs_match_brute(self, spark):
+        tiles = raster_tiles_table(spark, grid=8)
+        zones = zones_table(spark, grid=2)
+        out = zonal.zonal_join(tiles, zones, res=8)
+        got = {(r["tile_id"], r["zone_id"]) for r in out.select("tile_id", "zone_id").collect()}
+        _, ring_map = prepare_zones(zones, 8)
+        tp = tiles.toPandas()
+        truth = set()
+        for _, t in tp.iterrows():
+            env_ring = geom_k.envelope_as_polygon(t["xmin"], t["ymin"], t["xmax"], t["ymax"])
+            for z, rings in ring_map.items():
+                if geom_k.polygons_intersect([env_ring], rings):
+                    truth.add((t["tile_id"], z))
+        assert got == truth
+
+    def test_zonal_stats_schema(self, spark):
+        tiles = raster_tiles_table(spark, grid=4)
+        zones = zones_table(spark, grid=2)
+        st = zonal.zonal_stats(tiles, zones, res=8)
+        assert {"zone_id", "n_tiles", "sum_value", "avg_value", "min_value", "max_value"} <= set(st.columns)
+        assert st.count() > 0
+
+
+class TestEnvelopeOps:
+    def test_envelope_agg_global(self, spark, decoded):
+        env = envelope.envelope_agg(decoded).first()
+        assert env["xmin"] >= -123.51 and env["xmax"] <= -122.49
+
+    def test_antipode_and_kvp(self, spark):
+        df = spark.createDataFrame(
+            [(-116.0, 32.6, -115.0, 34.0)], "xmin double, ymin double, xmax double, ymax double"
+        )
+        kvp = envelope.with_envelope_kvp(df).first()["kvp"]
+        assert kvp == "-116.0,32.6,-115.0,34.0"
+        anti = envelope.with_antipodal_envelope(df).first()
+        assert anti["anti_ymin"] == -34.0 and anti["anti_ymax"] == -32.6
+
+    def test_gml_round_down(self, spark):
+        df = spark.createDataFrame([(1.239, -1.239, 2.555, -2.555)],
+                                   "xmin double, ymin double, xmax double, ymax double")
+        r = envelope.with_envelope_gml_corners(df).first()
+        assert r["lower_corner"] == "1.23 -1.23"
+        assert r["upper_corner"] == "2.55 -2.55"
+
+
+class TestTemporalOps:
+    def test_interval_join_during(self, spark):
+        left = spark.createDataFrame(
+            [("i1", "2015-12-03 10:15:30", None)], "id string, begin string, end string"
+        ).select("id", F.to_timestamp("begin").alias("begin"), F.to_timestamp("end").alias("end"))
+        right = spark.createDataFrame(
+            [("p1", "2015-02-03 10:15:30", "2016-05-03 10:15:30"),
+             ("p2", "2016-01-01 00:00:00", "2016-02-01 00:00:00")],
+            "id string, begin string, end string",
+        ).select("id", F.to_timestamp("begin").alias("begin"), F.to_timestamp("end").alias("end"))
+        out = temporal.interval_join(left, right, "During")
+        assert [r["id_r"] for r in out.collect()] == ["p1"]
+
+    def test_extent_pad(self, spark):
+        df = spark.createDataFrame(
+            [("a", "2015-07-03 10:15:30", "2015-11-03 10:15:30"),
+             ("b", "2015-12-03 10:15:30", None)],
+            "id string, begin string, end string",
+        ).select("id", F.to_timestamp("begin").alias("begin"), F.to_timestamp("end").alias("end"))
+        r = temporal.temporal_extent(df).first()
+        assert str(r["extent_begin"]) == "2015-07-03 09:15:30"
+        assert str(r["extent_end"]) == "2015-12-03 11:15:30"
+
+    def test_split_interval_meets(self, spark):
+        df = spark.createDataFrame(
+            [("p", "2015-11-03 10:15:30", "2016-01-03 10:15:30")],
+            "id string, begin string, end string",
+        ).select("id", F.to_timestamp("begin").alias("begin"), F.to_timestamp("end").alias("end"))
+        rows = temporal.split_interval(df, 2).orderBy("sub_index").collect()
+        assert len(rows) == 2
+        assert rows[0]["sub_end"] == rows[1]["sub_begin"]
+        assert str(rows[0]["sub_begin"]) == "2015-11-03 10:15:30"
+        assert str(rows[1]["sub_end"]) == "2016-01-03 10:15:30"
+
+
+class TestDedupText:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+            (2, "the quick brown fox jumps over a lazy dog"),     # near dup
+            (3, "el rapido zorro marron salta sobre el perro"),
+            (4, "completely different content about spark shuffles"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_dedup(self, corpus):
+        kept = dedup.exact_dedup(corpus)
+        assert kept.count() == 4
+        assert kept.where(F.col("doc_id") == 1).count() == 0
+
+    def test_ngram_jaccard_finds_near_dup(self, corpus):
+        pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.3)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_minhash_lsh_candidates(self, corpus):
+        pairs = dedup.minhash_lsh_pairs(corpus, n_hashes=16, bands=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got  # identical docs always collide
+
+    def test_simhash_near_dups(self, corpus):
+        pairs = dedup.simhash_near_dups(corpus, max_hamming=10)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got
+
+    def test_text_features(self, corpus):
+        out = text.with_lang_id(text.with_quality_score(text.with_token_counts(corpus)))
+        r = {row["doc_id"]: row for row in out.collect()}
+        assert r[0]["n_tokens_ws"] == 9
+        assert r[0]["lang_pred"] == "en"
+        assert r[3]["lang_pred"] == "es"
+        assert 0.0 <= r[0]["quality_score"] <= 1.0
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "c b a")], "doc_id long, text string"
+        )
+        fps = [r["fingerprint"] for r in text.with_fingerprint(df).orderBy("doc_id").collect()]
+        assert fps[0] != fps[1]
+
+
+class TestSimilarity:
+    def test_brute_topk_matches_numpy(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
+        queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+        out = similarity.brute_topk(emb, queries, k=4)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+        ep = emb.toPandas()
+        mat = np.vstack(ep["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        for q_idx in range(3):
+            cos = mat @ mat[q_idx] / (norms * norms[q_idx])
+            order = sorted(zip(-cos, ep["vec_id"]))[:4]
+            expect = [vid for _, vid in order]
+            gotlist = [vid for _, vid in sorted(got[ep['vec_id'][q_idx]])]
+            assert gotlist == expect
+
+    def test_ann_recall_reasonable(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(400).cache()
+        queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+        exact = similarity.brute_topk(emb, queries, k=3)
+        approx = similarity.ann_topk(emb, queries, k=3, n_planes=6, probes=4)
+        e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.4  # bucketed ANN with few planes on tiny corpus
