@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-document spatial pipeline
+on sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 (plus the training-data operators) with DuckDB
+oracles wherever SQL-expressible.  Implementations live in
+``geomatics_geotk_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geomatics_geotk_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs (text+media+geo spans) → decode geo span
+    → Z-order tile assignment → broadcast point-in-polygon join against
+    fixture + grid zones → (doc_id, zone_id, cell_id) with the span
+    sequence carried through untouched (span-sequence invariant)."""
+    from pyspark.sql import functions as F
+
+    from geomatics_geotk_spark.operators import spatial_join
+    from geomatics_geotk_spark.sources.documents import zones_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    inter = _q.build_interleaved(spark, sf_dir)
+    decoded = spatial_join.decode_geo_spans(inter)
+    tiled = spatial_join.tile_assign(decoded, _q.RES)
+    joined = spatial_join.spatial_join(
+        tiled, zones_table(spark, grid=8), res=_q.RES, strategy="broadcast"
+    )
+    return joined.select(
+        "doc_id", "zone_id", "cell_id", F.to_json("spans").alias("spans_json")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_q.ORACLES)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": <flagship throughput>, "flagship_docs": N}
+
+The flagship measures the north-rule pipeline — interleaved documents →
+geo-span decode → Z-order tile assignment → broadcast point-in-polygon
+join — over SPARK_GRAFT_BENCH_DOCS synthesized interleaved docs
+(deterministic, generated distributed via spark.range; no external data).
+Every timed query is forced through a noop sink so projection pruning
+can't skip work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geomatics_geotk_spark import queries as q
+from geomatics_geotk_spark.operators import spatial_join
+from geomatics_geotk_spark.session import get_spark
+from geomatics_geotk_spark.sources.documents import synth_documents, zones_table
+
+BENCH_QUERIES = [
+    "tile_assign",
+    "interleaved_tile_pip",
+    "pip_convex",
+    "dwithin_exact",
+    "knn_cellring",
+    "zonal_stats",
+    "envelope_agg",
+    "temporal_during",
+    "window_running",
+    "pricing_summary",
+    "revenue_by_nation",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash_neardups",
+    "cosine_topk",
+    "ann_topk",
+    "quality_score",
+    "fingerprint",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, n_docs: int) -> float:
+    """docs/sec for synth interleaved docs → decode → tile → pip join."""
+    docs = synth_documents(spark, n_docs)
+    zones = zones_table(spark, grid=8)
+    decoded = spatial_join.decode_geo_spans(docs)
+    tiled = spatial_join.tile_assign(decoded, q.RES)
+    joined = spatial_join.spatial_join(tiled, zones, res=q.RES, strategy="broadcast")
+    out = joined.select("doc_id", "zone_id", "cell_id")
+    t0 = time.time()
+    _force(out)
+    return n_docs / (time.time() - t0)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = q.QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        _force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    docs_per_sec = flagship(spark, n_docs)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline-suite seconds (+ flagship spatial-join+tile docs/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "flagship_docs": n_docs,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,12 @@ def fetch_media_stub(df: DataFrame) -> DataFrame:
             ]
             yield pdf.assign(payload=payloads)
 
-    schema = df.schema.add("payload", "binary")
+    # fresh StructType: StructType.add mutates the DataFrame's cached schema
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*df.schema.fields, T.StructField("payload", T.BinaryType())]
+    )
     return df.mapInPandas(gen, schema=schema)
 
 

@@ -62,8 +62,9 @@ def split_interval(df: DataFrame, n: int,
     floor(duration/n); the final sub-period absorbs the remainder, ending
     exactly at ``end`` as the reference does).
     """
-    b = F.unix_micros(F.col(begin_col))
-    e = F.unix_micros(F.col(end_col))
+    # cast: parquet TIMESTAMP_NTZ → session-TZ instant (unix_micros needs it)
+    b = F.unix_micros(F.col(begin_col).cast("timestamp"))
+    e = F.unix_micros(F.col(end_col).cast("timestamp"))
     step = ((e - b) / n).cast("long")
     idx = F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     out = df.withColumn("_i", idx)

@@ -91,19 +91,29 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 FP_MOD = 1 << 40  # keeps acc*31 + h inside long range under ANSI math
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     hash_fn: str = "xxhash64") -> DataFrame:
     """Rolling polynomial hash over tokens:
-    ``acc = (acc*31 + (xxhash64(token) mod M)) mod M`` folded left via
+    ``acc = (acc*31 + (h(token) mod M)) mod M`` folded left via
     ``aggregate`` — order-sensitive (a true document fingerprint, not a
-    bag hash), overflow-free under ANSI arithmetic, and exactly
-    reproducible in the DuckDB oracle with the same recurrence."""
+    bag hash) and overflow-free under ANSI arithmetic.
+
+    hash_fn: 'xxhash64' (fast JVM path, default) or 'md5' (first 15 hex
+    chars → long — exactly reproducible in a DuckDB oracle via
+    ``('0x'||substr(md5(t),1,15))::BIGINT``).
+    """
     toks = _tokens(F.col(text_col))
+    if hash_fn == "xxhash64":
+        h = lambda t: F.pmod(F.xxhash64(t), F.lit(FP_MOD))  # noqa: E731
+    elif hash_fn == "md5":
+        h = lambda t: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(FP_MOD)
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), F.lit(FP_MOD)),
-            F.lit(FP_MOD),
-        ),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + h(t), F.lit(FP_MOD)),
     )
     return df.withColumn("fingerprint", fp)

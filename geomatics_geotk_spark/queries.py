@@ -1,0 +1,1033 @@
+"""Driver-facing query catalog: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a (spark, sf_dir) -> DataFrame
+callable, with an ANSI-SQL DuckDB oracle wherever the semantics are
+SQL-expressible.
+
+Oracle-parity rules (the driver hash-compares values):
+- integer/string outputs: mirror the exact arithmetic (bit-exact);
+- double outputs from +,-,*,/,sqrt,floor only: IEEE-correctly-rounded in
+  both engines with identical expression trees → bit-exact;
+- transcendental outputs (sin/cos/asin in haversine): rounded to 3
+  decimals on both sides (libm last-ulp differences are sub-mm);
+- double aggregations: summed as DECIMAL (exact, order-independent) and
+  cast back to double — Spark partial-agg order can never change the
+  result;
+- row_number ties: always broken by a unique key.
+
+Geometry inputs derive deterministically from the driver's TPC-H-ish
+tables (pure integer/double arithmetic mirrored in the oracle), so Spark
+and DuckDB see identical coordinates bit-for-bit.  Fractions use
+denominators 997/991 (coprime to every grid the queries use) and the
+offset ``(k % 996) + 1`` keeps points strictly off cell/zone boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import (
+    RES_SHIFT,
+    abbreviated_crs_id_col,
+    cell_id_col,
+    haversine_m,
+    length_in_meters_col,
+    round_down_2dp,
+    srs_name_to_urn_col,
+)
+from .operators import dedup, knn, similarity, spatial_join, temporal, text, zonal
+from .operators.envelope import envelope_agg
+
+RES = 12
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# Derived point cloud over the Vancouver box (mirrors _pts_from_key below).
+_LON = "-123.5 + (({k} % 996 + 1) / 997.0)"
+_LAT = "49.0 + ((({k} * 7919 + 13) % 990 + 1) / 991.0)"
+
+
+def _pts_sql(table: str, key: str) -> str:
+    return (
+        f"SELECT {key} AS doc_id, "
+        f"{_LON.format(k=key)} AS lon, {_LAT.format(k=key)} AS lat FROM {table}"
+    )
+
+
+def _pts_from_key(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic lon/lat derived from an integer key — the exact
+    Column mirror of :func:`_pts_sql` (same expression tree → same bits)."""
+    k = F.col(key)
+    lon = F.lit(-123.5) + ((k % 996 + 1) / F.lit(997.0))
+    lat = F.lit(49.0) + (((k * 7919 + 13) % 990 + 1) / F.lit(991.0))
+    return df.select(k.alias("doc_id"), lon.alias("lon"), lat.alias("lat"))
+
+
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_chain_sql(src: str, prefix: str) -> tuple[list[str], str]:
+    """Morton bit-spread as a lateral-alias chain (DuckDB SELECT items)."""
+    items, prev = [], src
+    for i, (shift, mask) in enumerate(_SPREAD_MASKS):
+        cur = f"{prefix}{i + 1}"
+        items.append(f"(({prev} | ({prev} << {shift})) & {mask}) AS {cur}")
+        prev = cur
+    return items, prev
+
+
+def _cell_id_sql(lon: str, lat: str, res: int, out_cols: str) -> str:
+    """Subquery text computing xi, yi, cell_id from lon/lat columns —
+    mirrors functions.cell_id_col bit-for-bit."""
+    nx, ny = 1 << (res + 1), 1 << res
+    xi = f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT)"
+    yi = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT)"
+    sx_items, sx = _spread_chain_sql("xi", "ax")
+    sy_items, sy = _spread_chain_sql("yi", "ay")
+    inner = ", ".join([f"{out_cols}", f"{xi} AS xi", f"{yi} AS yi"])
+    mid = ", ".join([out_cols, "xi", "yi", *sx_items, *sy_items])
+    return (
+        f"SELECT {out_cols}, xi, yi, ({res << RES_SHIFT} | {sx} | ({sy} << 1)) AS cell_id "
+        f"FROM (SELECT {mid} FROM (SELECT {inner} FROM pts))"
+    )
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Mirror of functions.haversine_m (rounded downstream: libm ulp)."""
+    rad = "0.017453292519943295"
+    dlat = f"(({lat2} - {lat1}) * {rad} / 2)"
+    dlon = f"(({lon2} - {lon1}) * {rad} / 2)"
+    h = (
+        f"power(sin({dlat}), 2) + cos({lat1} * {rad}) * cos({lat2} * {rad}) "
+        f"* power(sin({dlon}), 2)"
+    )
+    return f"12742017.6 * asin(sqrt(least({h}, 1.0)))"
+
+
+# Convex CCW pentagon inside the Vancouver box (for point-in-polygon with a
+# half-plane SQL oracle; semantics = reference TopologicalRelationships
+# INTERSECTS of point × surface, TopologicalRelationships.java:57-96).
+PENTAGON = [
+    (-123.4, 49.1),
+    (-122.9, 49.05),
+    (-122.6, 49.4),
+    (-122.9, 49.9),
+    (-123.35, 49.7),
+]
+
+POIS = [
+    ("poi-atkinson", -123.2646, 49.3304),  # reference gml/Point-PointAtkinson
+    ("poi-jericho", -123.2015, 49.2756),   # reference gml/Point-Jericho
+    ("poi-center", -123.0, 49.5),
+]
+
+
+def _pois_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(POIS, "poi_id string, poi_lon double, poi_lat double")
+
+
+_POIS_SQL = "(VALUES " + ", ".join(
+    f"('{p}', {x}, {y})" for p, x, y in POIS
+) + ") AS pois(poi_id, poi_lon, poi_lat)"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# 1. Tile assignment (cell index)  — SURVEY §2 cell/tile; north_rule tiling
+# ===========================================================================
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    nx, ny = 1 << (RES + 1), 1 << RES
+    xi = F.least(
+        F.greatest(F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(nx)), F.lit(0)),
+        F.lit(nx - 1),
+    ).cast("long")
+    yi = F.least(
+        F.greatest(F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0) * F.lit(ny)), F.lit(0)),
+        F.lit(ny - 1),
+    ).cast("long")
+    return pts.select(
+        "doc_id",
+        xi.alias("xi"),
+        yi.alias("yi"),
+        cell_id_col(F.col("lon"), F.col("lat"), RES).alias("cell_id"),
+    )
+
+
+ORACLE_TILE_ASSIGN = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+    + _cell_id_sql("lon", "lat", RES, "doc_id")
+)
+
+
+# ===========================================================================
+# 2. Point-in-polygon spatial join (filter-and-refine; broadcast strategy)
+# ===========================================================================
+
+
+def _pentagon_zone(spark: SparkSession) -> DataFrame:
+    ring = [*PENTAGON, PENTAGON[0]]
+    return spark.createDataFrame(
+        [("pentagon", "CRS:84", [(x, y) for x, y in ring], [])],
+        "zone_id string, crs string, exterior array<struct<x:double,y:double>>, "
+        "interiors array<array<struct<x:double,y:double>>>",
+    )
+
+
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    joined = spatial_join.spatial_join(
+        pts, _pentagon_zone(spark), res=RES, strategy="broadcast"
+    )
+    return joined.select("doc_id", "zone_id")
+
+
+def _pentagon_halfplanes(lon: str, lat: str) -> str:
+    conds = []
+    n = len(PENTAGON)
+    for i in range(n):
+        x1, y1 = PENTAGON[i]
+        x2, y2 = PENTAGON[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * ({lat} - {y1}) - ({y2} - {y1}) * ({lon} - {x1})) > 0"
+        )
+    return " AND ".join(conds)
+
+
+ORACLE_PIP_CONVEX = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+    f"SELECT doc_id, 'pentagon' AS zone_id FROM pts WHERE "
+    + _pentagon_halfplanes("lon", "lat")
+)
+
+
+# ===========================================================================
+# 3. Interleaved-document pipeline: spans → decode → tile → pip join
+#    (the north_rule flagship shape, span sequence carried opaquely)
+# ===========================================================================
+
+
+def build_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media+geo documents (input_hint schema) built from
+    the driver's documents table; geometry coordinates derive from doc_id
+    so the oracle can reproduce them bit-exactly (WKT double→string→double
+    round-trips losslessly)."""
+    docs = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    lon = F.lit(-123.5) + ((k % 996 + 1) / F.lit(997.0))
+    lat = F.lit(49.0) + (((k * 7919 + 13) % 990 + 1) / F.lit(991.0))
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), F.col("text").alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("geo").alias("kind"),
+            F.format_string("POINT (%s %s)", lon.cast("string"), lat.cast("string")).alias("text"),
+            F.lit("").alias("media_ref"), F.lit(10).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.format_string("media://blob/%d", k).alias("media_ref"),
+            F.lit(20).cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(k.alias("doc_id"), spans.alias("spans"))
+
+
+def _grid_zones(spark: SparkSession) -> DataFrame:
+    from .sources.documents import zones_table
+
+    z = zones_table(spark, grid=8)
+    return z.where(F.col("zone_id").startswith("zone-grid-"))
+
+
+def q_interleaved_tile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = build_interleaved(spark, sf_dir)
+    decoded = spatial_join.decode_geo_spans(inter)
+    tiled = spatial_join.tile_assign(decoded, RES)
+    joined = spatial_join.spatial_join(
+        tiled, _grid_zones(spark), res=RES, strategy="broadcast"
+    )
+    return joined.select("doc_id", "zone_id", "cell_id")
+
+
+ORACLE_INTERLEAVED = (
+    f"WITH pts AS (SELECT doc_id, {_LON.format(k='doc_id')} AS lon, "
+    f"{_LAT.format(k='doc_id')} AS lat FROM documents), "
+    "m AS (" + _cell_id_sql("lon", "lat", RES, "doc_id") + "), "
+    "g AS (SELECT doc_id, CAST(floor((lon - (-123.5)) / 0.125) AS BIGINT) AS gi, "
+    "CAST(floor((lat - 49.0) / 0.125) AS BIGINT) AS gj FROM pts) "
+    "SELECT m.doc_id, 'zone-grid-' || gi || '-' || gj AS zone_id, cell_id "
+    "FROM m JOIN g ON m.doc_id = g.doc_id"
+)
+
+
+# ===========================================================================
+# 4. DWITHIN (haversine path) + kNN ranking  — SURVEY §2.1 DWithin, §2.6 topk
+# ===========================================================================
+
+_DIST_M = 8000.0
+
+
+def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    cand = pts.crossJoin(F.broadcast(_pois_df(spark)))
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("poi_lat"), F.col("poi_lon"))
+    return (
+        cand.withColumn("dist_m_r", F.round(d, 3))
+        .where(d < F.lit(_DIST_M))
+        .select("doc_id", "poi_id", "dist_m_r")
+    )
+
+
+ORACLE_DWITHIN = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+    f"SELECT doc_id, poi_id, round({_haversine_sql('lat', 'lon', 'poi_lat', 'poi_lon')}, 3) "
+    f"AS dist_m_r FROM pts CROSS JOIN {_POIS_SQL} "
+    f"WHERE {_haversine_sql('lat', 'lon', 'poi_lat', 'poi_lon')} < {_DIST_M}"
+)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    cand = pts.crossJoin(F.broadcast(_pois_df(spark)))
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("poi_lat"), F.col("poi_lon"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
+    return (
+        cand.withColumn("dist_m", d)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 2)
+        .select("doc_id", "poi_id", "rank", F.round("dist_m", 3).alias("dist_m_r"))
+    )
+
+
+ORACLE_KNN = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+    f"c AS (SELECT doc_id, poi_id, {_haversine_sql('lat', 'lon', 'poi_lat', 'poi_lon')} "
+    f"AS dist_m FROM pts CROSS JOIN {_POIS_SQL}) "
+    "SELECT doc_id, poi_id, CAST(row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY dist_m ASC, poi_id ASC) AS BIGINT) AS rank, "
+    "round(dist_m, 3) AS dist_m_r FROM c "
+    "QUALIFY rank <= 2"
+)
+
+
+# ===========================================================================
+# 5. Envelope operators  — Extents.java:73-120, :191-223, :421-431
+# ===========================================================================
+
+
+def q_envelope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey").withColumn(
+        "grp", F.col("doc_id") % 25
+    )
+    return envelope_agg(pts, ["grp"])
+
+
+ORACLE_ENVELOPE_AGG = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id % 25 AS grp, min(lon) AS xmin, min(lat) AS ymin, "
+    "max(lon) AS xmax, max(lat) AS ymax FROM pts GROUP BY grp"
+)
+
+
+def q_envelope_gml_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = q_envelope_agg(spark, sf_dir)
+    return env.select(
+        "grp",
+        round_down_2dp(F.col("xmin")).alias("xmin2"),
+        round_down_2dp(F.col("ymin")).alias("ymin2"),
+        round_down_2dp(F.col("xmax")).alias("xmax2"),
+        round_down_2dp(F.col("ymax")).alias("ymax2"),
+    )
+
+
+def _down2(c: str) -> str:
+    return (
+        f"CASE WHEN {c} >= 0 THEN floor({c} * 100.0) ELSE ceil({c} * 100.0) END / 100.0"
+    )
+
+
+ORACLE_ENVELOPE_GML_2DP = (
+    f"WITH e AS ({ORACLE_ENVELOPE_AGG}) "
+    f"SELECT grp, {_down2('xmin')} AS xmin2, {_down2('ymin')} AS ymin2, "
+    f"{_down2('xmax')} AS xmax2, {_down2('ymax')} AS ymax2 FROM e"
+)
+
+
+def q_antipode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    return pts.select(
+        "doc_id",
+        (-F.col("lat")).alias("anti_lat"),
+        F.when(F.col("lon") < 0, F.col("lon") + F.lit(180.0))
+        .otherwise(F.col("lon") - F.lit(180.0))
+        .alias("anti_lon"),
+    )
+
+
+ORACLE_ANTIPODE = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id, -lat AS anti_lat, "
+    "CASE WHEN lon < 0 THEN lon + 180.0 ELSE lon - 180.0 END AS anti_lon FROM pts"
+)
+
+
+# ===========================================================================
+# 6. CRS-id normalization + UCUM units — GeodesyUtils.java:222-271,
+#    GmlUtils.java:220-240
+# ===========================================================================
+
+_CRS_CASES = [
+    ("urn:ogc:def:crs:EPSG::4326", "EPSG:4326", "urn:ogc:def:crs:EPSG::4326"),
+    ("http://www.opengis.net/def/crs/EPSG/0/32610", "EPSG:32610", "urn:ogc:def:crs:EPSG::32610"),
+    ("urn:ogc:def:crs:OGC:1.3:CRS84", "CRS:84", "urn:ogc:def:crs:OGC:1.3:CRS84"),
+    ("http://www.opengis.net/def/crs/OGC/1.3/CRS84", "CRS:84", "urn:ogc:def:crs:OGC:1.3:CRS84"),
+    ("urn:ogc:def:crs:EPSG::4258", "EPSG:4258", "urn:ogc:def:crs:EPSG::4258"),
+]
+
+
+def _srs_col():
+    c = F.col("n_nationkey") % 5
+    out = F.lit(_CRS_CASES[0][0])
+    for i in range(1, 5):
+        out = F.when(c == i, F.lit(_CRS_CASES[i][0])).otherwise(out)
+    return out
+
+
+def _srs_case_sql(idx: int) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{_CRS_CASES[i][idx]}'" for i in range(5)
+    )
+    return f"CASE n_nationkey % 5 {whens} END"
+
+
+def q_crs_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation").withColumn("srs", _srs_col())
+    return n.select(
+        "n_nationkey", "srs", abbreviated_crs_id_col(F.col("srs")).alias("crs_abbrev")
+    )
+
+
+ORACLE_CRS_ABBREV = (
+    f"SELECT n_nationkey, {_srs_case_sql(0)} AS srs, {_srs_case_sql(1)} AS crs_abbrev "
+    "FROM nation"
+)
+
+
+def q_srs_to_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation").withColumn("srs", _srs_col())
+    return n.select(
+        "n_nationkey", "srs", srs_name_to_urn_col(F.col("srs")).alias("crs_urn")
+    )
+
+
+ORACLE_SRS_TO_URN = (
+    f"SELECT n_nationkey, {_srs_case_sql(0)} AS srs, {_srs_case_sql(2)} AS crs_urn "
+    "FROM nation"
+)
+
+
+def q_ucum_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    uom = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("m"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("km"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("mi"))
+        .otherwise(F.lit("NM"))
+    )
+    p = p.withColumn("uom", uom)
+    return p.select(
+        "p_partkey", "uom",
+        length_in_meters_col(F.col("p_size"), F.col("uom")).alias("meters"),
+    )
+
+
+ORACLE_UCUM_LENGTH = (
+    "SELECT p_partkey, CASE p_partkey % 4 WHEN 0 THEN 'm' WHEN 1 THEN 'km' "
+    "WHEN 2 THEN 'mi' ELSE 'NM' END AS uom, "
+    "p_size * CAST(CASE p_partkey % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 1000.0 "
+    "WHEN 2 THEN 1609.34 ELSE 1852.0 END AS DOUBLE) AS meters FROM part"
+)
+
+
+# ===========================================================================
+# 7. Temporal operators — TemporalUtils.java (ISO 19108)
+# ===========================================================================
+
+
+def _event_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    dur_h = (F.col("event_id") % 7 + 1).cast("int")
+    return ev.select(
+        "event_id", "event_type",
+        F.col("ts").alias("begin"),
+        (F.col("ts") + F.make_interval(hours=dur_h)).alias("end"),
+    )
+
+
+_PER_SQL = (
+    "SELECT event_id, event_type, ts AS begin, "
+    "ts + (event_id % 7 + 1) * INTERVAL 1 HOUR AS \"end\" FROM events"
+)
+
+
+def q_temporal_during(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _event_periods(spark, sf_dir).select("event_id", "begin", "end")
+    anchors = spark.range(8).select(
+        F.col("id").alias("anchor_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("id") * 4).cast("int"))
+        ).alias("begin"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("id") * 4 + 3).cast("int"))
+        ).alias("end"),
+    )
+    j = temporal.interval_join(per, anchors, "During")
+    return j.select("event_id", F.col("anchor_id_r").alias("anchor_id"))
+
+
+ORACLE_TEMPORAL_DURING = (
+    f"WITH per AS ({_PER_SQL}), "
+    "anch AS (SELECT range AS anchor_id, "
+    "TIMESTAMP '2024-01-01 00:00:00' + CAST(range * 4 AS INT) * INTERVAL 1 DAY AS ab, "
+    "TIMESTAMP '2024-01-01 00:00:00' + CAST(range * 4 + 3 AS INT) * INTERVAL 1 DAY AS ae "
+    "FROM range(8)) "
+    "SELECT event_id, anchor_id FROM per JOIN anch "
+    "ON per.begin > ab AND per.\"end\" < ae"
+)
+
+
+def q_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _event_periods(spark, sf_dir)
+    return temporal.temporal_extent(per, ["event_type"])
+
+
+ORACLE_TEMPORAL_EXTENT = (
+    f"WITH per AS ({_PER_SQL}) "
+    "SELECT event_type, min(begin) - INTERVAL 1 HOUR AS extent_begin, "
+    "max(\"end\") + INTERVAL 1 HOUR AS extent_end FROM per GROUP BY event_type"
+)
+
+
+def q_split_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _event_periods(spark, sf_dir).where(F.col("event_id") % 100 == 0)
+    out = temporal.split_interval(per.select("event_id", "begin", "end"), 4)
+    return out.select("event_id", "sub_index", "sub_begin", "sub_end")
+
+
+ORACLE_SPLIT_INTERVAL = (
+    f"WITH per AS ({_PER_SQL}), "
+    "f AS (SELECT event_id, epoch_us(begin) AS b, epoch_us(\"end\") AS e "
+    "FROM per WHERE event_id % 100 = 0), "
+    "g AS (SELECT event_id, b, e, unnest(generate_series(0, 3)) AS i, "
+    "CAST(floor((e - b) / 4) AS BIGINT) AS step FROM f) "
+    "SELECT event_id, CAST(i AS INT) AS sub_index, "
+    "make_timestamp(b + i * step) AS sub_begin, "
+    "CASE WHEN i = 3 THEN make_timestamp(e) "
+    "ELSE make_timestamp(b + i * step + step) END AS sub_end FROM g"
+)
+
+
+def q_temporal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _event_periods(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("begin").asc(), F.col("end").asc(), F.col("event_id").asc()
+    )
+    return (
+        per.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "event_id", "rnk")
+    )
+
+
+ORACLE_TEMPORAL_RANK = (
+    f"WITH per AS ({_PER_SQL}) "
+    "SELECT event_type, event_id, CAST(row_number() OVER "
+    "(PARTITION BY event_type ORDER BY begin ASC, \"end\" ASC, event_id ASC) AS BIGINT) "
+    "AS rnk FROM per QUALIFY rnk <= 5"
+)
+
+
+# ===========================================================================
+# 8. Relational coverage (scan→filter→join→agg→window; SURVEY §2.6)
+# ===========================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("n"),
+        )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("n")).alias("avg_qty"), "n",
+    )
+
+
+ORACLE_PRICING_SUMMARY = (
+    "WITH a AS (SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, "
+    "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus) "
+    "SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc_price, "
+    "sum_charge, sum_qty / n AS avg_qty, n FROM a"
+)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return j.groupBy("n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_REVENUE_BY_NATION = (
+    "SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_orders FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = (
+    "SELECT event_id, user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) OVER "
+    "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running FROM events"
+)
+
+
+# ===========================================================================
+# 9. Zonal raster↔vector join — SURVEY §2 zonal; tiles = envelope rows
+# ===========================================================================
+
+
+def _inline_tiles(spark: SparkSession) -> DataFrame:
+    r = spark.range(1024)
+    i = F.col("id") % 32
+    j = F.floor(F.col("id") / 32)
+    return r.select(
+        F.col("id").alias("tile_id"),
+        (F.lit(-123.5) + i * F.lit(0.03125)).alias("xmin"),
+        (F.lit(49.0) + j * F.lit(0.03125)).alias("ymin"),
+        (F.lit(-123.5) + (i + 1) * F.lit(0.03125)).alias("xmax"),
+        (F.lit(49.0) + (j + 1) * F.lit(0.03125)).alias("ymax"),
+        (((F.col("id") * 37) % 1000) / F.lit(1000.0)).alias("value"),
+    )
+
+
+_TILES_SQL = (
+    "SELECT range AS tile_id, "
+    "-123.5 + (range % 32) * 0.03125 AS xmin, "
+    "49.0 + floor(range / 32) * 0.03125 AS ymin, "
+    "-123.5 + (range % 32 + 1) * 0.03125 AS xmax, "
+    "49.0 + (floor(range / 32) + 1) * 0.03125 AS ymax, "
+    "((range * 37) % 1000) / 1000.0 AS value FROM range(1024)"
+)
+
+
+def _shifted_zone_rects(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(6):
+        for j in range(6):
+            x0, y0 = -123.47 + i * 0.16, 49.03 + j * 0.16
+            x1, y1 = x0 + 0.16, y0 + 0.16
+            ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            rows.append((f"zr-{i}-{j}", "CRS:84", ring, []))
+    return spark.createDataFrame(
+        rows,
+        "zone_id string, crs string, exterior array<struct<x:double,y:double>>, "
+        "interiors array<array<struct<x:double,y:double>>>",
+    )
+
+
+_ZRECT_SQL = (
+    "SELECT 'zr-' || i || '-' || j AS zone_id, "
+    "-123.47 + i * 0.16 AS zxmin, 49.03 + j * 0.16 AS zymin, "
+    "-123.47 + i * 0.16 + 0.16 AS zxmax, 49.03 + j * 0.16 + 0.16 AS zymax "
+    "FROM (SELECT a.range AS i, b.range AS j FROM range(6) a, range(6) b)"
+)
+
+
+def q_zonal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = zonal.zonal_join(_inline_tiles(spark), _shifted_zone_rects(spark), res=10)
+    return pairs.select("tile_id", "zone_id")
+
+
+ORACLE_ZONAL_PAIRS = (
+    f"WITH t AS ({_TILES_SQL}), z AS ({_ZRECT_SQL}) "
+    "SELECT tile_id, zone_id FROM t JOIN z ON "
+    "t.xmin < z.zxmax AND t.xmax > z.zxmin AND t.ymin < z.zymax AND t.ymax > z.zymin"
+)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = zonal.zonal_join(_inline_tiles(spark), _shifted_zone_rects(spark), res=10)
+    agg = pairs.groupBy("zone_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return agg.select(
+        "zone_id", "n_tiles", "sum_value",
+        (F.col("sum_value") / F.col("n_tiles")).alias("avg_value"),
+        "min_value", "max_value",
+    )
+
+
+ORACLE_ZONAL_STATS = (
+    f"WITH p AS ({ORACLE_ZONAL_PAIRS.replace('SELECT tile_id, zone_id', 'SELECT tile_id, zone_id, value')}), "
+    "a AS (SELECT zone_id, count(*) AS n_tiles, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+    "min(value) AS min_value, max(value) AS max_value FROM p GROUP BY zone_id) "
+    "SELECT zone_id, n_tiles, sum_value, sum_value / n_tiles AS avg_value, "
+    "min_value, max_value FROM a"
+)
+
+
+# ===========================================================================
+# 10. Training-data operators: dedup / text / fingerprint / similarity
+# ===========================================================================
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+ORACLE_EXACT_DUP_GROUPS = (
+    "SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.1, shingle_n=3)
+
+
+ORACLE_NGRAM_JACCARD = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM toks), "
+    "ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh), "
+    "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, "
+    "count(*) AS inter FROM ex a JOIN ex b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
+    "SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM ov "
+    "WHERE inter / (n_a + n_b - inter) >= 0.1"
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_token_counts(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = (
+    "SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens_ws, "
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, "
+    "length(text) AS n_chars_calc FROM documents"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_lang_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in text.LANG_MARKERS],
+        "lang_pred",
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x IN ({markers}))) AS hits_{lang}"
+    )
+
+
+ORACLE_LANG_ID = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(_lang_hits_sql(lang) for lang in text.LANG_MARKERS)
+    + " FROM documents), "
+    "b AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h) "
+    "SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, "
+    "CASE WHEN best = 0 THEN 'und' "
+    "WHEN hits_en = best THEN 'en' WHEN hits_es = best THEN 'es' "
+    "WHEN hits_fr = best THEN 'fr' WHEN hits_de = best THEN 'de' "
+    "ELSE 'und' END AS lang_pred FROM b"
+)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_quality_score(docs)
+    return out.select(
+        "doc_id", "punct_ratio", "stopword_ratio", "mean_token_len", "quality_score"
+    )
+
+
+ORACLE_QUALITY_SCORE = (
+    "WITH f AS (SELECT doc_id, "
+    "CAST(length(text) AS DOUBLE) AS n_chars, "
+    "CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_tokens, "
+    "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE) AS n_stop "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_chars, n_tokens, "
+    "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio, "
+    "CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio FROM f) "
+    "SELECT doc_id, punct_ratio, stop_ratio AS stopword_ratio, "
+    "CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_token_len, "
+    "0.4 * least(n_tokens / 64.0, 1.0) + 0.3 * least(stop_ratio * 4, 1.0) "
+    "+ 0.3 * (1.0 - least(punct_ratio * 5, 1.0)) AS quality_score FROM r"
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_fingerprint(docs, hash_fn="md5").select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = (
+    f"SELECT doc_id, list_reduce(list_transform("
+    f"string_split_regex(lower(text), '\\s+'), "
+    f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {text.FP_MOD}), "
+    f"(a, b) -> (a * 31 + b) % {text.FP_MOD}) AS fingerprint FROM documents"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    topk = similarity.brute_topk(emb, queries, k=5)
+    return topk.select(
+        "q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+)
+_NRM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+ORACLE_COSINE_TOPK = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8), "
+    "s AS (SELECT q_id, vec_id, "
+    + _DOT.format(a="v", b="qv")
+    + " / (" + _NRM.format(a="v") + " * " + _NRM.format(a="qv") + ") AS cosine "
+    "FROM e CROSS JOIN q) "
+    "SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id "
+    "ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank, cosine FROM s "
+    "QUALIFY rank <= 5"
+)
+
+
+# ===========================================================================
+# 11. Non-SQL-expressible operators (driver records rows-only checks)
+# ===========================================================================
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8)
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_near_dups(docs, max_hamming=8)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ann_topk(emb, queries, k=5, dim=64, n_planes=8, probes=3)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    return similarity.embedding_near_dups(emb, threshold=0.5, dim=64, n_planes=6)
+
+
+def q_dwithin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-prefiltered DWITHIN with the exact geodesic (Vincenty) refine —
+    the engine's scale path (TopologicalRelationships.java:149-179)."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    pois = _pois_df(spark).select(
+        "poi_id", F.col("poi_lon").alias("x"), F.col("poi_lat").alias("y")
+    )
+    out = spatial_join.dwithin_join(pts, pois, distance_m=_DIST_M)
+    return out.select("doc_id", "poi_id", F.round("dist_m", 3).alias("dist_m_r"))
+
+
+def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned kNN via cell-ring expansion + exact fallback."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    pois = _pois_df(spark).select(
+        "poi_id", F.col("poi_lon").alias("x"), F.col("poi_lat").alias("y")
+    )
+    out = knn.knn_join(pts, pois, k=2)
+    return out.select(
+        "doc_id", "poi_id", F.col("rank").cast("long").alias("rank"),
+        F.round("dist_m", 3).alias("dist_m_r"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    inter = build_interleaved(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return multimodal.media_pipeline(inter)
+
+
+# ===========================================================================
+# Catalog
+# ===========================================================================
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "pip_convex": q_pip_convex,
+    "interleaved_tile_pip": q_interleaved_tile_pip,
+    "dwithin": q_dwithin,
+    "knn": q_knn,
+    "envelope_agg": q_envelope_agg,
+    "envelope_gml_2dp": q_envelope_gml_2dp,
+    "antipode": q_antipode,
+    "crs_abbrev": q_crs_abbrev,
+    "srs_to_urn": q_srs_to_urn,
+    "ucum_length": q_ucum_length,
+    "temporal_during": q_temporal_during,
+    "temporal_extent": q_temporal_extent,
+    "split_interval": q_split_interval,
+    "temporal_rank": q_temporal_rank,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_running": q_window_running,
+    "zonal_pairs": q_zonal_pairs,
+    "zonal_stats": q_zonal_stats,
+    "exact_dup_groups": q_exact_dup_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    # rows-only (non-SQL-expressible: hash/LSH internals, geodesic refine)
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_neardups": q_simhash_neardups,
+    "ann_topk": q_ann_topk,
+    "embedding_neardups": q_embedding_neardups,
+    "dwithin_exact": q_dwithin_exact,
+    "knn_cellring": q_knn_cellring,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "tile_assign": ORACLE_TILE_ASSIGN,
+    "pip_convex": ORACLE_PIP_CONVEX,
+    "interleaved_tile_pip": ORACLE_INTERLEAVED,
+    "dwithin": ORACLE_DWITHIN,
+    "knn": ORACLE_KNN,
+    "envelope_agg": ORACLE_ENVELOPE_AGG,
+    "envelope_gml_2dp": ORACLE_ENVELOPE_GML_2DP,
+    "antipode": ORACLE_ANTIPODE,
+    "crs_abbrev": ORACLE_CRS_ABBREV,
+    "srs_to_urn": ORACLE_SRS_TO_URN,
+    "ucum_length": ORACLE_UCUM_LENGTH,
+    "temporal_during": ORACLE_TEMPORAL_DURING,
+    "temporal_extent": ORACLE_TEMPORAL_EXTENT,
+    "split_interval": ORACLE_SPLIT_INTERVAL,
+    "temporal_rank": ORACLE_TEMPORAL_RANK,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "zonal_pairs": ORACLE_ZONAL_PAIRS,
+    "zonal_stats": ORACLE_ZONAL_STATS,
+    "exact_dup_groups": ORACLE_EXACT_DUP_GROUPS,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+}
