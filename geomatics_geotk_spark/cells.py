@@ -75,6 +75,35 @@ def cell_bounds(cell: int) -> tuple[float, float, float, float]:
     return (-180.0 + xi * w, -90.0 + yi * h, -180.0 + (xi + 1) * w, -90.0 + (yi + 1) * h)
 
 
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    """Inverse of the Morton spread: gather even-position bits (vectorized)."""
+    v = v & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def cell_bounds_many(cells_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cell → (lon_min, lat_min, lon_max, lat_max) arrays.
+
+    All cells must share one resolution (true for any cells_covering /
+    disk / ring output)."""
+    c = np.asarray(cells_arr).astype(np.uint64)
+    if len(c) == 0:
+        z = np.zeros(0, dtype=np.float64)
+        return z, z, z, z
+    res = int(c[0] >> np.uint64(_RES_SHIFT))
+    morton = c & ((np.uint64(1) << np.uint64(_RES_SHIFT)) - np.uint64(1))
+    xi = _compact_bits(morton).astype(np.float64)
+    yi = _compact_bits(morton >> np.uint64(1)).astype(np.float64)
+    w = 360.0 / (1 << (res + 1))
+    h = 180.0 / (1 << res)
+    return -180.0 + xi * w, -90.0 + yi * h, -180.0 + (xi + 1.0) * w, -90.0 + (yi + 1.0) * h
+
+
 def _xy_of(cell: int) -> tuple[int, int, int]:
     c = np.uint64(cell)
     res = int(c >> np.uint64(_RES_SHIFT))

@@ -88,6 +88,44 @@ def bbox_contains_point(xmin, ymin, xmax, ymax, x, y) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-polygon as pure Column math (JVM higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+def _ring_crossings(lon: Column, lat: Column, ring: Column) -> Column:
+    """Crossing-number count of the ray x < lon against a closed ring
+    (array<struct<x,y>>, first point repeated last).
+
+    Bit-for-bit the same half-open edge rule as
+    kernels.geometry.points_in_ring: ``(yi > y) != (yj > y)`` and strict
+    ``x < xcross``.  Degenerate (yi == yj) edges contribute nothing: the
+    cond is false and double division never raises.
+    """
+
+    def edge(i: Column) -> Column:
+        p = F.element_at(ring, (i - 1).cast("int"))
+        c = F.element_at(ring, i.cast("int"))
+        cond = (p["y"] > lat) != (c["y"] > lat)
+        xcross = (c["x"] - p["x"]) * (lat - p["y"]) / (c["y"] - p["y"]) + p["x"]
+        return cond & (lon < xcross)
+
+    return F.size(F.filter(F.sequence(F.lit(2), F.size(ring)), edge))
+
+
+def point_in_polygon_col(lon: Column, lat: Column, exterior: Column,
+                         interiors: Column) -> Column:
+    """Even-odd point-in-polygon (with holes) as a whole-stage-codegen'd
+    Column expression — the JVM fast path of the spatial-join refine; the
+    numpy kernel (kernels.geometry.points_in_polygon) is the same
+    algorithm for Arrow-batch contexts."""
+    inside_ext = F.pmod(_ring_crossings(lon, lat, exterior), F.lit(2)) == 1
+    in_hole = F.exists(
+        interiors, lambda h: F.pmod(_ring_crossings(lon, lat, h), F.lit(2)) == 1
+    )
+    return inside_ext & ~F.coalesce(in_hole, F.lit(False))
+
+
+# ---------------------------------------------------------------------------
 # Antipode — Extents.java:421-431
 # ---------------------------------------------------------------------------
 

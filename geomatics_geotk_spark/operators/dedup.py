@@ -61,15 +61,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
-                      shingle_n: int = 3) -> DataFrame:
-    """Append ``minhash: array<bigint>`` (length n_hashes) — entirely JVM:
-    per hash lane i, min over shingles of xxhash64(shingle, seed=i)."""
-    shingles = _shingles(text_col, shingle_n)
-    lanes = F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+                      shingle_n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, minhash: array<bigint>) — per hash lane i, min over
+    shingles of xxhash64(shingle, seed=i).
+
+    Shape: explode shingles once (a single materialized column — inlining
+    the shingle expression into 32 lanes explodes Catalyst codegen), then
+    one hash-agg on id_col with 32 ``min`` lanes.  Map-side partial
+    aggregation collapses each doc to one row per partition before the
+    exchange, so shuffle volume is docs × n_hashes longs, not
+    docs × shingles."""
+    sh = df.select(id_col, F.explode(_shingles(text_col, shingle_n)).alias("_sh"))
+    lanes = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
         for i in range(n_hashes)
-    ])
-    return df.withColumn("minhash", lanes)
+    ]
+    agg = sh.groupBy(id_col).agg(*lanes)
+    return agg.select(
+        id_col, F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -81,7 +91,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     minhash join; band buckets are the salt against giant clusters.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, shingle_n).select(id_col, "minhash")
+    sig = minhash_signature(df, text_col, n_hashes, shingle_n, id_col)
     banded = sig.select(
         id_col,
         F.explode(

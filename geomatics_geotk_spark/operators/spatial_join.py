@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import cells
-from ..functions import cell_id_col, wkt_point_lat, wkt_point_lon
+from ..functions import cell_id_col, point_in_polygon_col, wkt_point_lat, wkt_point_lon
 from ..kernels import crs as crs_k
 from ..kernels import geometry as geom_k
 
@@ -79,16 +79,56 @@ def _zone_rings_lonlat(row) -> list[np.ndarray]:
     return out
 
 
+def _segs_hit_boxes(rings: list[np.ndarray], x0, y0, x1, y1) -> np.ndarray:
+    """(n_cells,) bool: does any ring segment intersect each axis box?
+
+    Vectorized slab clipping over (segments × cells); a segment wholly
+    inside a box counts as a hit (strictly more conservative than the
+    ring-edge test — such cells classify partial and the exact refine
+    decides, so join row sets are unchanged).
+    """
+    hit = np.zeros(x0.shape, dtype=bool)
+    for r in rings:
+        ax, ay = r[:-1, 0][:, None], r[:-1, 1][:, None]
+        bx, by = r[1:, 0][:, None], r[1:, 1][:, None]
+        dx, dy = bx - ax, by - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tx0 = (x0[None, :] - ax) / dx
+            tx1 = (x1[None, :] - ax) / dx
+            ty0 = (y0[None, :] - ay) / dy
+            ty1 = (y1[None, :] - ay) / dy
+        txmin = np.minimum(tx0, tx1)
+        txmax = np.maximum(tx0, tx1)
+        tymin = np.minimum(ty0, ty1)
+        tymax = np.maximum(ty0, ty1)
+        # degenerate axes: inside-slab ⇒ (-inf, inf), outside ⇒ empty
+        deg_x = dx == 0
+        in_x = (ax >= x0[None, :]) & (ax <= x1[None, :])
+        txmin = np.where(deg_x, np.where(in_x, -np.inf, np.inf), txmin)
+        txmax = np.where(deg_x, np.where(in_x, np.inf, -np.inf), txmax)
+        deg_y = dy == 0
+        in_y = (ay >= y0[None, :]) & (ay <= y1[None, :])
+        tymin = np.where(deg_y, np.where(in_y, -np.inf, np.inf), tymin)
+        tymax = np.where(deg_y, np.where(in_y, np.inf, -np.inf), tymax)
+        tmin = np.maximum(np.maximum(txmin, tymin), 0.0)
+        tmax = np.minimum(np.minimum(txmax, tymax), 1.0)
+        hit |= (tmin <= tmax).any(axis=0)
+    return hit
+
+
 def prepare_zones(zones: DataFrame, res: int = DEFAULT_RES):
     """Zone polygons → (zone_cells DataFrame, {zone_id: rings} dict).
 
-    ``zone_cells(cell_id, zone_id, full)`` is the join side: one row per
-    covering cell; ``full=true`` cells lie entirely inside the polygon so
-    matched points skip the exact refine.  The rings dict is broadcast to
-    executors for the refine UDF.
+    ``zone_cells(cell_id, zone_id, full, exterior, interiors)`` is the
+    join side: one row per covering cell; ``full=true`` cells lie entirely
+    inside the polygon so matched points skip the exact refine; partial
+    cells carry the harmonized rings for the JVM Column refine.
 
-    Zones are the dimension side (thousands, not 10^12) — collecting them
-    to the driver is the same decision as broadcasting a dim table.
+    Classification is fully vectorized numpy over (cells × ring
+    segments) — a polygon covering 10^5 cells costs milliseconds, not a
+    driver-side per-cell loop.  Zones are the dimension side (thousands,
+    not 10^12) — collecting them to the driver is the same decision as
+    broadcasting a dim table.
     """
     spark = zones.sparkSession
     rows = zones.collect()
@@ -98,46 +138,62 @@ def prepare_zones(zones: DataFrame, res: int = DEFAULT_RES):
         rings = _zone_rings_lonlat(row)
         ring_map[row["zone_id"]] = rings
         xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
-        for c in cells.cells_covering(xmin, ymin, xmax, ymax, res):
-            cx0, cy0, cx1, cy1 = cells.cell_bounds(int(c))
-            corners_x = np.array([cx0, cx1, cx1, cx0])
-            corners_y = np.array([cy0, cy0, cy1, cy1])
-            corners_in = geom_k.points_in_polygon(corners_x, corners_y, rings)
-            cell_ring = geom_k.envelope_as_polygon(cx0, cy0, cx1, cy1)
-            boundary_hits = any(
-                geom_k.segments_intersect_any(cell_ring, zr) for zr in rings
+        carr = cells.cells_covering(xmin, ymin, xmax, ymax, res)
+        cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
+        corners_in = np.ones(len(carr), dtype=bool)
+        corners_any = np.zeros(len(carr), dtype=bool)
+        for gx, gy in ((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)):
+            c_in = geom_k.points_in_polygon(gx, gy, rings)
+            corners_in &= c_in
+            corners_any |= c_in
+        hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
+        fx, fy = rings[0][0, 0], rings[0][0, 1]
+        first_in = (fx >= cx0) & (fx <= cx1) & (fy >= cy0) & (fy <= cy1)
+        full_mask = corners_in & ~hits
+        keep = full_mask | corners_any | hits | first_in
+        ext = [(float(x), float(y)) for x, y in rings[0]]
+        ints = [[(float(x), float(y)) for x, y in r] for r in rings[1:]]
+        for c, full in zip(carr[keep].tolist(), full_mask[keep].tolist()):
+            # rings ride along on partial cells only — full cells skip
+            # the refine, so the broadcast stays lean where it can
+            cell_rows.append(
+                (int(c), row["zone_id"], bool(full),
+                 [] if full else ext, [] if full else ints)
             )
-            if bool(corners_in.all()) and not boundary_hits:
-                full = True
-            elif bool(corners_in.any()) or boundary_hits or geom_k.points_in_polygon(
-                np.array([rings[0][0, 0]]), np.array([rings[0][0, 1]]),
-                [cell_ring],
-            )[0]:
-                full = False
-            else:
-                continue  # covering-envelope cell that misses the polygon
-            cell_rows.append((int(c), row["zone_id"], bool(full)))
     zone_cells = spark.createDataFrame(
-        cell_rows, "cell_id long, zone_id string, full boolean"
+        cell_rows,
+        "cell_id long, zone_id string, full boolean, "
+        "exterior array<struct<x:double,y:double>>, "
+        "interiors array<array<struct<x:double,y:double>>>",
     )
     return zone_cells, ring_map
 
 
 def _pip_refine_udf(ring_map_bc):
-    """Vectorized crossing-number refine: (lon, lat, zone_id) → bool."""
+    """Vectorized crossing-number refine: (lon, lat, zone_id, full) → bool.
+
+    ``full=true`` rows (cell entirely inside the polygon) short-circuit to
+    true without touching the kernel; the rest are grouped by zone via
+    integer ``factorize`` codes (string equality per zone over the whole
+    batch was the hot spot) and tested batch-wise in numpy.
+    """
 
     @F.pandas_udf(T.BooleanType())
-    def pip(lon: pd.Series, lat: pd.Series, zone_id: pd.Series) -> pd.Series:
+    def pip(lon: pd.Series, lat: pd.Series, zone_id: pd.Series, full: pd.Series) -> pd.Series:
         rings_by_zone = ring_map_bc.value
-        out = np.zeros(len(lon), dtype=bool)
-        lon_np = lon.to_numpy(dtype=np.float64)
-        lat_np = lat.to_numpy(dtype=np.float64)
-        for z in zone_id.unique():
-            m = (zone_id == z).to_numpy()
-            rings = rings_by_zone.get(z)
-            if rings is None:
-                continue
-            out[m] = geom_k.points_in_polygon(lon_np[m], lat_np[m], rings)
+        fullv = full.to_numpy(dtype=bool)
+        out = fullv.copy()
+        todo = np.nonzero(~fullv)[0]
+        if len(todo):
+            lon_np = lon.to_numpy(dtype=np.float64)[todo]
+            lat_np = lat.to_numpy(dtype=np.float64)[todo]
+            codes, uniques = pd.factorize(zone_id.to_numpy()[todo])
+            for k, z in enumerate(uniques):
+                rings = rings_by_zone.get(z)
+                if rings is None:
+                    continue
+                m = codes == k
+                out[todo[m]] = geom_k.points_in_polygon(lon_np[m], lat_np[m], rings)
         return pd.Series(out)
 
     return pip
@@ -158,6 +214,7 @@ def spatial_join(
     hot_cell_threshold: int = 200_000,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    refine: str = "column",
 ) -> DataFrame:
     """docs(points) ⋈ zones(polygons) under a spatial predicate.
 
@@ -223,11 +280,20 @@ def spatial_join(
     else:
         raise ValueError(f"unknown strategy: {strategy}")
 
-    pip = _pip_refine_udf(ring_bc)
-    refined = joined.where(
-        F.col("full") | pip(F.col(lon_col), F.col(lat_col), F.col("zone_id"))
-    ).drop("full")
-    return refined
+    if refine == "column":
+        # JVM fast path: crossing-number as whole-stage-codegen'd Column
+        # math over the rings shipped on the broadcast side — no Python,
+        # no Arrow, in the 10^12-doc hot loop.
+        pip_col = point_in_polygon_col(
+            F.col(lon_col), F.col(lat_col), F.col("exterior"), F.col("interiors")
+        )
+        refined = joined.where(F.col("full") | pip_col)
+    else:
+        pip = _pip_refine_udf(ring_bc)
+        refined = joined.where(
+            pip(F.col(lon_col), F.col(lat_col), F.col("zone_id"), F.col("full"))
+        )
+    return refined.drop("full", "exterior", "interiors")
 
 
 def dwithin_join(
