@@ -125,6 +125,88 @@ def point_in_polygon_col(lon: Column, lat: Column, exterior: Column,
     return inside_ext & ~F.coalesce(in_hole, F.lit(False))
 
 
+def _seg_box_intersects(p: Column, c: Column, x0: Column, y0: Column,
+                        x1: Column, y1: Column) -> Column:
+    """Segment (p→c) ∩ axis box ≠ ∅ — vectorized slab clipping as Column
+    math (the JVM mirror of operators.spatial_join._segs_hit_boxes)."""
+    inf = F.lit(float("inf"))
+    dx, dy = c["x"] - p["x"], c["y"] - p["y"]
+
+    def slab(pos, d, lo, hi):
+        t_a = (lo - pos) / d
+        t_b = (hi - pos) / d
+        inside = (pos >= lo) & (pos <= hi)
+        tmin = F.when(d == 0, F.when(inside, -inf).otherwise(inf)).otherwise(
+            F.least(t_a, t_b)
+        )
+        tmax = F.when(d == 0, F.when(inside, inf).otherwise(-inf)).otherwise(
+            F.greatest(t_a, t_b)
+        )
+        return tmin, tmax
+
+    txmin, txmax = slab(p["x"], dx, x0, x1)
+    tymin, tymax = slab(p["y"], dy, y0, y1)
+    tmin = F.greatest(txmin, tymin, F.lit(0.0))
+    tmax = F.least(txmax, tymax, F.lit(1.0))
+    return tmin <= tmax
+
+
+def _ring_hits_box(ring: Column, x0, y0, x1, y1) -> Column:
+    return F.exists(
+        F.sequence(F.lit(2), F.size(ring)),
+        lambda i: _seg_box_intersects(
+            F.element_at(ring, (i - 1).cast("int")),
+            F.element_at(ring, i.cast("int")),
+            x0, y0, x1, y1,
+        ),
+    )
+
+
+def envelope_intersects_polygon_col(x0, y0, x1, y1, exterior: Column,
+                                    interiors: Column) -> Column:
+    """Envelope ∩ polygon ≠ ∅ as pure Column math.
+
+    Same decision as kernels.geometry.polygons_intersect(env_ring, rings):
+    any box corner inside the polygon (box ⊆ zone), or any ring edge
+    meeting the box (all boundary interactions and zone ⊆ box — an edge
+    wholly inside the box still hits the slab test).
+    """
+    corner_in = F.lit(False)
+    for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        corner_in = corner_in | point_in_polygon_col(cx, cy, exterior, interiors)
+    edge_hit = _ring_hits_box(exterior, x0, y0, x1, y1) | F.coalesce(
+        F.exists(interiors, lambda h: _ring_hits_box(h, x0, y0, x1, y1)),
+        F.lit(False),
+    )
+    return corner_in | edge_hit
+
+
+def covering_cells_col(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+                       res: int) -> Column:
+    """array<long> of cell ids covering an envelope — Column mirror of
+    cells.cells_covering (flatten of the xi × yi index grid)."""
+    nx, ny = 1 << (res + 1), 1 << res
+
+    def clamp(v, n):
+        return F.least(F.greatest(v, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    xi0 = clamp(F.floor((xmin + F.lit(180.0)) / F.lit(360.0) * F.lit(nx)), nx)
+    xi1 = clamp(F.floor((xmax + F.lit(180.0)) / F.lit(360.0) * F.lit(nx)), nx)
+    yi0 = clamp(F.floor((ymin + F.lit(90.0)) / F.lit(180.0) * F.lit(ny)), ny)
+    yi1 = clamp(F.floor((ymax + F.lit(90.0)) / F.lit(180.0) * F.lit(ny)), ny)
+    return F.flatten(
+        F.transform(
+            F.sequence(xi0, xi1),
+            lambda xi: F.transform(
+                F.sequence(yi0, yi1),
+                lambda yi: F.lit(res << RES_SHIFT)
+                .bitwiseOR(_spread_bits(xi))
+                .bitwiseOR(F.shiftleft(_spread_bits(yi), 1)),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Antipode — Extents.java:421-431
 # ---------------------------------------------------------------------------

@@ -2,70 +2,52 @@
 polygons, then value statistics per zone.
 
 The raster side follows the reference's envelope model (``Extents.java``):
-a tile is an (xmin, ymin, xmax, ymax) row.  Join = bbox prefilter on
-covering cells (equi-join) + exact envelope-ring intersection refine
-(envelope→5-point ring, ``Extents.java:231-243`` envelopeAsPolygon, then
-the polygon-intersects kernel).
+a tile is an (xmin, ymin, xmax, ymax) row.  Join = covering-cell
+equi-join prefilter + exact envelope↔polygon intersection refine
+(envelope→ring semantics per ``Extents.java:231-243`` envelopeAsPolygon;
+decision identical to ``kernels.geometry.polygons_intersect``).
+
+Everything is JVM Column math (whole-stage codegen): covering cells via
+``functions.covering_cells_col``, the refine via
+``functions.envelope_intersects_polygon_col`` over rings shipped on the
+broadcast ``zone_cells`` side — no Python in the per-tile path, so the
+operator holds up at raster scale (billions of tiles).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from .. import cells
-from ..kernels import geometry as geom_k
+from ..functions import covering_cells_col, envelope_intersects_polygon_col
 from .spatial_join import prepare_zones
 
 DEFAULT_RES = 10
 
 
 def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    """(tile_id, zone_id, value…) pairs where tile envelope ∩ zone ≠ ∅."""
-    spark = tiles.sparkSession
-    zone_cells, ring_map = prepare_zones(zones, res)
-    ring_bc = spark.sparkContext.broadcast(ring_map)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def covering(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        return pd.Series([
-            cells.cells_covering(a, b, c, d, res).tolist()
-            for a, b, c, d in zip(xmin, ymin, xmax, ymax)
-        ])
+    """(tile columns…, zone_id) pairs where tile envelope ∩ zone ≠ ∅."""
+    zone_cells, _ = prepare_zones(zones, res)
 
     tile_cells = tiles.withColumn(
-        "cell_id", F.explode(covering("xmin", "ymin", "xmax", "ymax"))
+        "cell_id",
+        F.explode(covering_cells_col(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), res
+        )),
     )
     cand = (
         tile_cells.join(F.broadcast(zone_cells), "cell_id", "inner")
         .drop("cell_id")
         .dropDuplicates(["tile_id", "zone_id"])
     )
-
-    @F.pandas_udf(T.BooleanType())
-    def env_intersects(
-        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series, zone_id: pd.Series
-    ) -> pd.Series:
-        rings_by_zone = ring_bc.value
-        out = np.zeros(len(xmin), dtype=bool)
-        for i in range(len(xmin)):
-            rings = rings_by_zone.get(zone_id.iloc[i])
-            if rings is None:
-                continue
-            env_ring = geom_k.envelope_as_polygon(
-                xmin.iloc[i], ymin.iloc[i], xmax.iloc[i], ymax.iloc[i]
-            )
-            out[i] = geom_k.polygons_intersect([env_ring], rings)
-        return pd.Series(out)
-
-    full_short_circuit = F.col("full")
-    return cand.where(
-        full_short_circuit
-        | env_intersects("xmin", "ymin", "xmax", "ymax", F.col("zone_id"))
-    ).drop("full")
+    # full cells prove intersection outright (any part of the tile inside
+    # the cell lies inside the zone); partial cells carry rings for the
+    # exact envelope-vs-polygon refine
+    exact = envelope_intersects_polygon_col(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        F.col("exterior"), F.col("interiors"),
+    )
+    return cand.where(F.col("full") | exact).drop("full", "exterior", "interiors")
 
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
