@@ -64,7 +64,10 @@ def flagship(spark, n_docs: int) -> float:
     tree."""
     path = f"/tmp/spark_graft_bench_docs_{n_docs}.parquet"
     if not os.path.exists(path):
-        synth_documents(spark, n_docs).write.mode("overwrite").parquet(path)
+        # fixed 64 files regardless of the session's parallelism so every
+        # cluster size gets enough input splits (8-file input caps a
+        # 32-core run at 8 scan tasks and wrecks scaling)
+        synth_documents(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
     zones = zones_table(spark, grid=8)
     decoded = spatial_join.decode_geo_spans(docs)
@@ -82,6 +85,24 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", master=f"local[{cpus}]")
+
+    if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1":
+        # scaling-evidence mode: one warm-up pass then N measured passes,
+        # report the best — the sandbox VM's CPU availability swings 3-4x
+        # between identical runs, so a single pass measures the noise, not
+        # the engine (scripts/scaling_bench.py runs this at two
+        # parallelism levels in separate JVMs)
+        passes = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_PASSES", "5"))
+        flagship(spark, n_docs)
+        rates = [flagship(spark, n_docs) for _ in range(passes)]
+        print(json.dumps({
+            "metric": "flagship spatial-join+tile docs/sec",
+            "value": round(max(rates), 1), "unit": "docs/sec",
+            "all_passes": [round(r, 1) for r in rates],
+            "flagship_docs": n_docs, "cpus": int(cpus),
+        }))
+        spark.stop()
+        return
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

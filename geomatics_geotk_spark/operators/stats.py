@@ -1,0 +1,54 @@
+"""Per-cell occupancy statistics — the skew-detection half of the
+engine's explicit hot-cell handling (north rule).
+
+``cell_histogram`` is a plain hash aggregation (map-side partials);
+``hot_cells`` thresholds it (driver-collects only the tiny hot set);
+``skew_report`` summarizes the distribution for lineage/metrics.  The
+spatial join's salting policy consumes ``hot_cells`` to decide which
+cells get replicated zone rows + salted doc keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cell_histogram(docs: DataFrame, cell_col: str = "cell_id") -> DataFrame:
+    """(cell_id, n_docs) — one exchange, partial aggregation before it."""
+    return docs.groupBy(cell_col).agg(F.count("*").alias("n_docs"))
+
+
+def hot_cells(docs: DataFrame, threshold: int, cell_col: str = "cell_id",
+              sample_fraction: float | None = None) -> list[int]:
+    """Cell ids whose (estimated) count exceeds ``threshold``.
+
+    With ``sample_fraction`` the histogram runs on a deterministic sample
+    and scales the threshold — at 10^12 docs the exact histogram is a full
+    shuffle; a 1% sample finds every cell that matters for salting.
+    """
+    d = docs
+    thr = threshold
+    if sample_fraction:
+        d = docs.sample(sample_fraction, seed=42)
+        thr = max(1, int(threshold * sample_fraction))
+    rows = (
+        cell_histogram(d, cell_col)
+        .where(F.col("n_docs") > thr)
+        .select(cell_col)
+        .collect()
+    )
+    return [r[cell_col] for r in rows]
+
+
+def skew_report(docs: DataFrame, cell_col: str = "cell_id") -> DataFrame:
+    """One-row distribution summary: cells, docs, max/avg occupancy and
+    the max/avg skew ratio that decides whether salting is worth it."""
+    h = cell_histogram(docs, cell_col)
+    agg = h.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_docs").alias("n_docs"),
+        F.max("n_docs").alias("max_cell"),
+        (F.sum("n_docs") / F.count("*")).alias("avg_cell"),
+    )
+    return agg.withColumn("skew_ratio", F.col("max_cell") / F.col("avg_cell"))

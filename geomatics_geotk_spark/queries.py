@@ -23,6 +23,8 @@ offset ``(k % 996) + 1`` keeps points strictly off cell/zone boundaries.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -960,6 +962,376 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_pipeline(inter)
 
 
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant as a driver-visible check: run the full
+    decode→tile→join pipeline and emit every doc whose (kind, text,
+    media_ref, order) span sequence changed.  MUST be empty — the oracle
+    is the empty set (input_hint per-row invariant)."""
+    from .sources.documents import with_span_hash
+
+    inter = build_interleaved(spark, sf_dir)
+    before = with_span_hash(inter).select("doc_id", F.col("span_hash").alias("h0"))
+    out = q_interleaved_tile_pip(spark, sf_dir)  # joined pipeline output
+    after_docs = (
+        build_interleaved(spark, sf_dir)
+        .join(out.select("doc_id").distinct(), "doc_id", "inner")
+    )
+    after = with_span_hash(after_docs).select("doc_id", F.col("span_hash").alias("h1"))
+    return (
+        before.join(after, "doc_id", "inner")
+        .where(F.col("h0") != F.col("h1"))
+        .select("doc_id")
+    )
+
+
+ORACLE_SPAN_INVARIANT = "SELECT doc_id FROM documents WHERE 1 = 0"
+
+
+def q_geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic direct problem per row (calculateDestination,
+    GeodesyUtils.java:110-132) — vectorized Karney/Vincenty in numpy over
+    Arrow batches.  Transcendental → rows-only check."""
+    from pyspark.sql import types as T
+
+    from .kernels import geodesic
+
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    pts = pts.withColumn("azimuth", (F.col("doc_id") % 360).cast("double")).withColumn(
+        "dist_m", ((F.col("doc_id") % 10 + 1) * 1852).cast("double")
+    )
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("dlat", T.DoubleType()), T.StructField("dlon", T.DoubleType()),
+    ]))
+    def dest(lat: pd.Series, lon: pd.Series, az: pd.Series, d: pd.Series) -> pd.DataFrame:
+        dlat, dlon = geodesic.direct(
+            lat.to_numpy(), lon.to_numpy(), az.to_numpy(), d.to_numpy()
+        )
+        return pd.DataFrame({"dlat": dlat, "dlon": dlon})
+
+    out = pts.withColumn("d", dest("lat", "lon", "azimuth", "dist_m"))
+    return out.select(
+        "doc_id", "azimuth", "dist_m",
+        F.round(F.col("d.dlat"), 9).alias("dest_lat"),
+        F.round(F.col("d.dlon"), 9).alias("dest_lon"),
+    )
+
+
+def q_crs_roundtrip_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lon/lat → EPSG:32610 (transverse-Mercator forward) → back; emits
+    easting/northing and the round-trip error (reference implicit
+    reprojection, TopologicalRelationships.java:261-271)."""
+    from pyspark.sql import types as T
+
+    from .kernels import crs as crs_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("e", T.DoubleType()), T.StructField("n", T.DoubleType()),
+        T.StructField("err_m", T.DoubleType()),
+    ]))
+    def roundtrip(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        x, y = crs_k.from_lonlat(lon.to_numpy(), lat.to_numpy(), "EPSG:32610")
+        lon2, lat2 = crs_k.to_lonlat(x, y, "EPSG:32610")
+        err = np.hypot((lon2 - lon.to_numpy()) * 111_320.0,
+                       (lat2 - lat.to_numpy()) * 111_320.0)
+        return pd.DataFrame({"e": x, "n": y, "err_m": err})
+
+    out = pts.withColumn("u", roundtrip("lon", "lat"))
+    return out.select(
+        "doc_id",
+        F.round(F.col("u.e"), 3).alias("easting"),
+        F.round(F.col("u.n"), 3).alias("northing"),
+        (F.col("u.err_m") < 0.001).alias("roundtrip_ok"),
+    )
+
+
+def q_arc_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArcByCenterPoint densification to TOTAL_ARC_POINTS=5
+    (GmlUtils.java:98-128) per row."""
+    from pyspark.sql import types as T
+
+    from .kernels import geometry as geom_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    pts = pts.withColumn("radius_m", ((F.col("doc_id") % 50 + 1) * 1852).cast("double"))
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def arc(lat: pd.Series, lon: pd.Series, r: pd.Series) -> pd.Series:
+        out = []
+        for la, lo, rr in zip(lat, lon, r):
+            alats, alons = geom_k.infer_points_on_arc(la, lo, rr, 0.0, 90.0)
+            out.append(
+                [[round(float(a), 9), round(float(b), 9)] for a, b in zip(alats, alons)]
+            )
+        return pd.Series(out)
+
+    out = pts.withColumn("arc_points", arc("lat", "lon", "radius_m"))
+    return out.select(
+        "doc_id", F.size("arc_points").cast("long").alias("n_points"), "arc_points"
+    )
+
+
+def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group planar convex hull (GmlUtils.computeConvexHull,
+    GmlUtils.java:138-143) via applyInPandas — grouped-map Arrow path."""
+    from .kernels import geometry as geom_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey").withColumn(
+        "grp", F.col("doc_id") % 25
+    )
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = np.column_stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()])
+        h = geom_k.convex_hull(coords)
+        # shoelace area of the hull ring
+        x, y = h[:, 0], h[:, 1]
+        area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) if len(h) > 2 else 0.0
+        return pd.DataFrame({
+            "grp": [int(pdf["grp"].iloc[0])],
+            "n_points": [len(pdf)],
+            "hull_size": [max(0, len(h) - 1)],
+            "hull_area": [round(float(area), 9)],
+        })
+
+    return pts.groupBy("grp").applyInPandas(
+        hull, "grp long, n_points long, hull_size long, hull_area double"
+    )
+
+
+def q_ring_dedupe_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate removal, ppm ratio rule incl. the
+    ring-closure last-point case (GeodesyUtils.java:283-304)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from .kernels import geometry as geom_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+
+    @F.pandas_udf(T.IntegerType())
+    def dedup_count(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = []
+        for lo, la in zip(lon, lat):
+            ring = np.array([
+                [lo, la],
+                [lo * (1 + 5e-7), la],        # within 1 ppm → dropped
+                [lo + 0.1, la + 0.1],
+                [lo + 0.1, la + 0.1 + 1e-9],  # near-dup → dropped
+                [lo, la],                     # closure
+            ])
+            out.append(len(geom_k.remove_consecutive_duplicates(ring, 1.0)))
+        return pd.Series(np.array(out, dtype=np.int32))
+
+    return pts.select(
+        "doc_id", dedup_count("lon", "lat").cast("long").alias("n_after_dedupe")
+    )
+
+
+def q_antipodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope on the opposite side of the earth with the corner swap
+    (Extents.java:390-413) — per-group over the customer point cloud."""
+    from .operators.envelope import with_antipodal_envelope
+
+    env = q_envelope_agg(spark, sf_dir)
+    out = with_antipodal_envelope(env)
+    return out.select(
+        "grp", "anti_xmin", "anti_ymin", "anti_xmax", "anti_ymax"
+    )
+
+
+_ANTI = "CASE WHEN {c} < 0 THEN {c} + 180.0 ELSE {c} - 180.0 END"
+
+ORACLE_ANTIPODAL_ENVELOPE = (
+    f"WITH e AS ({ORACLE_ENVELOPE_AGG}) "
+    f"SELECT grp, least({_ANTI.format(c='xmax')}, {_ANTI.format(c='xmin')}) AS anti_xmin, "
+    "-ymax AS anti_ymin, "
+    f"greatest({_ANTI.format(c='xmax')}, {_ANTI.format(c='xmin')}) AS anti_xmax, "
+    "-ymin AS anti_ymax FROM e"
+)
+
+
+def q_crs_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG area-of-use lookup (getDomainOfValidity,
+    GeodesyUtils.java:56-66) — broadcast static table keyed by the
+    normalized CRS id."""
+    from .kernels.crs import DOMAIN_OF_VALIDITY
+
+    dom = spark.createDataFrame(
+        [(k, *v) for k, v in sorted(DOMAIN_OF_VALIDITY.items())],
+        "crs_abbrev string, dom_xmin double, dom_ymin double, dom_xmax double, dom_ymax double",
+    )
+    n = q_crs_abbrev(spark, sf_dir)
+    return n.join(F.broadcast(dom), "crs_abbrev", "left").select(
+        "n_nationkey", "crs_abbrev", "dom_xmin", "dom_ymin", "dom_xmax", "dom_ymax"
+    )
+
+
+def _domain_case_sql(idx: int) -> str:
+    from .kernels.crs import DOMAIN_OF_VALIDITY
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v[idx]}" for k, v in sorted(DOMAIN_OF_VALIDITY.items())
+    )
+    return f"CASE crs_abbrev {whens} ELSE NULL END"
+
+
+ORACLE_CRS_DOMAIN = (
+    f"WITH a AS ({ORACLE_CRS_ABBREV}) "
+    "SELECT n_nationkey, crs_abbrev, "
+    + ", ".join(
+        f"CAST({_domain_case_sql(i)} AS DOUBLE) AS dom_{n}"
+        for i, n in enumerate(["xmin", "ymin", "xmax", "ymax"])
+    )
+    + " FROM a"
+)
+
+
+def q_pip_salted_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as pip_convex but through the shuffle path with explicit
+    hot-cell salting (threshold forced low so every busy cell salts) —
+    the north-rule skew machinery, verified against the identical oracle
+    row set as the broadcast plan."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    joined = spatial_join.spatial_join(
+        pts, _pentagon_zone(spark), res=RES, strategy="shuffle",
+        salt=4, hot_cell_threshold=50,
+    )
+    return joined.select("doc_id", "zone_id")
+
+
+def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy histogram — the skew-detection aggregation that
+    feeds the hot-cell salting policy (one exchange, map-side partials)."""
+    from .operators import stats
+
+    tiled = q_tile_assign(spark, sf_dir).select("doc_id", "cell_id")
+    return stats.cell_histogram(tiled)
+
+
+ORACLE_CELL_HISTOGRAM = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+    "m AS (" + _cell_id_sql("lon", "lat", RES, "doc_id") + ") "
+    "SELECT cell_id, count(*) AS n_docs FROM m GROUP BY cell_id"
+)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats
+
+    tiled = q_tile_assign(spark, sf_dir).select("doc_id", "cell_id")
+    return stats.skew_report(tiled)
+
+
+ORACLE_SKEW_REPORT = (
+    f"WITH h AS ({ORACLE_CELL_HISTOGRAM}) "
+    "SELECT count(*) AS n_cells, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+    "max(n_docs) AS max_cell, "
+    "CAST(sum(n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cell, "
+    "CAST(max(n_docs) AS DOUBLE) / (CAST(sum(n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS skew_ratio "
+    "FROM h"
+)
+
+
+# Expected DE-9IM predicate truth per pair category (the oracle encodes
+# the reference semantics, TopologicalRelationships.java:57-96; the Spark
+# side evaluates the actual geometry kernels):
+#   0: disjoint boxes            1: strictly-overlapping boxes
+#   2: box B strictly inside A   3: point strictly inside box A
+#   4: line crossing box A (enters and exits)
+_PRED_TRUTH = {
+    # cat: (intersects, disjoint, touches, overlaps, within, contains, crosses, equals)
+    0: (False, True, False, False, False, False, False, False),
+    1: (True, False, False, True, False, False, False, False),
+    2: (True, False, False, False, False, True, False, False),
+    3: (True, False, False, False, True, True, False, False),
+    4: (True, False, False, False, False, False, True, False),
+}
+_PRED_NAMES = [
+    "intersects", "disjoint", "touches", "overlaps",
+    "within", "contains", "crosses", "equals",
+]
+
+
+def q_spatial_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full spatial-predicate vocabulary (SpatialOperator.java:16-20)
+    evaluated by the geometry kernels over categorized pairs — the
+    per-pair semantics of TopologicalRelationships.isSpatiallyRelated
+    lifted to a column of every predicate at once."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from .kernels import geometry as geom_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey").withColumn(
+        "cat", (F.col("doc_id") % 5).cast("int")
+    )
+
+    schema = T.StructType([T.StructField(n, T.BooleanType()) for n in _PRED_NAMES])
+
+    @F.pandas_udf(schema)
+    def preds(lon: pd.Series, lat: pd.Series, cat: pd.Series) -> pd.DataFrame:
+        rows = []
+        for lo, la, c in zip(lon, lat, cat):
+            box = lambda x0, y0, w: [np.array(  # noqa: E731
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w], [x0, y0]]
+            )]
+            a_kind, a = "polygon", box(lo, la, 0.1)
+            if c == 0:
+                b_kind, b = "polygon", box(lo + 0.3, la, 0.1)
+            elif c == 1:
+                b_kind, b = "polygon", box(lo + 0.05, la + 0.05, 0.1)
+            elif c == 2:
+                b_kind, b = "polygon", box(lo + 0.025, la + 0.025, 0.05)
+            elif c == 3:
+                b_kind, b = "point", [np.array([[lo + 0.05, la + 0.05]])]
+            else:
+                # middle vertex strictly inside A: the predicate kernels
+                # classify line interiors at vertex granularity
+                b_kind, b = "linestring", [np.array(
+                    [[lo - 0.05, la + 0.05], [lo + 0.05, la + 0.05],
+                     [lo + 0.15, la + 0.05]]
+                )]
+            rows.append({
+                "intersects": geom_k.intersects(a_kind, a, b_kind, b),
+                "disjoint": geom_k.disjoint(a_kind, a, b_kind, b),
+                "touches": geom_k.touches(b_kind, b, a_kind, a) if c == 3
+                else geom_k.touches(a_kind, a, b_kind, b),
+                "overlaps": geom_k.overlaps(a_kind, a, b_kind, b),
+                "within": geom_k.within(b_kind, b, a_kind, a) if c == 3
+                else geom_k.within(a_kind, a, b_kind, b),
+                "contains": geom_k.contains(a_kind, a, b_kind, b),
+                "crosses": geom_k.crosses(b_kind, b, a_kind, a) if c == 4
+                else geom_k.crosses(a_kind, a, b_kind, b),
+                "equals": geom_k.equals_topo(a_kind, a, b_kind, b),
+            })
+        return pd.DataFrame(rows)
+
+    out = pts.withColumn("p", preds("lon", "lat", "cat"))
+    return out.select(
+        "doc_id", "cat", *[F.col(f"p.{n}").alias(n) for n in _PRED_NAMES]
+    )
+
+
+def _pred_case_sql(col_idx: int) -> str:
+    whens = " ".join(
+        f"WHEN {c} THEN {str(_PRED_TRUTH[c][col_idx]).upper()}" for c in range(5)
+    )
+    return f"CASE CAST(c_custkey % 5 AS INT) {whens} END"
+
+
+ORACLE_SPATIAL_PREDICATES = (
+    "SELECT c_custkey AS doc_id, CAST(c_custkey % 5 AS INT) AS cat, "
+    + ", ".join(
+        f"{_pred_case_sql(i)} AS \"{n}\"" for i, n in enumerate(_PRED_NAMES)
+    )
+    + " FROM customer"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -1000,6 +1372,19 @@ QUERIES = {
     "dwithin_exact": q_dwithin_exact,
     "knn_cellring": q_knn_cellring,
     "multimodal_features": q_multimodal_features,
+    "geodesic_destination": q_geodesic_destination,
+    "crs_roundtrip_utm": q_crs_roundtrip_utm,
+    "arc_densify": q_arc_densify,
+    "convex_hull_groups": q_convex_hull_groups,
+    "ring_dedupe_ppm": q_ring_dedupe_ppm,
+    "spatial_predicates": q_spatial_predicates,
+    "pip_salted_shuffle": q_pip_salted_shuffle,
+    "antipodal_envelope": q_antipodal_envelope,
+    "crs_domain": q_crs_domain,
+    "cell_histogram": q_cell_histogram,
+    "skew_report": q_skew_report,
+    # span-sequence invariant: must be the empty set (oracle = empty)
+    "span_invariant": q_span_invariant,
 }
 
 ORACLES = {
@@ -1030,4 +1415,11 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "fingerprint": ORACLE_FINGERPRINT,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "spatial_predicates": ORACLE_SPATIAL_PREDICATES,
+    "pip_salted_shuffle": ORACLE_PIP_CONVEX,
+    "antipodal_envelope": ORACLE_ANTIPODAL_ENVELOPE,
+    "crs_domain": ORACLE_CRS_DOMAIN,
+    "cell_histogram": ORACLE_CELL_HISTOGRAM,
+    "skew_report": ORACLE_SKEW_REPORT,
+    "span_invariant": ORACLE_SPAN_INVARIANT,
 }

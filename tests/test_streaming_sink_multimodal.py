@@ -1,0 +1,147 @@
+"""Structured-streaming tile assignment, checkpoint-resumable sink, and
+multimodal plumbing — the operational surfaces the north rule requires
+beyond the batch operators."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomatics_geotk_spark.operators import multimodal, spatial_join
+from geomatics_geotk_spark.sources import sink
+from geomatics_geotk_spark.sources.documents import synth_documents
+from geomatics_geotk_spark.streaming import tile_stream
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "docs.parquet")
+    synth_documents(spark, 500, partitions=4).write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestStreamingTileAssign:
+    def test_stream_matches_batch(self, spark, docs_path):
+        """readStream → decode → tile produces the same per-doc cell ids
+        as the batch path (structural parity: identical Column exprs)."""
+        assigned = tile_stream.streaming_tile_assign(spark, docs_path, res=12)
+        q = (
+            assigned.select("doc_id", "cell_id")
+            .writeStream.format("memory")
+            .queryName("t_stream_cells")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["doc_id"], r["cell_id"])
+            for r in spark.sql("SELECT * FROM t_stream_cells").collect()
+        }
+        batch = spatial_join.tile_assign(
+            spatial_join.decode_geo_spans(spark.read.parquet(docs_path)), 12
+        )
+        want = {(r["doc_id"], r["cell_id"]) for r in batch.select("doc_id", "cell_id").collect()}
+        assert got == want
+
+    def test_windowed_cell_counts(self, spark, docs_path):
+        assigned = tile_stream.streaming_tile_assign(spark, docs_path, res=8)
+        counts = tile_stream.streaming_cell_counts(assigned, "10 minutes", "20 minutes")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("t_stream_counts")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT sum(n_docs) AS total FROM t_stream_counts"
+        ).collect()
+        assert rows[0]["total"] == 500
+
+
+class TestCheckpointedSink:
+    def test_write_then_resume_skips(self, spark, tmp_path):
+        out = str(tmp_path / "sink1")
+        df = spark.range(1000).select(
+            F.col("id"), F.pmod(F.col("id"), F.lit(97)).alias("bucket")
+        )
+        s1 = sink.checkpointed_write(df, out, "bucket", n_buckets=8)
+        assert sorted(s1["written_buckets"]) == list(range(8))
+        assert s1["rows"] == 1000
+        data = spark.read.parquet(os.path.join(out, "data"))
+        assert data.count() == 1000
+        # second invocation: everything already committed → no-op resume
+        s2 = sink.checkpointed_write(df, out, "bucket", n_buckets=8)
+        assert s2["written_buckets"] == []
+        assert sorted(s2["skipped_buckets"]) == list(range(8))
+        assert spark.read.parquet(os.path.join(out, "data")).count() == 1000
+
+    def test_crash_resume_redoes_only_missing(self, spark, tmp_path):
+        """Simulate a crash after some buckets committed: lineage rows
+        exist for buckets 0..3 only → resume rewrites exactly 4..7."""
+        out = str(tmp_path / "sink2")
+        df = spark.range(1000).select(
+            F.col("id"), F.pmod(F.col("id"), F.lit(97)).alias("bucket")
+        )
+        sink.checkpointed_write(df, out, "bucket", n_buckets=8)
+        # forge a partial-lineage state (as if the job died mid-commit)
+        lineage_path = os.path.join(out, "_lineage")
+        partial = spark.read.parquet(lineage_path).where(F.col("bucket") < 4)
+        tmp_lineage = str(tmp_path / "lineage_partial")
+        partial.write.mode("overwrite").parquet(tmp_lineage)
+        shutil.rmtree(lineage_path)
+        shutil.copytree(tmp_lineage, lineage_path)
+
+        s = sink.checkpointed_write(df, out, "bucket", n_buckets=8)
+        assert sorted(s["written_buckets"]) == [4, 5, 6, 7]
+        assert sorted(s["skipped_buckets"]) == [0, 1, 2, 3]
+        # post-resume: complete, no duplicates
+        data = spark.read.parquet(os.path.join(out, "data"))
+        assert data.count() == 1000
+        assert data.select("id").distinct().count() == 1000
+
+
+class TestMultimodal:
+    def test_media_pipeline_rows_and_determinism(self, spark):
+        docs = synth_documents(spark, 64, partitions=2).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        n_media = docs.select(
+            F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+        ).count()
+        meta = multimodal.media_pipeline(docs)
+        rows = meta.collect()
+        assert len(rows) == n_media
+        assert set(meta.columns) == {
+            "doc_id", "media_ref", "media_kind", "n_bytes",
+            "content_hash", "width", "height", "duration_s",
+        }
+        # deterministic: same refs → same hashes on a re-run
+        again = {r["media_ref"]: r["content_hash"] for r in multimodal.media_pipeline(docs).collect()}
+        for r in rows:
+            assert again[r["media_ref"]] == r["content_hash"]
+
+    def test_feature_extraction_shape(self, spark):
+        docs = synth_documents(spark, 16, partitions=1).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        spans = multimodal.media_spans(docs)
+        feats = multimodal.extract_media_features(
+            multimodal.fetch_media_stub(spans), dim=16
+        )
+        row = feats.limit(1).collect()[0]
+        assert len(row["feature"]) == 16
+        assert row["decode_ok"] is True
+
+    def test_decode_seam_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
