@@ -33,6 +33,28 @@ def streaming_tile_assign(spark, path: str, res: int = 12,
     return out
 
 
+def streaming_spatial_join(assigned: DataFrame, zones: DataFrame,
+                           res: int = 12) -> DataFrame:
+    """Stream-static point-in-polygon join: the streaming tile-assigned
+    docs equi-join the (static, broadcastable) zone-cell table and refine
+    with the same JVM Column crossing-number as the batch operator —
+    batch/stream parity is structural.
+
+    Returns the streaming DataFrame of (doc columns…, zone_id) matches.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import point_in_polygon_col
+    from ..operators.spatial_join import prepare_zones
+
+    zone_cells, _ = prepare_zones(zones, res)
+    joined = assigned.join(F.broadcast(zone_cells), "cell_id", "inner")
+    pip = point_in_polygon_col(
+        F.col("lon"), F.col("lat"), F.col("exterior"), F.col("interiors")
+    )
+    return joined.where(F.col("full") | pip).drop("full", "exterior", "interiors")
+
+
 def streaming_cell_counts(assigned: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window doc counts per cell — the streaming

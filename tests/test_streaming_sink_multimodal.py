@@ -49,6 +49,41 @@ class TestStreamingTileAssign:
         want = {(r["doc_id"], r["cell_id"]) for r in batch.select("doc_id", "cell_id").collect()}
         assert got == want
 
+    def test_stream_static_spatial_join_matches_batch(self, spark, docs_path):
+        from geomatics_geotk_spark.sources.documents import zones_table
+
+        zones = zones_table(spark, grid=4).where(
+            F.col("zone_id").startswith("zone-grid-")
+        )
+        assigned = tile_stream.streaming_tile_assign(spark, docs_path, res=12)
+        joined = tile_stream.streaming_spatial_join(assigned, zones, res=12)
+        q = (
+            joined.select("doc_id", "zone_id")
+            .writeStream.format("memory")
+            .queryName("t_stream_join")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["doc_id"], r["zone_id"])
+            for r in spark.sql("SELECT * FROM t_stream_join").collect()
+        }
+        batch = spatial_join.spatial_join(
+            spatial_join.tile_assign(
+                spatial_join.decode_geo_spans(spark.read.parquet(docs_path)), 12
+            ),
+            zones, res=12, strategy="broadcast",
+        )
+        want = {
+            (r["doc_id"], r["zone_id"])
+            for r in batch.select("doc_id", "zone_id").collect()
+        }
+        assert got == want
+
     def test_windowed_cell_counts(self, spark, docs_path):
         assigned = tile_stream.streaming_tile_assign(spark, docs_path, res=8)
         counts = tile_stream.streaming_cell_counts(assigned, "10 minutes", "20 minutes")
