@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "ann_topk",
     "quality_score",
     "fingerprint",
+    "pip_salted_shuffle",
+    "spatial_predicates",
+    "multimodal_features",
 ]
 
 

@@ -117,9 +117,39 @@ def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
-def media_pipeline(docs: DataFrame) -> DataFrame:
-    """media spans → fetch → metadata, repartitioned so fat binary batches
-    don't skew the text-processing partitions."""
-    spans = media_spans(docs)
-    fetched = fetch_media_stub(spans.repartition(docs.sparkSession.sparkContext.defaultParallelism, "media_ref"))
-    return extract_media_metadata(fetched)
+def media_pipeline(docs: DataFrame, fused: bool = True) -> DataFrame:
+    """media spans → fetch → metadata, repartitioned on media_ref so fat
+    binary batches don't skew the text-processing partitions.
+
+    ``fused=True`` runs fetch+metadata in ONE mapInPandas stage (one
+    Arrow round-trip instead of two chained Python evals — the payload
+    bytes never cross the JVM boundary); ``fused=False`` keeps the
+    staged path for pipelines that persist raw payloads.
+    """
+    spark = docs.sparkSession
+    spans = media_spans(docs).repartition(
+        spark.sparkContext.defaultParallelism, "media_ref"
+    )
+    if not fused:
+        return extract_media_metadata(fetch_media_stub(spans))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                payload = hashlib.sha256(ref.encode()).digest() * 4
+                h = hashlib.sha256(payload).hexdigest()
+                seed = int(h[:8], 16)
+                rows.append({
+                    "doc_id": doc_id,
+                    "media_ref": ref,
+                    "media_kind": ["image", "audio", "video"][seed % 3],
+                    "n_bytes": len(payload),
+                    "content_hash": h,
+                    "width": 64 + seed % 1920,
+                    "height": 64 + (seed >> 8) % 1080,
+                    "duration_s": float(seed % 600) / 10.0,
+                })
+            yield pd.DataFrame(rows)
+
+    return spans.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
