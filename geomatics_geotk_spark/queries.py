@@ -1203,6 +1203,61 @@ def q_pip_salted_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", "zone_id")
 
 
+def q_geometry_join_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join (non-point path): per-customer LINESTRING
+    segments vs the shifted rectangle zones under INTERSECTS — envelope
+    covering-cell prefilter + exact DE-9IM kernel refine
+    (operators/geometry_join.py).  Oracle: slab segment-box clipping in
+    SQL over identical derived endpoints."""
+    from .operators.geometry_join import geometry_join
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "LINESTRING (%s %s, %s %s)",
+            F.col("lon").cast("string"), F.col("lat").cast("string"),
+            (F.col("lon") + F.lit(0.07)).cast("string"),
+            (F.col("lat") + F.lit(0.05)).cast("string"),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "intersects", res=10)
+
+
+def _slab_sql(px, py, cx, cy) -> str:
+    """Segment (p→c) ∩ box (zxmin..zymax) as SQL — mirror of
+    functions._seg_box_intersects."""
+    dx, dy = f"({cx} - {px})", f"({cy} - {py})"
+
+    def slab(pos, d, lo, hi):
+        tmin = (
+            f"CASE WHEN {d} = 0 THEN (CASE WHEN {pos} >= {lo} AND {pos} <= {hi} "
+            f"THEN -1e308 ELSE 1e308 END) "
+            f"ELSE least(({lo} - {pos}) / {d}, ({hi} - {pos}) / {d}) END"
+        )
+        tmax = (
+            f"CASE WHEN {d} = 0 THEN (CASE WHEN {pos} >= {lo} AND {pos} <= {hi} "
+            f"THEN 1e308 ELSE -1e308 END) "
+            f"ELSE greatest(({lo} - {pos}) / {d}, ({hi} - {pos}) / {d}) END"
+        )
+        return tmin, tmax
+
+    txmin, txmax = slab(px, dx, "zxmin", "zxmax")
+    tymin, tymax = slab(py, dy, "zymin", "zymax")
+    return (
+        f"greatest({txmin}, {tymin}, 0.0) <= least({txmax}, {tymax}, 1.0)"
+    )
+
+
+ORACLE_GEOMETRY_JOIN_LINES = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+    f"seg AS (SELECT doc_id, lon AS px, lat AS py, lon + 0.07 AS cx, lat + 0.05 AS cy FROM pts), "
+    f"z AS ({_ZRECT_SQL}) "
+    f"SELECT doc_id, zone_id FROM seg CROSS JOIN z WHERE "
+    + _slab_sql("px", "py", "cx", "cy")
+)
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy histogram — the skew-detection aggregation that
     feeds the hot-cell salting policy (one exchange, map-side partials)."""
@@ -1381,6 +1436,7 @@ QUERIES = {
     "pip_salted_shuffle": q_pip_salted_shuffle,
     "antipodal_envelope": q_antipodal_envelope,
     "crs_domain": q_crs_domain,
+    "geometry_join_lines": q_geometry_join_lines,
     "cell_histogram": q_cell_histogram,
     "skew_report": q_skew_report,
     # span-sequence invariant: must be the empty set (oracle = empty)
@@ -1419,6 +1475,7 @@ ORACLES = {
     "pip_salted_shuffle": ORACLE_PIP_CONVEX,
     "antipodal_envelope": ORACLE_ANTIPODAL_ENVELOPE,
     "crs_domain": ORACLE_CRS_DOMAIN,
+    "geometry_join_lines": ORACLE_GEOMETRY_JOIN_LINES,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "span_invariant": ORACLE_SPAN_INVARIANT,
