@@ -49,8 +49,6 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "pip_salted_shuffle",
-    "spatial_predicates",
-    "multimodal_features",
 ]
 
 
