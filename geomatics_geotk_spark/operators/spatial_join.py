@@ -296,6 +296,21 @@ def spatial_join(
     return refined.drop("full", "exterior", "interiors")
 
 
+def beyond_join(
+    docs: DataFrame,
+    pois: DataFrame,
+    distance_m: float,
+    res: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """BEYOND: docs with NO poi within ``distance_m`` — the anti-join of
+    DWITHIN (reference ``isBeyond``, TopologicalRelationships.java:194-196)."""
+    near = dwithin_join(docs, pois, distance_m, res, lon_col, lat_col)
+    key = docs.columns[0]
+    return docs.join(near.select(key).distinct(), key, "left_anti")
+
+
 def dwithin_join(
     docs: DataFrame,
     pois: DataFrame,

@@ -325,3 +325,25 @@ class TestSimilarity:
         a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
         recall = len(e & a) / len(e)
         assert recall >= 0.4  # bucketed ANN with few planes on tiny corpus
+
+
+class TestBeyond:
+    def test_beyond_is_complement_of_dwithin(self, spark):
+        from geomatics_geotk_spark.operators.spatial_join import (
+            beyond_join,
+            decode_geo_spans,
+            dwithin_join,
+        )
+        from geomatics_geotk_spark.sources.documents import pois_table, synth_documents
+
+        docs = decode_geo_spans(synth_documents(spark, 800))
+        pois = pois_table(spark, n_random=8)
+        near_ids = {
+            r["doc_id"]
+            for r in dwithin_join(docs, pois, 8000.0).select("doc_id").collect()
+        }
+        beyond_ids = {
+            r["doc_id"] for r in beyond_join(docs, pois, 8000.0).select("doc_id").collect()
+        }
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert beyond_ids == all_ids - near_ids
