@@ -50,8 +50,11 @@ def _shingles_of_tokens(toks, n: int):
     gram (measured 10x slowdown).
     """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # try_element_at: out-of-range gram positions (docs shorter than n
+    # tokens) yield NULL — concat_ws skips NULLs, matching the DuckDB
+    # oracle — instead of throwing under ANSI mode
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
     )
     return F.array_distinct(grams)
 

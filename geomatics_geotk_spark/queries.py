@@ -142,6 +142,10 @@ _POIS_SQL = "(VALUES " + ", ".join(
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # every query funnels through here: pin UTC so timestamp<->micros
+    # conversions match the DuckDB oracle even under a driver-created
+    # session with a different timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
