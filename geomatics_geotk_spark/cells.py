@@ -96,6 +96,8 @@ def cell_bounds_many(cells_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.
         z = np.zeros(0, dtype=np.float64)
         return z, z, z, z
     res = int(c[0] >> np.uint64(_RES_SHIFT))
+    if not bool(np.all((c >> np.uint64(_RES_SHIFT)) == np.uint64(res))):
+        raise ValueError("cell_bounds_many requires a single-resolution cell array")
     morton = c & ((np.uint64(1) << np.uint64(_RES_SHIFT)) - np.uint64(1))
     xi = _compact_bits(morton).astype(np.float64)
     yi = _compact_bits(morton >> np.uint64(1)).astype(np.float64)

@@ -109,7 +109,13 @@ def _ring_crossings(lon: Column, lat: Column, ring: Column) -> Column:
         xcross = (c["x"] - p["x"]) * (lat - p["y"]) / (c["y"] - p["y"]) + p["x"]
         return cond & (lon < xcross)
 
-    return F.size(F.filter(F.sequence(F.lit(2), F.size(ring)), edge))
+    # guard: rings with < 2 points (e.g. empty rings on full-cell rows)
+    # would make sequence(2, size) descend to [2, 1, 0] and element_at(0)
+    # throw — the result must be a safe 0 regardless of caller short-circuit
+    return F.when(
+        F.size(ring) >= 2,
+        F.size(F.filter(F.sequence(F.lit(2), F.size(ring)), edge)),
+    ).otherwise(F.lit(0))
 
 
 def point_in_polygon_col(lon: Column, lat: Column, exterior: Column,
@@ -152,14 +158,19 @@ def _seg_box_intersects(p: Column, c: Column, x0: Column, y0: Column,
 
 
 def _ring_hits_box(ring: Column, x0, y0, x1, y1) -> Column:
-    return F.exists(
-        F.sequence(F.lit(2), F.size(ring)),
-        lambda i: _seg_box_intersects(
-            F.element_at(ring, (i - 1).cast("int")),
-            F.element_at(ring, i.cast("int")),
-            x0, y0, x1, y1,
+    # same < 2-point guard as _ring_crossings: never build a descending
+    # sequence over a degenerate ring
+    return F.when(
+        F.size(ring) >= 2,
+        F.exists(
+            F.sequence(F.lit(2), F.size(ring)),
+            lambda i: _seg_box_intersects(
+                F.element_at(ring, (i - 1).cast("int")),
+                F.element_at(ring, i.cast("int")),
+                x0, y0, x1, y1,
+            ),
         ),
-    )
+    ).otherwise(F.lit(False))
 
 
 def envelope_intersects_polygon_col(x0, y0, x1, y1, exterior: Column,

@@ -82,7 +82,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
     one hash-agg on id_col with 32 ``min`` lanes.  Map-side partial
     aggregation collapses each doc to one row per partition before the
     exchange, so shuffle volume is docs × n_hashes longs, not
-    docs × shingles."""
+    docs × shingles.
+
+    Contract: returns exactly (id_col, minhash) — one row per DISTINCT
+    input id, including docs whose text is NULL/shingle-free (their
+    ``minhash`` lanes are NULL; LSH banding must skip them).  Non-id
+    input columns are not carried — join them back on id_col if needed.
+    """
     sh = with_shingles(df, text_col, shingle_n).select(
         id_col, F.explode("shingles").alias("_sh")
     )
@@ -91,9 +97,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
         for i in range(n_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*lanes)
-    return agg.select(
+    sig = agg.select(
         id_col, F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("minhash")
     )
+    # docs with NULL text (null shingle array) vanish from the explode —
+    # restore the one-row-per-input-id contract with null lanes
+    ids = df.select(id_col).distinct()
+    return ids.join(sig, id_col, "left")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -106,6 +116,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, text_col, n_hashes, shingle_n, id_col)
+    # shingle-free docs carry null lanes — they have no content to band on
+    sig = sig.where(F.element_at("minhash", 1).isNotNull())
     banded = sig.select(
         id_col,
         F.explode(

@@ -97,6 +97,10 @@ def geometry_join(
     ring_bc = spark.sparkContext.broadcast(ring_map)
 
     env = docs.withColumn("_env", _wkt_envelope(F.col(wkt_col)))
+    # malformed WKT yields a NaN envelope; NaN sorts greater than any
+    # double so covering_cells_col would clamp it to a bogus max-corner
+    # cell and emit spurious candidates — drop those rows up front
+    env = env.where(~F.isnan(F.col("_env.xmin")))
     cand = (
         env.withColumn(
             "cell_id",

@@ -215,6 +215,7 @@ def spatial_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     refine: str = "column",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """docs(points) ⋈ zones(polygons) under a spatial predicate.
 
@@ -240,8 +241,12 @@ def spatial_join(
             docs, zones, res, strategy, "intersects", salt, hot_cell_threshold,
             lon_col, lat_col,
         )
-        key = docs.columns[0]
-        return docs.join(matched.select(key).distinct(), key, "left_anti")
+        if id_col not in docs.columns:
+            raise ValueError(
+                f"disjoint anti-join needs a unique id column; {id_col!r} "
+                f"not in {docs.columns}"
+            )
+        return docs.join(matched.select(id_col).distinct(), id_col, "left_anti")
 
     if strategy == "broadcast":
         joined = pts.join(F.broadcast(zone_cells), "cell_id", "inner")
@@ -303,12 +308,17 @@ def beyond_join(
     res: int | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """BEYOND: docs with NO poi within ``distance_m`` — the anti-join of
     DWITHIN (reference ``isBeyond``, TopologicalRelationships.java:194-196)."""
     near = dwithin_join(docs, pois, distance_m, res, lon_col, lat_col)
-    key = docs.columns[0]
-    return docs.join(near.select(key).distinct(), key, "left_anti")
+    if id_col not in docs.columns:
+        raise ValueError(
+            f"beyond anti-join needs a unique id column; {id_col!r} "
+            f"not in {docs.columns}"
+        )
+    return docs.join(near.select(id_col).distinct(), id_col, "left_anti")
 
 
 def dwithin_join(
