@@ -218,6 +218,46 @@ def covering_cells_col(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
     )
 
 
+def disk_cells_col(lon: Column, lat: Column, res: int, k: int) -> Column:
+    """array<long> of cells within Chebyshev distance ``k`` of the point's
+    cell — the Column mirror of ``cells.disk(cells.cell_of(lon,lat), k)``.
+
+    Longitude wraps (pmod), latitude clamps (out-of-range rows filtered).
+    This is what lets a 10^7-row poi/query side expand into its join-cell
+    disk fully distributed — no driver-side loop over collect() — for
+    DWITHIN / kNN joins.
+    """
+    nx, ny = 1 << (res + 1), 1 << res
+    xi = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nx)), F.lit(0)),
+        F.lit(nx - 1),
+    ).cast("long")
+    yi = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(ny)), F.lit(0)),
+        F.lit(ny - 1),
+    ).cast("long")
+    offsets = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-k), F.lit(k)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-k), F.lit(k)),
+                lambda dy: F.struct(dx.alias("dx"), dy.alias("dy")),
+            ),
+        )
+    )
+    in_lat = F.filter(
+        offsets, lambda o: ((yi + o["dy"]) >= 0) & ((yi + o["dy"]) < ny)
+    )
+    return F.array_distinct(
+        F.transform(
+            in_lat,
+            lambda o: F.lit(res << RES_SHIFT)
+            .bitwiseOR(_spread_bits(F.pmod(xi + o["dx"], F.lit(nx))))
+            .bitwiseOR(F.shiftleft(_spread_bits(yi + o["dy"]), 1)),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Antipode — Extents.java:421-431
 # ---------------------------------------------------------------------------
@@ -299,6 +339,17 @@ def envelope_as_gml_pos(xmin, ymin, xmax, ymax) -> Column:
 # ---------------------------------------------------------------------------
 # UCUM length conversion — GmlUtils.java:220-240
 # ---------------------------------------------------------------------------
+
+
+def min_curve_segment_length_col(seg_type: Column) -> Column:
+    """Minimum direct positions per GML curve-segment type
+    (``GmlUtils.java:267-277``): *ByCenterPoint ⇒ 1, ArcString/Arc/
+    Circle ⇒ 3, else 2 — the validation predicate as Column math."""
+    return (
+        F.when(seg_type.endswith("ByCenterPoint"), F.lit(1))
+        .when(seg_type.isin("ArcString", "Arc", "Circle"), F.lit(3))
+        .otherwise(F.lit(2))
+    )
 
 
 def length_in_meters_col(value: Column, uom: Column) -> Column:

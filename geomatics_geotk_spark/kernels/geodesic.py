@@ -146,7 +146,13 @@ def inverse(lat1_deg, lon1_deg, lat2_deg, lon2_deg):
         )
         newly = np.abs(lam - lam_prev) < _EPS
         converged |= newly
-        if np.all(converged):
+        # iterate all the way to the machine fixed point (not merely the
+        # 1e-12 convergence flag): the DuckDB oracle mirror
+        # (oracle_math.vincenty_inverse_levels) unrolls a fixed 8
+        # iterations, and stopping at 1e-12 rad leaves ~1e-6 m drift —
+        # visible at the oracle's 1 mm rounding.  Contraction is ~f per
+        # step, so this adds only a couple of iterations.
+        if np.all(converged) and np.all(np.abs(lam - lam_prev) < 1e-16):
             break
 
     u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)

@@ -107,12 +107,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      n_hashes: int = 32, bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                      n_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns (id_a, id_b, n_bands_shared), id_a < id_b.
 
     Shuffle profile: one exchange on (band, band_hash) — the classic
-    minhash join; band buckets are the salt against giant clusters.
+    minhash join.  ``max_bucket`` guards against a degenerate band bucket
+    with B members exploding into B² candidate pairs (boilerplate text at
+    web scale): oversized buckets are dropped before the self-join (see
+    :func:`cap_buckets`; their content belongs in exact dedup).  None
+    disables the guard.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, text_col, n_hashes, shingle_n, id_col)
@@ -135,6 +140,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -220,6 +227,43 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "do
 
 
 # ---------------------------------------------------------------------------
+# LSH hot-bucket guard (shared by minhash / simhash candidate joins)
+# ---------------------------------------------------------------------------
+
+
+def cap_buckets(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows belonging to LSH buckets with more than ``max_bucket``
+    members — the guard against the B² candidate blow-up of a degenerate
+    bucket (one boilerplate band shared by millions of docs turns the
+    band self-join quadratic).
+
+    Content that saturates a bucket is near-identical boilerplate; route
+    it through :func:`exact_dup_groups` instead of pairwise LSH.  The
+    count is a window aggregate over the same key the join shuffles on,
+    so the exchange is reused (no extra shuffle under AQE).
+    """
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def lsh_bucket_report(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """(n_buckets, n_hot_buckets, max_bucket_size, rows_dropped) — the
+    monitoring companion of :func:`cap_buckets`, for pipelines that need
+    to report what the guard suppressed."""
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_hot_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias("rows_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit) — numpy kernel (bit-lane accumulation)
 # ---------------------------------------------------------------------------
 
@@ -251,18 +295,66 @@ def _fnv1a64(s: str) -> int:
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row python/numpy simhash (FNV-1a token hashes) — kept as the
+    slow REFERENCE implementation for cross-checking; production paths
+    use :func:`with_simhash_columnar` (pure JVM, ~100x at scale)."""
     simhash_udf = F.pandas_udf(_simhash64, T.LongType())
     return df.withColumn("simhash", simhash_udf(F.col(text_col)))
 
 
+def with_simhash_columnar(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash as pure Column math — the JVM scale path.
+
+    Shape: tokenize + explode once (JVM split), hash each token with
+    ``xxhash64``, then ONE hash-aggregation with 64 ±1 bit-lane sums
+    (map-side partials collapse each doc before the exchange — shuffle
+    volume is docs × 64 ints), and assemble the signature with shifts.
+    No Python executes per row; token hashing is xxhash64 instead of the
+    reference implementation's FNV-1a (simhash semantics don't prescribe
+    the hash — the near-dup pair decisions agree, cross-checked in
+    tests/test_dedup_simhash.py).
+
+    Returns (input columns…, simhash) — docs with no tokens get 0, like
+    the reference implementation.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok")
+    ).where(F.col("_tok") != "")
+    h = F.xxhash64(F.col("_tok"))
+    lanes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_l{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*lanes)
+    sig = None
+    for b in range(64):
+        bit = F.shiftleft(
+            F.when(F.col(f"_l{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sigs = agg.select(id_col, sig.alias("simhash"))
+    return df.join(sigs, id_col, "left").withColumn(
+        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+    )
+
+
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text", impl: str = "columnar",
+                      max_bucket: int | None = 10_000) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
 
     Candidates via 4×16-bit block LSH (a pair within distance 3 shares at
     least one exact 16-bit block — pigeonhole), then exact popcount check.
+    ``max_bucket`` caps degenerate 16-bit-block buckets (see
+    :func:`cap_buckets`); None disables the guard.
     """
-    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    if impl == "columnar":
+        sig = with_simhash_columnar(df, text_col, id_col).select(id_col, "simhash")
+    else:
+        sig = with_simhash(df, text_col).select(id_col, "simhash")
     blocks = sig.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -273,6 +365,8 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id
             for bi in range(4)
         ])).alias("blk"),
     ).select(id_col, "simhash", "blk.block", "blk.bval")
+    if max_bucket is not None:
+        blocks = cap_buckets(blocks, ["block", "bval"], max_bucket)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -7,8 +7,10 @@ document point, the k nearest POIs by geodesic distance.
 Plan shape (scale-first):
 
 1. both sides cell-encoded at a resolution sized to poi density;
-2. POIs exploded into disk(cell, r) (small side — driver-prepared,
-   broadcast); docs equi-join on cell_id → candidates;
+2. POIs exploded into disk(cell, r) as distributed Column math
+   (functions.disk_cells_col — works at 10^7 pois; the driver never
+   materializes the expansion), broadcast to the doc side;
+   docs equi-join on cell_id → candidates;
 3. geodesic distance (Arrow/numpy) + ``row_number() over (partition by
    doc order by dist, poi_id)`` top-k;
 4. docs whose k-th distance is NOT covered by the ring guarantee (or with
@@ -28,7 +30,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import cells
 from ..kernels import geodesic
 from .spatial_join import tile_assign
 
@@ -53,24 +54,23 @@ def knn_join(
     lat_col: str = "lat",
 ) -> DataFrame:
     """k nearest pois per doc: (doc columns…, poi_id, dist_m, rank)."""
-    spark = docs.sparkSession
-    poi_rows = pois.collect()
-    n_pois = max(1, len(poi_rows))
+    from .spatial_join import expand_poi_cells
+
+    n_pois = max(1, pois.count())  # aggregate only — rows stay distributed
     if res is None:
         # aim for ~4k candidate pois per disk: finer grid when pois dense
         res = min(14, max(6, int(np.log2(np.sqrt(n_pois))) + 6))
     edge_m = (180.0 / (1 << res)) * 111_320.0
 
-    exp = []
-    for r in poi_rows:
-        c = int(cells.cell_of([r["x"]], [r["y"]], res)[0])
-        for cc in cells.disk(c, rings):
-            exp.append((int(cc), r["poi_id"], float(r["x"]), float(r["y"])))
-    poi_cells = spark.createDataFrame(
-        exp, "cell_id long, poi_id string, poi_lon double, poi_lat double"
-    )
+    # poi side exploded into its cell disk as pure Column math — a 10^7-poi
+    # table expands distributed; broadcast is the strategy for dim-sized
+    # poi tables (the doc side never shuffles)
+    poi_cells = expand_poi_cells(pois, res, rings)
 
-    pts = docs if "cell_id" in docs.columns else tile_assign(docs, res, lon_col, lat_col)
+    # re-tile at the kNN grid's own resolution (a caller's cell_id may be
+    # tiled at a different res — ids embed the res, so reuse would join
+    # to nothing); pure JVM bit math, negligible cost
+    pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
     geo_dist = _geo_dist_udf()
 
     cand = (
@@ -99,9 +99,9 @@ def knn_join(
     unresolved_docs = pts.join(F.broadcast(complete_ids), id_col, "left_anti")
 
     # exact fallback: brute-force against the broadcast poi table
-    all_pois = spark.createDataFrame(
-        [(r["poi_id"], float(r["x"]), float(r["y"])) for r in poi_rows],
-        "poi_id string, poi_lon double, poi_lat double",
+    # (the poi DataFrame itself — never collected to the driver)
+    all_pois = pois.select(
+        F.col("poi_id"), F.col("x").alias("poi_lon"), F.col("y").alias("poi_lat")
     )
     brute = (
         unresolved_docs.crossJoin(F.broadcast(all_pois))

@@ -68,7 +68,10 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
-                h = hashlib.sha256(payload).hexdigest()
+                # hash of the HEX of the payload: same fingerprint quality,
+                # and mirrorable in the DuckDB oracle (whose sha256 only
+                # accepts VARCHAR) — sha256(repeat(sha256(ref), 4))
+                h = hashlib.sha256(payload.hex().encode()).hexdigest()
                 seed = int(h[:8], 16)
                 rows.append({
                     "doc_id": doc_id,
@@ -138,7 +141,7 @@ def media_pipeline(docs: DataFrame, fused: bool = True) -> DataFrame:
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
                 payload = hashlib.sha256(ref.encode()).digest() * 4
-                h = hashlib.sha256(payload).hexdigest()
+                h = hashlib.sha256(payload.hex().encode()).hexdigest()
                 seed = int(h[:8], 16)
                 rows.append({
                     "doc_id": doc_id,

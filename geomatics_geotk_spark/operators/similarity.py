@@ -84,27 +84,63 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     return df.withColumn(out, bucket(F.col(vec_col)))
 
 
+def with_lsh_tables(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+                    planes_per_table: int = 4, n_tables: int = 16,
+                    seed: int = 42, out: str = "buckets") -> DataFrame:
+    """array<long> of ``n_tables`` LSH bucket ids per vector (table index
+    folded into the high bits) — classic multi-table hyperplane LSH
+    OR-amplification.  A neighbor at angle θ shares a table bucket with
+    probability (1-θ/π)^b, so recall ≈ 1-(1-p^b)^t; raise
+    ``planes_per_table`` (b) with log(corpus) to keep candidate volume
+    ~t·n/2^b sublinear, and ``n_tables`` (t) to buy recall."""
+    planes = _hyperplanes(dim, planes_per_table * n_tables, seed).reshape(
+        n_tables, planes_per_table, dim
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        out_rows = np.empty((len(m), n_tables), dtype=np.int64)
+        for ti in range(n_tables):
+            signs = (m @ planes[ti].T) > 0
+            out_rows[:, ti] = (
+                (signs.astype(np.int64) << np.arange(planes_per_table, dtype=np.int64)).sum(axis=1)
+                | (np.int64(ti) << np.int64(32))
+            )
+        return pd.Series(list(out_rows))
+
+    return df.withColumn(out, buckets(F.col(vec_col)))
+
+
 def ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", q_id_col: str = "q_id",
-             vec_col: str = "embedding", dim: int = 64, n_planes: int = 10,
-             probes: int = 1) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, local cosine top-k.
+             vec_col: str = "embedding", dim: int = 64,
+             planes_per_table: int = 4, n_tables: int = 16,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: candidates =
+    corpus rows sharing ANY table bucket with the query, then exact
+    cosine + window top-k on the candidates.
 
-    ``probes`` > 1 additionally probes buckets at Hamming distance 1 from
-    the query bucket (multi-probe LSH) to raise recall without touching
-    the corpus-side layout.  Corpus shuffle: one exchange on bucket (or
-    bucketed-table co-location on a real cluster — zero exchange).
+    Join shape: both sides explode their ``n_tables`` buckets; the
+    (small) query side is broadcast, so the corpus never shuffles and the
+    explode is pipelined map-side.  Candidate pairs are deduped before
+    the cosine so each pair is scored once.  Measured recall on the
+    driver embeddings (weak neighbors, cos≈0.3): ≥0.9 at b=4/t=16 — see
+    tests/test_similarity_recall.py, which asserts it stays there.  For
+    corpora where even t·n/2^b candidates is too much (very weak
+    similarity at 10^9 rows), use :func:`ann_topk_ivf`.
     """
-    corpus = with_lsh_bucket(embeddings, vec_col, dim, n_planes, out="bucket")
-    q = with_lsh_bucket(queries, vec_col, dim, n_planes, out="bucket")
-    if probes > 1:
-        flips = F.array(*(
-            [F.col("bucket")]
-            + [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-        ))
-        q = q.withColumn("bucket", F.explode(F.slice(flips, 1, probes)))
-    q = q.select(F.col(q_id_col), F.col(vec_col).alias("_qvec"), "bucket")
-    scored = corpus.join(q, "bucket").withColumn(
+    corpus = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
+    q = with_lsh_tables(queries, vec_col, dim, planes_per_table, n_tables, seed)
+    ce = corpus.select(id_col, vec_col, F.explode("buckets").alias("bucket"))
+    qe = q.select(
+        F.col(q_id_col), F.col(vec_col).alias("_qvec"), F.explode("buckets").alias("bucket")
+    )
+    pairs = (
+        ce.join(F.broadcast(qe), "bucket")
+        .dropDuplicates([q_id_col, id_col])
+    )
+    scored = pairs.withColumn(
         "cosine",
         _dot(F.col(vec_col), F.col("_qvec"))
         / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
@@ -114,6 +150,86 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .drop("_qvec", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed cells
+# ---------------------------------------------------------------------------
+
+
+def learn_centroids(embeddings: DataFrame, n_centroids: int = 256,
+                    vec_col: str = "embedding", iters: int = 3,
+                    sample_rows: int = 20_000, seed: int = 42) -> np.ndarray:
+    """Spherical k-means on a bounded DRIVER-SIDE SAMPLE (standard IVF
+    practice: the coarse quantizer trains on ~10^4 rows no matter the
+    corpus size; assignment stays fully distributed).  Deterministic:
+    hash-ordered sample, fixed iterations."""
+    pdf = (
+        embeddings.select(F.xxhash64(F.to_json(F.struct(vec_col))).alias("_h"), vec_col)
+        .orderBy("_h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = min(n_centroids, len(m))
+    cent = m[:: max(1, len(m) // c)][:c].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for ci in range(len(cent)):
+            mask = assign == ci
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[ci] = v / np.linalg.norm(v)
+    return cent
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding", nprobe: int = 1,
+                  out: str = "cells") -> DataFrame:
+    """array<int> of the ``nprobe`` nearest centroid ids per vector
+    (nprobe=1 for corpus assignment, >1 for query probing)."""
+    cent = centroids
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out, cells_of(F.col(vec_col)))
+
+
+def ann_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", q_id_col: str = "q_id",
+                 vec_col: str = "embedding", n_centroids: int = 256,
+                 nprobe: int = 8, centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells (ONE int per row —
+    this is the layout you'd persist/bucket the 100 TB table by), query
+    probes its ``nprobe`` nearest cells.  Candidate fraction ≈
+    nprobe/n_centroids regardless of similarity structure — the scale
+    path when multi-table LSH candidates blow up."""
+    if centroids is None:
+        centroids = learn_centroids(embeddings, n_centroids, vec_col)
+    corpus = with_ivf_cell(embeddings, centroids, vec_col, nprobe=1).select(
+        id_col, vec_col, F.element_at("cells", 1).alias("cell")
+    )
+    q = with_ivf_cell(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(q_id_col), F.col(vec_col).alias("_qvec"), F.explode("cells").alias("cell")
+    )
+    scored = corpus.join(F.broadcast(q), "cell").withColumn(
+        "cosine",
+        _dot(F.col(vec_col), F.col("_qvec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_qvec", "cell")
     )
 
 

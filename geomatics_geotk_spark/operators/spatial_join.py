@@ -116,19 +116,35 @@ def _segs_hit_boxes(rings: list[np.ndarray], x0, y0, x1, y1) -> np.ndarray:
     return hit
 
 
+def _classify_zone_cells(rings: list[np.ndarray], res: int):
+    """Covering cells of a polygon with full/partial classification —
+    vectorized numpy over (cells × ring segments).  Returns
+    (kept_cell_ids, full_mask) arrays."""
+    xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
+    carr = cells.cells_covering(xmin, ymin, xmax, ymax, res)
+    cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
+    corners_in = np.ones(len(carr), dtype=bool)
+    corners_any = np.zeros(len(carr), dtype=bool)
+    for gx, gy in ((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)):
+        c_in = geom_k.points_in_polygon(gx, gy, rings)
+        corners_in &= c_in
+        corners_any |= c_in
+    hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
+    fx, fy = rings[0][0, 0], rings[0][0, 1]
+    first_in = (fx >= cx0) & (fx <= cx1) & (fy >= cy0) & (fy <= cy1)
+    full_mask = corners_in & ~hits
+    keep = full_mask | corners_any | hits | first_in
+    return carr[keep], full_mask[keep]
+
+
 def prepare_zones(zones: DataFrame, res: int = DEFAULT_RES):
-    """Zone polygons → (zone_cells DataFrame, {zone_id: rings} dict).
+    """Zone polygons → (zone_cells DataFrame, {zone_id: rings} dict),
+    prepared on the DRIVER (zones collected).
 
-    ``zone_cells(cell_id, zone_id, full, exterior, interiors)`` is the
-    join side: one row per covering cell; ``full=true`` cells lie entirely
-    inside the polygon so matched points skip the exact refine; partial
-    cells carry the harmonized rings for the JVM Column refine.
-
-    Classification is fully vectorized numpy over (cells × ring
-    segments) — a polygon covering 10^5 cells costs milliseconds, not a
-    driver-side per-cell loop.  Zones are the dimension side (thousands,
-    not 10^12) — collecting them to the driver is the same decision as
-    broadcasting a dim table.
+    Used only by callers that need the ring_map dict for a broadcast
+    pandas-UDF refine (``refine='pandas'``, geometry_join).  The default
+    Column-refine join path uses :func:`prepare_zones_distributed`, which
+    never touches the driver — prefer that for large zone sides.
     """
     spark = zones.sparkSession
     rows = zones.collect()
@@ -137,23 +153,10 @@ def prepare_zones(zones: DataFrame, res: int = DEFAULT_RES):
     for row in rows:
         rings = _zone_rings_lonlat(row)
         ring_map[row["zone_id"]] = rings
-        xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
-        carr = cells.cells_covering(xmin, ymin, xmax, ymax, res)
-        cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
-        corners_in = np.ones(len(carr), dtype=bool)
-        corners_any = np.zeros(len(carr), dtype=bool)
-        for gx, gy in ((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)):
-            c_in = geom_k.points_in_polygon(gx, gy, rings)
-            corners_in &= c_in
-            corners_any |= c_in
-        hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
-        fx, fy = rings[0][0, 0], rings[0][0, 1]
-        first_in = (fx >= cx0) & (fx <= cx1) & (fy >= cy0) & (fy <= cy1)
-        full_mask = corners_in & ~hits
-        keep = full_mask | corners_any | hits | first_in
+        kept, full_mask = _classify_zone_cells(rings, res)
         ext = [(float(x), float(y)) for x, y in rings[0]]
         ints = [[(float(x), float(y)) for x, y in r] for r in rings[1:]]
-        for c, full in zip(carr[keep].tolist(), full_mask[keep].tolist()):
+        for c, full in zip(kept.tolist(), full_mask.tolist()):
             # rings ride along on partial cells only — full cells skip
             # the refine, so the broadcast stays lean where it can
             cell_rows.append(
@@ -167,6 +170,66 @@ def prepare_zones(zones: DataFrame, res: int = DEFAULT_RES):
         "interiors array<array<struct<x:double,y:double>>>",
     )
     return zone_cells, ring_map
+
+
+_ZPREP_SCHEMA = T.StructType([
+    T.StructField("exterior", T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+    ]))),
+    T.StructField("interiors", T.ArrayType(T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+    ])))),
+    T.StructField("cells", T.ArrayType(T.StructType([
+        T.StructField("cell_id", T.LongType()), T.StructField("full", T.BooleanType()),
+    ]))),
+])
+
+
+def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """zone_cells(cell_id, zone_id, full, exterior, interiors) computed
+    ZONE-PARALLEL: CRS harmonization + covering-cell classification run
+    inside a pandas UDF on the executors, then the cell list explodes as
+    Column ops.  The driver never materializes a zone or a cell — this is
+    the true large-zone-side path (10^6 zones is just more partitions),
+    and the identical row set to :func:`prepare_zones` (same kernels,
+    cross-checked in tests/test_distributed_expansion.py).
+    """
+
+    @F.pandas_udf(_ZPREP_SCHEMA)
+    def prep(exterior: pd.Series, interiors: pd.Series, crs: pd.Series) -> pd.DataFrame:
+        out = []
+        for ext, ints, c in zip(exterior, interiors, crs):
+            row = {"exterior": ext, "interiors": ints, "crs": c}
+            rings = _zone_rings_lonlat(row)
+            kept, full_mask = _classify_zone_cells(rings, res)
+            out.append({
+                "exterior": [{"x": float(x), "y": float(y)} for x, y in rings[0]],
+                "interiors": [
+                    [{"x": float(x), "y": float(y)} for x, y in r] for r in rings[1:]
+                ],
+                "cells": [
+                    {"cell_id": int(cc), "full": bool(fl)}
+                    for cc, fl in zip(kept.tolist(), full_mask.tolist())
+                ],
+            })
+        return pd.DataFrame(out)
+
+    z = zones.withColumn("_z", prep("exterior", "interiors", "crs"))
+    c = z.select(
+        "zone_id",
+        F.col("_z.exterior").alias("_ext"),
+        F.col("_z.interiors").alias("_int"),
+        F.explode("_z.cells").alias("_c"),
+    )
+    empty_ext = F.array().cast("array<struct<x:double,y:double>>")
+    empty_int = F.array().cast("array<array<struct<x:double,y:double>>>")
+    return c.select(
+        F.col("_c.cell_id").alias("cell_id"),
+        "zone_id",
+        F.col("_c.full").alias("full"),
+        F.when(F.col("_c.full"), empty_ext).otherwise(F.col("_ext")).alias("exterior"),
+        F.when(F.col("_c.full"), empty_int).otherwise(F.col("_int")).alias("interiors"),
+    )
 
 
 def _pip_refine_udf(ring_map_bc):
@@ -229,10 +292,24 @@ def spatial_join(
         hot cells (estimated count > hot_cell_threshold) get their zone
         rows replicated ×salt and doc rows spread across salt sub-keys —
         the explicit skew handling the north rule demands.
+
+    Zone preparation: 'shuffle' (the large-zone-side strategy) prepares
+    zone cells fully distributed (:func:`prepare_zones_distributed` — the
+    driver never materializes a zone or cell, so a 10^6-zone side is just
+    more partitions).  'broadcast' keeps the driver-side
+    :func:`prepare_zones`: a side small enough to broadcast to every
+    executor is by definition driver-sized, and the driver path keeps the
+    flagship plan 100% JVM (no Arrow eval anywhere — asserted in
+    tests/test_plans_bucketing.py).  ``refine='pandas'`` also needs the
+    driver path for its broadcast ring dict.
     """
     spark = docs.sparkSession
-    zone_cells, ring_map = prepare_zones(zones, res)
-    ring_bc = spark.sparkContext.broadcast(ring_map)
+    if refine == "column" and strategy == "shuffle":
+        zone_cells = prepare_zones_distributed(zones, res)
+        ring_bc = None
+    else:
+        zone_cells, ring_map = prepare_zones(zones, res)
+        ring_bc = spark.sparkContext.broadcast(ring_map)
 
     pts = docs if "cell_id" in docs.columns else tile_assign(docs, res, lon_col, lat_col)
 
@@ -321,6 +398,29 @@ def beyond_join(
     return docs.join(near.select(id_col).distinct(), id_col, "left_anti")
 
 
+def expand_poi_cells(
+    pois: DataFrame,
+    res: int,
+    k_rings: int,
+    id_col: str = "poi_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(cell_id, poi_id, poi_lon, poi_lat): each poi exploded into its
+    cell disk — pure Column math on the DataFrame side, so a 10^7-poi
+    table expands distributed (the driver never materializes it)."""
+    from ..functions import disk_cells_col
+
+    return pois.select(
+        F.col(id_col).alias("poi_id"),
+        F.col(x_col).alias("poi_lon"),
+        F.col(y_col).alias("poi_lat"),
+        F.explode(
+            disk_cells_col(F.col(x_col), F.col(y_col), res, k_rings)
+        ).alias("cell_id"),
+    )
+
+
 def dwithin_join(
     docs: DataFrame,
     pois: DataFrame,
@@ -329,36 +429,37 @@ def dwithin_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     exact: bool = True,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """docs × pois pairs with geodesic distance < distance_m (DWITHIN).
 
     Reference: ``TopologicalRelationships.isWithinDistance``
     (``TopologicalRelationships.java:149-179``), nearest-points +
     orthodromic distance.  Join shape: cell-disk expansion of the poi side
-    within ceil(d/cell_edge) rings → equi-join on cell → haversine
-    prefilter (JVM Column math) → exact Vincenty refine (Arrow/numpy UDF).
+    within ceil(d/cell_edge) rings (distributed Column math — no driver
+    collect, see :func:`expand_poi_cells`) → equi-join on cell →
+    haversine prefilter (JVM Column math) → exact Vincenty refine
+    (Arrow/numpy UDF).
+
+    strategy: 'broadcast' ships the expanded poi side to every executor
+    (right for dimension-sized poi tables); 'shuffle' hash-partitions
+    both sides on cell_id (right when the poi side is itself huge).
 
     BEYOND (``isBeyond``, :194-196) = anti-join on this result.
     """
-    spark = docs.sparkSession
     if res is None:
         res = cells.res_for_meters(max(distance_m, 500.0) * 2)
     edge_deg = 180.0 / (1 << res)
     k_rings = int(np.ceil(distance_m / (edge_deg * 111_320.0))) + 1
 
-    # poi side: explode each poi into its covering disk of cells
-    poi_rows = pois.collect()
-    exp = []
-    for r in poi_rows:
-        c = int(cells.cell_of([r["x"]], [r["y"]], res)[0])
-        for cc in cells.disk(c, k_rings):
-            exp.append((int(cc), r["poi_id"], float(r["x"]), float(r["y"])))
-    poi_cells = spark.createDataFrame(
-        exp, "cell_id long, poi_id string, poi_lon double, poi_lat double"
-    )
-
-    pts = docs if "cell_id" in docs.columns else tile_assign(docs, res, lon_col, lat_col)
-    cand = pts.join(F.broadcast(poi_cells), "cell_id", "inner")
+    poi_cells = expand_poi_cells(pois, res, k_rings)
+    # always re-tile at THIS join's resolution: a caller-supplied cell_id
+    # tiled at a different res would silently join to nothing (cell ids
+    # embed the res in their high bits); the bit math is codegen'd JVM —
+    # recomputing is cheaper than trusting
+    pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
+    right = F.broadcast(poi_cells) if strategy == "broadcast" else poi_cells
+    cand = pts.join(right, "cell_id", "inner")
 
     from ..functions import haversine_m
 

@@ -922,15 +922,60 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = similarity.ann_topk(emb, queries, k=5, dim=64, n_planes=8, probes=3)
+    out = similarity.ann_topk(emb, queries, k=5, dim=64, planes_per_table=4, n_tables=24)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) ANN — the bucketed-layout scale path."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ann_topk_ivf(emb, queries, k=5, n_centroids=32, nprobe=8)
     return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH-bucket self-join.
+
+    The driver's random embeddings contain no true near-dups, so every
+    ``vec_id % 40 == 0`` vector gets a planted scaled copy at
+    ``vec_id + 1_000_000`` (scaling preserves direction ⇒ cosine 1 and
+    identical hyperplane signs — the LSH join MUST surface every planted
+    pair).  Oracle: brute-force all-pairs cosine ≥ threshold over the
+    same augmented table — so the hash check also proves no random pair
+    sneaks past the threshold un-noticed by the bucketing."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
     )
-    return similarity.embedding_near_dups(emb, threshold=0.5, dim=64, n_planes=6)
+    planted = emb.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.0009765625)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    out = similarity.embedding_near_dups(aug, threshold=0.95, dim=64, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+_EDOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+)
+
+ORACLE_EMBEDDING_NEARDUPS = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "pl AS (SELECT vec_id + 1000000 AS vec_id, "
+    "list_transform(v, x -> x * 1.0009765625) AS v FROM e WHERE vec_id % 40 = 0), "
+    "u AS (SELECT * FROM e UNION ALL SELECT * FROM pl), "
+    "s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    + _EDOT.format(a="a.v", b="b.v")
+    + " / (" + _NRM.format(a="a.v") + " * " + _NRM.format(a="b.v") + ") AS cosine "
+    "FROM u a JOIN u b ON a.vec_id < b.vec_id) "
+    "SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM s WHERE cosine >= 0.95"
+)
 
 
 def q_dwithin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,6 +987,40 @@ def q_dwithin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spatial_join.dwithin_join(pts, pois, distance_m=_DIST_M)
     return out.select("doc_id", "poi_id", F.round("dist_m", 3).alias("dist_m_r"))
+
+
+def _oracle_vincenty_pairs_sql() -> str:
+    """pts × POIs with the Vincenty inverse distance mirrored in SQL —
+    shared by the dwithin_exact / knn_cellring / beyond oracles."""
+    from .oracle_math import nest_levels, vincenty_inverse_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+        f"SELECT doc_id, lon, lat, poi_id, poi_lon, poi_lat "
+        f"FROM pts CROSS JOIN {_POIS_SQL}"
+    )
+    return nest_levels(
+        src,
+        vincenty_inverse_levels("lat", "lon", "poi_lat", "poi_lon", "_vdist"),
+        ["doc_id", "poi_id", "_vdist"],
+    )
+
+
+def _oracle_dwithin_exact() -> str:
+    return (
+        f"WITH v AS ({_oracle_vincenty_pairs_sql()}) "
+        f"SELECT doc_id, poi_id, round(_vdist, 3) AS dist_m_r FROM v "
+        f"WHERE _vdist < {_DIST_M}"
+    )
+
+
+def _oracle_knn_cellring() -> str:
+    return (
+        f"WITH v AS ({_oracle_vincenty_pairs_sql()}) "
+        "SELECT doc_id, poi_id, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY _vdist ASC, poi_id ASC) AS BIGINT) AS rank, "
+        "round(_vdist, 3) AS dist_m_r FROM v QUALIFY rank <= 2"
+    )
 
 
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,6 +1043,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").cast("string")
     )
     return multimodal.media_pipeline(inter)
+
+
+# Mirror of the deterministic fake-codec metadata derivation: the fetch
+# stub's payload is sha256(ref)×4 bytes, whose HEX is repeat(sha256(ref), 4)
+# as DuckDB computes it; all downstream fields are arithmetic on the hash.
+ORACLE_MULTIMODAL_FEATURES = (
+    "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "'media://blob/' || doc_id AS media_ref FROM documents), "
+    "h AS (SELECT doc_id, media_ref, "
+    "sha256(repeat(sha256(media_ref), 4)) AS content_hash FROM m), "
+    "s AS (SELECT *, ('0x' || substr(content_hash, 1, 8))::BIGINT AS seed FROM h) "
+    "SELECT doc_id, media_ref, "
+    "CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind, "
+    "CAST(128 AS BIGINT) AS n_bytes, content_hash, "
+    "CAST(64 + seed % 1920 AS INT) AS width, "
+    "CAST(64 + (seed >> 8) % 1080 AS INT) AS height, "
+    "CAST(seed % 600 AS DOUBLE) / 10.0 AS duration_s FROM s"
+)
 
 
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,8 +1090,11 @@ ORACLE_SPAN_INVARIANT = "SELECT doc_id FROM documents WHERE 1 = 0"
 
 def q_geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic direct problem per row (calculateDestination,
-    GeodesyUtils.java:110-132) — vectorized Karney/Vincenty in numpy over
-    Arrow batches.  Transcendental → rows-only check."""
+    GeodesyUtils.java:110-132) — vectorized Vincenty in numpy over Arrow
+    batches.  Oracle: the same fixed-point iteration unrolled in SQL
+    (oracle_math.vincenty_direct_levels); outputs rounded to 7 dp (~1 cm,
+    far below the reference's 1e-4-deg tolerance) to absorb libm ulp
+    noise between the JVM/numpy and DuckDB."""
     from pyspark.sql import types as T
 
     from .kernels import geodesic
@@ -1016,8 +1116,24 @@ def q_geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pts.withColumn("d", dest("lat", "lon", "azimuth", "dist_m"))
     return out.select(
         "doc_id", "azimuth", "dist_m",
-        F.round(F.col("d.dlat"), 9).alias("dest_lat"),
-        F.round(F.col("d.dlon"), 9).alias("dest_lon"),
+        F.round(F.col("d.dlat"), 7).alias("dest_lat"),
+        F.round(F.col("d.dlon"), 7).alias("dest_lon"),
+    )
+
+
+def _oracle_geodesic_destination() -> str:
+    from .oracle_math import nest_levels, vincenty_direct_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+        "SELECT doc_id, lon, lat, CAST(doc_id % 360 AS DOUBLE) AS azimuth, "
+        "CAST((doc_id % 10 + 1) * 1852 AS DOUBLE) AS dist_m FROM pts"
+    )
+    return nest_levels(
+        src,
+        vincenty_direct_levels("lat", "lon", "azimuth", "dist_m", "_dla", "_dlo"),
+        ["doc_id", "azimuth", "dist_m",
+         "round(_dla, 7) AS dest_lat", "round(_dlo, 7) AS dest_lon"],
     )
 
 
@@ -1053,9 +1169,27 @@ def q_crs_roundtrip_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_crs_roundtrip_utm() -> str:
+    """Easting/northing mirrored by the Snyder TM-forward series in SQL
+    (bit-exact vs the numpy kernel); ``roundtrip_ok`` is a Spark-side
+    invariant (forward∘inverse error < 1 mm) the oracle pins to TRUE —
+    any regression in the inverse kernel breaks the hash match."""
+    from .oracle_math import nest_levels, tm_forward_levels
+
+    src = f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) SELECT doc_id, lon, lat FROM pts"
+    return nest_levels(
+        src,
+        tm_forward_levels("lon", "lat", -123.0, "_e", "_n"),
+        ["doc_id", "round(_e, 3) AS easting", "round(_n, 3) AS northing",
+         "TRUE AS roundtrip_ok"],
+    )
+
+
 def q_arc_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArcByCenterPoint densification to TOTAL_ARC_POINTS=5
-    (GmlUtils.java:98-128) per row."""
+    (GmlUtils.java:98-128), one output row per arc point — scalar columns
+    so the driver canonicalizer can sort/hash them, with a DuckDB oracle
+    mirroring the Vincenty direct problem at the same swept angles."""
     from pyspark.sql import types as T
 
     from .kernels import geometry as geom_k
@@ -1063,19 +1197,50 @@ def q_arc_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
     pts = pts.withColumn("radius_m", ((F.col("doc_id") % 50 + 1) * 1852).cast("double"))
 
-    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    schema = T.ArrayType(T.StructType([
+        T.StructField("point_idx", T.IntegerType()),
+        T.StructField("arc_lat", T.DoubleType()),
+        T.StructField("arc_lon", T.DoubleType()),
+    ]))
+
+    @F.pandas_udf(schema)
     def arc(lat: pd.Series, lon: pd.Series, r: pd.Series) -> pd.Series:
         out = []
         for la, lo, rr in zip(lat, lon, r):
             alats, alons = geom_k.infer_points_on_arc(la, lo, rr, 0.0, 90.0)
-            out.append(
-                [[round(float(a), 9), round(float(b), 9)] for a, b in zip(alats, alons)]
-            )
+            out.append([
+                {"point_idx": i, "arc_lat": round(float(a), 7), "arc_lon": round(float(b), 7)}
+                for i, (a, b) in enumerate(zip(alats, alons))
+            ])
         return pd.Series(out)
 
-    out = pts.withColumn("arc_points", arc("lat", "lon", "radius_m"))
+    out = pts.withColumn("p", F.explode(arc("lat", "lon", "radius_m")))
     return out.select(
-        "doc_id", F.size("arc_points").cast("long").alias("n_points"), "arc_points"
+        "doc_id", "radius_m",
+        F.col("p.point_idx").cast("long").alias("point_idx"),
+        F.col("p.arc_lat").alias("arc_lat"),
+        F.col("p.arc_lon").alias("arc_lon"),
+    )
+
+
+def _oracle_arc_densify() -> str:
+    """linspace(0, 90, TOTAL_ARC_POINTS) swept angles (exact dyadic
+    doubles) × Vincenty direct in SQL."""
+    from .oracle_math import nest_levels, vincenty_direct_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+        "ang AS (SELECT * FROM (VALUES (0, 0.0), (1, 22.5), (2, 45.0), "
+        "(3, 67.5), (4, 90.0)) AS a(point_idx, angle)) "
+        "SELECT doc_id, lon, lat, "
+        "CAST((doc_id % 50 + 1) * 1852 AS DOUBLE) AS radius_m, "
+        "point_idx, angle FROM pts CROSS JOIN ang"
+    )
+    return nest_levels(
+        src,
+        vincenty_direct_levels("lat", "lon", "angle", "radius_m", "_ala", "_alo"),
+        ["doc_id", "radius_m", "CAST(point_idx AS BIGINT) AS point_idx",
+         "round(_ala, 7) AS arc_lat", "round(_alo, 7) AS arc_lon"],
     )
 
 
@@ -1107,31 +1272,87 @@ def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ring_dedupe_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consecutive-duplicate removal, ppm ratio rule incl. the
-    ring-closure last-point case (GeodesyUtils.java:283-304)."""
+    """Consecutive-duplicate removal, ppm *ratio* rule incl. the
+    ring-closure last-point case (GeodesyUtils.java:283-304).
+
+    Per row a 5-point polyline is built whose 2nd point is within the
+    1-ppm tolerance of the 1st iff ``doc_id % 3 <= 1`` (7e-7·(doc_id%3)
+    ratio) and whose LAST point is always within tolerance of its
+    predecessor — so the kernel must take the drop-PREVIOUS branch and
+    the surviving last coordinate proves it.  The oracle mirrors the
+    ratio tests and the branch arithmetic exactly (pure +,*,/ — bit-exact
+    in both engines)."""
     import numpy as np
     from pyspark.sql import types as T
 
     from .kernels import geometry as geom_k
 
-    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey").withColumn(
+        "m3", (F.col("doc_id") % 3).cast("double")
+    )
 
-    @F.pandas_udf(T.IntegerType())
-    def dedup_count(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = []
-        for lo, la in zip(lon, lat):
+    schema = T.StructType([
+        T.StructField("n_after", T.IntegerType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_lat", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def dedupe(lon: pd.Series, lat: pd.Series, m3: pd.Series) -> pd.DataFrame:
+        rows = []
+        for lo, la, m in zip(lon, lat, m3):
             ring = np.array([
-                [lo, la],
-                [lo * (1 + 5e-7), la],        # within 1 ppm → dropped
-                [lo + 0.1, la + 0.1],
-                [lo + 0.1, la + 0.1 + 1e-9],  # near-dup → dropped
-                [lo, la],                     # closure
+                [lo, la],                                       # A
+                [lo * (1 + 7e-7 * m), la],                      # B: dup iff m<=1
+                [lo + 0.1, la + 0.1],                           # C
+                [lo - 0.2, la + 0.3],                           # D
+                [(lo - 0.2) * (1 + 2e-7), (la + 0.3) * (1 + 2e-7)],  # D' last, dup
             ])
-            out.append(len(geom_k.remove_consecutive_duplicates(ring, 1.0)))
-        return pd.Series(np.array(out, dtype=np.int32))
+            out = geom_k.remove_consecutive_duplicates(ring, 1.0)
+            rows.append({
+                "n_after": len(out),
+                "last_lon": float(out[-1, 0]),
+                "last_lat": float(out[-1, 1]),
+            })
+        return pd.DataFrame(rows)
 
-    return pts.select(
-        "doc_id", dedup_count("lon", "lat").cast("long").alias("n_after_dedupe")
+    out = pts.withColumn("d", dedupe("lon", "lat", "m3"))
+    return out.select(
+        "doc_id",
+        F.col("d.n_after").cast("long").alias("n_after_dedupe"),
+        F.col("d.last_lon").alias("last_lon"),
+        F.col("d.last_lat").alias("last_lat"),
+    )
+
+
+ORACLE_RING_DEDUPE_PPM = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id, "
+    # B survives iff its x-ratio to A exceeds the 1-ppm tolerance
+    "CAST(CASE WHEN abs((lon * (1 + 7e-7 * CAST(doc_id % 3 AS DOUBLE))) / lon - 1.0) <= 1e-6 "
+    "THEN 4 ELSE 5 END - 1 AS BIGINT) AS n_after_dedupe, "
+    # the last point always replaces its predecessor (ring-closure rule)
+    "(lon - 0.2) * (1 + 2e-7) AS last_lon, "
+    "(lat + 0.3) * (1 + 2e-7) AS last_lat FROM pts"
+)
+
+
+def q_beyond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND: docs farther than d from EVERY poi — the anti-join of
+    DWITHIN (reference ``isBeyond``, TopologicalRelationships.java:194-196)."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    pois = _pois_df(spark).select(
+        "poi_id", F.col("poi_lon").alias("x"), F.col("poi_lat").alias("y")
+    )
+    out = spatial_join.beyond_join(pts, pois, distance_m=_DIST_M)
+    return out.select("doc_id")
+
+
+def _oracle_beyond() -> str:
+    return (
+        f"WITH v AS ({_oracle_vincenty_pairs_sql()}) "
+        f"SELECT DISTINCT doc_id FROM v WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM v WHERE _vdist < {_DIST_M})"
     )
 
 
@@ -1392,6 +1613,200 @@ ORACLE_SPATIAL_PREDICATES = (
 
 
 # ===========================================================================
+# 12. GML decode / validation operators (kernels.gml + sources.gml)
+# ===========================================================================
+
+
+_GML_NS = "http://www.opengis.net/gml/3.2"
+
+
+def q_gml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side GML geometry decode (unmarshalGMLGeometry semantics,
+    GmlUtils.java:414-433 + the flattening factories): documents carrying
+    GML Point / LineString / Polygon markup are decoded by the Arrow
+    pandas-UDF stage into typed columns.  Coordinates survive the
+    double→string→double trip losslessly, so the oracle reproduces every
+    value bit-exactly from the same derivations."""
+    from .sources.gml import decode_gml
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    lat, lon = F.col("lat"), F.col("lon")
+    s = lambda c: c.cast("string")  # noqa: E731
+    point_xml = F.format_string(
+        f'<gml:Point xmlns:gml="{_GML_NS}" srsName="urn:ogc:def:crs:EPSG::4326">'
+        "<gml:pos>%s %s</gml:pos></gml:Point>",
+        s(lat), s(lon),
+    )
+    line_xml = F.format_string(
+        f'<gml:LineString xmlns:gml="{_GML_NS}" '
+        'srsName="http://www.opengis.net/def/crs/EPSG/0/4258">'
+        "<gml:posList>%s %s %s %s %s %s</gml:posList></gml:LineString>",
+        s(lat), s(lon),
+        s(lat + F.lit(0.01)), s(lon + F.lit(0.02)),
+        s(lat + F.lit(0.03)), s(lon + F.lit(0.01)),
+    )
+    poly_xml = F.format_string(
+        f'<gml:Polygon xmlns:gml="{_GML_NS}" srsName="urn:ogc:def:crs:EPSG::4326">'
+        "<gml:exterior><gml:LinearRing>"
+        "<gml:posList>%s %s %s %s %s %s %s %s %s %s</gml:posList>"
+        "</gml:LinearRing></gml:exterior></gml:Polygon>",
+        s(lat), s(lon),
+        s(lat + F.lit(0.1)), s(lon),
+        s(lat + F.lit(0.1)), s(lon + F.lit(0.1)),
+        s(lat), s(lon + F.lit(0.1)),
+        s(lat), s(lon),
+    )
+    m = F.col("doc_id") % 3
+    docs = pts.select(
+        "doc_id",
+        F.when(m == 0, point_xml).when(m == 1, line_xml).otherwise(poly_xml).alias("xml"),
+    )
+    out = decode_gml(docs)
+    return out.select(
+        "doc_id",
+        F.col("geom.kind").alias("kind"),
+        F.col("geom.crs").alias("crs"),
+        F.col("geom.n_points").cast("long").alias("n_points"),
+        F.col("geom.first_x").alias("first_x"),
+        F.col("geom.first_y").alias("first_y"),
+        F.col("geom.last_x").alias("last_x"),
+        F.col("geom.last_y").alias("last_y"),
+    )
+
+
+ORACLE_GML_DECODE = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' "
+    "ELSE 'Polygon' END AS kind, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'urn:ogc:def:crs:EPSG::4326' "
+    "WHEN 1 THEN 'http://www.opengis.net/def/crs/EPSG/0/4258' "
+    "ELSE 'urn:ogc:def:crs:EPSG::4326' END AS crs, "
+    "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END AS BIGINT) "
+    "AS n_points, "
+    "lat AS first_x, lon AS first_y, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lat WHEN 1 THEN lat + 0.03 ELSE lat END "
+    "AS last_x, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lon WHEN 1 THEN lon + 0.01 ELSE lon END "
+    "AS last_y FROM pts"
+)
+
+
+_SEG_TYPES = [
+    "LineStringSegment", "GeodesicString", "ArcByCenterPoint",
+    "CircleByCenterPoint", "ArcString", "Arc", "Circle",
+]
+
+
+def q_min_curve_segment_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minCurveSegmentLength validation ladder (GmlUtils.java:267-277) as
+    a Column expression over a per-row segment-type assignment."""
+    from .functions import min_curve_segment_length_col
+
+    p = _read(spark, sf_dir, "part")
+    seg = F.element_at(
+        F.array(*[F.lit(t) for t in _SEG_TYPES]),
+        (F.col("p_partkey") % 7 + 1).cast("int"),
+    )
+    return p.select(
+        "p_partkey", seg.alias("seg_type"),
+        min_curve_segment_length_col(seg).cast("long").alias("min_positions"),
+    )
+
+
+ORACLE_MIN_CURVE_SEGMENT_LENGTH = (
+    "WITH s AS (SELECT p_partkey, "
+    "(['LineStringSegment', 'GeodesicString', 'ArcByCenterPoint', "
+    "'CircleByCenterPoint', 'ArcString', 'Arc', 'Circle'])"
+    "[CAST(p_partkey % 7 AS INT) + 1] AS seg_type FROM part) "
+    "SELECT p_partkey, seg_type, "
+    "CAST(CASE WHEN seg_type LIKE '%ByCenterPoint' THEN 1 "
+    "WHEN seg_type IN ('ArcString', 'Arc', 'Circle') THEN 3 ELSE 2 END AS BIGINT) "
+    "AS min_positions FROM s"
+)
+
+
+def q_create_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createEnvelope text parsing (Extents.java:285-326): ows:BoundingBox,
+    gml:Envelope, and ows:WGS84BoundingBox (empty CRS ⇒ CRS:84) parsed by
+    the kernel inside an Arrow batch."""
+    from pyspark.sql import types as T
+
+    from .kernels import gml as gml_k
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    lat, lon = F.col("lat"), F.col("lon")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ows = F.format_string(
+        '<ows:BoundingBox xmlns:ows="http://www.opengis.net/ows/2.0" '
+        'crs="urn:ogc:def:crs:EPSG::4326">'
+        "<ows:LowerCorner>%s %s</ows:LowerCorner>"
+        "<ows:UpperCorner>%s %s</ows:UpperCorner></ows:BoundingBox>",
+        s(lat), s(lon), s(lat + F.lit(0.5)), s(lon + F.lit(0.5)),
+    )
+    gml_env = F.format_string(
+        f'<gml:Envelope xmlns:gml="{_GML_NS}" '
+        'srsName="http://www.opengis.net/def/crs/EPSG/0/32610">'
+        "<gml:lowerCorner>%s %s</gml:lowerCorner>"
+        "<gml:upperCorner>%s %s</gml:upperCorner></gml:Envelope>",
+        s(F.lit(480000.0) + F.col("doc_id")), s(F.lit(5440000.0) + F.col("doc_id")),
+        s(F.lit(500000.0) + F.col("doc_id")), s(F.lit(5460000.0) + F.col("doc_id")),
+    )
+    wgs84 = F.format_string(
+        '<ows:WGS84BoundingBox xmlns:ows="http://www.opengis.net/ows/2.0">'
+        "<ows:LowerCorner>%s %s</ows:LowerCorner>"
+        "<ows:UpperCorner>%s %s</ows:UpperCorner></ows:WGS84BoundingBox>",
+        s(lon), s(lat), s(lon + F.lit(1.0)), s(lat + F.lit(1.0)),
+    )
+    m = F.col("doc_id") % 3
+    docs = pts.select(
+        "doc_id",
+        F.when(m == 0, ows).when(m == 1, gml_env).otherwise(wgs84).alias("xml"),
+    )
+
+    schema = T.StructType([
+        T.StructField("crs", T.StringType()),
+        T.StructField("l1", T.DoubleType()), T.StructField("l2", T.DoubleType()),
+        T.StructField("u1", T.DoubleType()), T.StructField("u2", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def parse_env(xml: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in xml:
+            e = gml_k.create_envelope(x)
+            rows.append({
+                "crs": e["crs"],
+                "l1": e["lower"][0], "l2": e["lower"][1],
+                "u1": e["upper"][0], "u2": e["upper"][1],
+            })
+        return pd.DataFrame(rows)
+
+    out = docs.withColumn("e", parse_env("xml"))
+    return out.select(
+        "doc_id", F.col("e.crs").alias("crs"),
+        F.col("e.l1").alias("l1"), F.col("e.l2").alias("l2"),
+        F.col("e.u1").alias("u1"), F.col("e.u2").alias("u2"),
+    )
+
+
+ORACLE_CREATE_ENVELOPE_PARSE = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'EPSG:4326' WHEN 1 THEN 'EPSG:32610' "
+    "ELSE 'CRS:84' END AS crs, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lat WHEN 1 THEN 480000.0 + doc_id "
+    "ELSE lon END AS l1, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lon WHEN 1 THEN 5440000.0 + doc_id "
+    "ELSE lat END AS l2, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lat + 0.5 WHEN 1 THEN 500000.0 + doc_id "
+    "ELSE lon + 1.0 END AS u1, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lon + 0.5 WHEN 1 THEN 5460000.0 + doc_id "
+    "ELSE lat + 1.0 END AS u2 FROM pts"
+)
+
+
+# ===========================================================================
 # Catalog
 # ===========================================================================
 
@@ -1423,19 +1838,24 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
-    # rows-only (non-SQL-expressible: hash/LSH internals, geodesic refine)
-    "minhash_lsh": q_minhash_lsh,
-    "simhash_neardups": q_simhash_neardups,
-    "ann_topk": q_ann_topk,
-    "embedding_neardups": q_embedding_neardups,
+    "gml_decode": q_gml_decode,
+    "min_curve_segment_length": q_min_curve_segment_length,
+    "create_envelope_parse": q_create_envelope_parse,
+    "beyond": q_beyond,
     "dwithin_exact": q_dwithin_exact,
     "knn_cellring": q_knn_cellring,
-    "multimodal_features": q_multimodal_features,
     "geodesic_destination": q_geodesic_destination,
     "crs_roundtrip_utm": q_crs_roundtrip_utm,
     "arc_densify": q_arc_densify,
-    "convex_hull_groups": q_convex_hull_groups,
     "ring_dedupe_ppm": q_ring_dedupe_ppm,
+    # rows-only (non-SQL-expressible: hash/LSH internals)
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_neardups": q_simhash_neardups,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_neardups": q_embedding_neardups,
+    "multimodal_features": q_multimodal_features,
+    "convex_hull_groups": q_convex_hull_groups,
     "spatial_predicates": q_spatial_predicates,
     "pip_salted_shuffle": q_pip_salted_shuffle,
     "antipodal_envelope": q_antipodal_envelope,
@@ -1475,6 +1895,18 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "fingerprint": ORACLE_FINGERPRINT,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "gml_decode": ORACLE_GML_DECODE,
+    "min_curve_segment_length": ORACLE_MIN_CURVE_SEGMENT_LENGTH,
+    "create_envelope_parse": ORACLE_CREATE_ENVELOPE_PARSE,
+    "beyond": _oracle_beyond(),
+    "dwithin_exact": _oracle_dwithin_exact(),
+    "knn_cellring": _oracle_knn_cellring(),
+    "geodesic_destination": _oracle_geodesic_destination(),
+    "crs_roundtrip_utm": _oracle_crs_roundtrip_utm(),
+    "arc_densify": _oracle_arc_densify(),
+    "ring_dedupe_ppm": ORACLE_RING_DEDUPE_PPM,
     "spatial_predicates": ORACLE_SPATIAL_PREDICATES,
     "pip_salted_shuffle": ORACLE_PIP_CONVEX,
     "antipodal_envelope": ORACLE_ANTIPODAL_ENVELOPE,

@@ -316,15 +316,46 @@ class TestSimilarity:
             gotlist = [vid for _, vid in sorted(got[ep['vec_id'][q_idx]])]
             assert gotlist == expect
 
-    def test_ann_recall_reasonable(self, spark):
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(400).cache()
-        queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
-        exact = similarity.brute_topk(emb, queries, k=3)
-        approx = similarity.ann_topk(emb, queries, k=3, n_planes=6, probes=4)
+    def test_ann_lsh_recall(self, spark):
+        """Multi-table LSH recall vs brute force — ≥0.9 on the driver
+        embeddings (weak-cosine neighbors, the hard regime)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = similarity.brute_topk(emb, queries, k=5)
+        approx = similarity.ann_topk(emb, queries, k=5, planes_per_table=4, n_tables=24)
         e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
         a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
         recall = len(e & a) / len(e)
-        assert recall >= 0.4  # bucketed ANN with few planes on tiny corpus
+        print(f"ann_lsh recall: {recall:.3f}")
+        assert recall >= 0.9
+
+    def test_ann_ivf_recall_and_candidates(self, spark):
+        """IVF probes nprobe/n_centroids of the corpus; recall must beat
+        the candidate fraction by a wide margin (it's reading structure,
+        not luck)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = similarity.brute_topk(emb, queries, k=5)
+        cents = similarity.learn_centroids(emb, n_centroids=32)
+        approx = similarity.ann_topk_ivf(
+            emb, queries, k=5, n_centroids=32, nprobe=8, centroids=cents
+        )
+        e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        print(f"ann_ivf recall: {recall:.3f} (candidate fraction ~{8/32:.2f})")
+        assert recall >= 0.6
+        # scan fraction: corpus rows landing in probed cells stays bounded
+        corpus = similarity.with_ivf_cell(emb, cents, nprobe=1)
+        per_cell = corpus.select(F.element_at("cells", 1).alias("c")).groupBy("c").count()
+        biggest8 = sum(
+            r["count"] for r in per_cell.orderBy(F.col("count").desc()).limit(8).collect()
+        )
+        assert biggest8 < emb.count() * 0.8
 
 
 class TestBeyond:
