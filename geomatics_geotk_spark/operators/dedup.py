@@ -72,10 +72,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def _lane_hash(shingle, seed: int, hash_fn: str):
+    """Per-lane 64-bit shingle hash.  'xxhash64' is the production
+    default (fastest JVM path); 'md5' derives a 60-bit integer from the
+    md5 hex — ~2x slower but bit-reproducible in DuckDB, which is what
+    lets the LSH pipeline be oracle-hash-checked end to end."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(shingle, F.lit(seed))
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle)), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
-                      shingle_n: int = 3, id_col: str = "doc_id") -> DataFrame:
+                      shingle_n: int = 3, id_col: str = "doc_id",
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """(id_col, minhash: array<bigint>) — per hash lane i, min over
-    shingles of xxhash64(shingle, seed=i).
+    shingles of hash(shingle, seed=i).
 
     Shape: explode shingles once (a single materialized column — inlining
     the shingle expression into 32 lanes explodes Catalyst codegen), then
@@ -93,7 +108,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
         id_col, F.explode("shingles").alias("_sh")
     )
     lanes = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
+        F.min(_lane_hash(F.col("_sh"), i, hash_fn)).alias(f"_mh{i}")
         for i in range(n_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*lanes)
@@ -108,7 +123,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = 10_000,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns (id_a, id_b, n_bands_shared), id_a < id_b.
 
@@ -120,22 +136,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     disables the guard.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, shingle_n, id_col)
+    sig = minhash_signature(df, text_col, n_hashes, shingle_n, id_col, hash_fn)
     # shingle-free docs carry null lanes — they have no content to band on
     sig = sig.where(F.element_at("minhash", 1).isNotNull())
+
+    def band_hash(b):
+        joined = F.concat_ws(",", *[
+            F.element_at("minhash", b * rows_per_band + j + 1).cast("string")
+            for j in range(rows_per_band)
+        ])
+        return _lane_hash(joined, b, hash_fn) if hash_fn == "md5" else F.xxhash64(joined)
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("minhash", b * rows_per_band + j + 1).cast("string")
-                            for j in range(rows_per_band)
-                        ])
-                    ).alias("band_hash"),
-                )
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
                 for b in range(bands)
             ])
         ).alias("bb"),

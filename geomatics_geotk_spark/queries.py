@@ -375,6 +375,39 @@ ORACLE_ENVELOPE_GML_2DP = (
 )
 
 
+def q_envelope_kvp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """envelopeToString KVP serialization (Extents.java:364-382):
+    'min1,min2,max1,max2[,crsURN]' with the CRS84 omission rule.
+    Ordinates go through DECIMAL(12,2) so Spark and DuckDB print the
+    identical digit strings (double→string shortest-repr formatting is
+    engine-specific; decimal formatting is not)."""
+    from .functions import envelope_to_kvp
+
+    env = q_envelope_gml_2dp(spark, sf_dir)
+    crs = F.when(
+        F.col("grp") % 2 == 0, F.lit("urn:ogc:def:crs:EPSG::4326")
+    ).otherwise(F.lit("urn:ogc:def:crs:OGC:1.3:CRS84"))
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    return env.select(
+        "grp",
+        envelope_to_kvp(d("xmin2"), d("ymin2"), d("xmax2"), d("ymax2"), crs).alias("kvp"),
+    )
+
+
+ORACLE_ENVELOPE_KVP = (
+    f"WITH e AS ({ORACLE_ENVELOPE_GML_2DP}), "
+    "f AS (SELECT grp, "
+    "CAST(CAST(xmin2 AS DECIMAL(12,2)) AS VARCHAR) || ',' || "
+    "CAST(CAST(ymin2 AS DECIMAL(12,2)) AS VARCHAR) || ',' || "
+    "CAST(CAST(xmax2 AS DECIMAL(12,2)) AS VARCHAR) || ',' || "
+    "CAST(CAST(ymax2 AS DECIMAL(12,2)) AS VARCHAR) AS base, "
+    "CASE WHEN grp % 2 = 0 THEN 'urn:ogc:def:crs:EPSG::4326' "
+    "ELSE 'urn:ogc:def:crs:OGC:1.3:CRS84' END AS crs FROM e) "
+    "SELECT grp, CASE WHEN crs = 'urn:ogc:def:crs:OGC:1.3:CRS84' THEN base "
+    "ELSE base || ',' || crs END AS kvp FROM f"
+)
+
+
 def q_antipode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
     return pts.select(
@@ -906,8 +939,43 @@ ORACLE_COSINE_TOPK = (
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, md5 lane hashes so DuckDB can replay
+    the ENTIRE pipeline (shingle → 32 min-lanes → band hash → band
+    self-join → pair counts) bit-for-bit.  Production default stays
+    xxhash64 (same plan, faster JVM hash)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8)
+    return dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, hash_fn="md5")
+
+
+def _oracle_minhash_lsh(n_hashes: int = 32, bands: int = 8) -> str:
+    rows_per_band = n_hashes // bands
+    lane = (
+        "min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    )
+    lanes_sql = ", ".join(lane.format(i=i) for i in range(n_hashes))
+    band_exprs = []
+    for b in range(bands):
+        joined = " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+        )
+        band_exprs.append(
+            f"WHEN {b} THEN ('0x' || substr(md5('{b}:' || {joined}), 1, 15))::BIGINT"
+        )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(len(tk) - 2, 1)), "
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM toks), "
+        "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+        f"lanes AS (SELECT doc_id, {lanes_sql} FROM ex GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, band, CASE band "
+        + " ".join(band_exprs)
+        + " END AS band_hash FROM lanes CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {bands - 1})) AS band)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2"
+    )
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,6 +1886,7 @@ QUERIES = {
     "knn": q_knn,
     "envelope_agg": q_envelope_agg,
     "envelope_gml_2dp": q_envelope_gml_2dp,
+    "envelope_kvp": q_envelope_kvp,
     "antipode": q_antipode,
     "crs_abbrev": q_crs_abbrev,
     "srs_to_urn": q_srs_to_urn,
@@ -1875,6 +1944,7 @@ ORACLES = {
     "knn": ORACLE_KNN,
     "envelope_agg": ORACLE_ENVELOPE_AGG,
     "envelope_gml_2dp": ORACLE_ENVELOPE_GML_2DP,
+    "envelope_kvp": ORACLE_ENVELOPE_KVP,
     "antipode": ORACLE_ANTIPODE,
     "crs_abbrev": ORACLE_CRS_ABBREV,
     "srs_to_urn": ORACLE_SRS_TO_URN,
@@ -1897,6 +1967,7 @@ ORACLES = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "minhash_lsh": _oracle_minhash_lsh(),
     "gml_decode": ORACLE_GML_DECODE,
     "min_curve_segment_length": ORACLE_MIN_CURVE_SEGMENT_LENGTH,
     "create_envelope_parse": ORACLE_CREATE_ENVELOPE_PARSE,
