@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
     "minhash_lsh",
+    "minhash_lsh_fast",
     "ngram_jaccard",
     "simhash_neardups",
     "cosine_topk",

@@ -82,7 +82,18 @@ def _children(elem: ET.Element, *local_names: str):
 
 
 def _floats(text: str) -> list[float]:
-    return [float(v) for v in (text or "").split()]
+    # tolerate comma-delimited tuples ("49.1778, -123.2125") — some real
+    # GML uses the deprecated gml:coordinates separator inside posList
+    return [float(v.rstrip(",")) for v in (text or "").split() if v.rstrip(",")]
+
+
+def unwrap_property(elem: ET.Element) -> ET.Element:
+    """A lone property wrapper (gml:geometryMember & co.) around a single
+    geometry is transparent — the reference unmarshals the child."""
+    name = _local(elem.tag)
+    if (name.endswith("Member") or name.lower().endswith("member")) and len(elem) == 1:
+        return next(iter(elem))
+    return elem
 
 
 def _pos_coords(elem: ET.Element) -> np.ndarray:
@@ -424,14 +435,29 @@ def surface_interior_boundaries(elem: ET.Element, inherited_srs: str = "",
 def geometry_coordinate_list(elem: ET.Element, inherited_srs: str = "",
                              href_resolver=None) -> np.ndarray:
     """Point/Curve/Surface dispatch (``GeometryCoordinateList.java:25-42``,
-    ``GeometryType.java:8-34``)."""
+    ``GeometryType.java:8-34``); Multi\\*/Collection members are processed
+    per member and concatenated — the reference's callers loop collection
+    members the same way (``Extents.java:86-117``) after the srsName
+    push-down."""
     name = _local(elem.tag)
+    srs = elem.get("srsName", "") or inherited_srs
     if name == "Point":
         return _pos_coords(elem)
     if name in CURVE_KINDS or name in RING_KINDS:
-        return curve_coordinate_list(elem, inherited_srs, href_resolver)
+        return curve_coordinate_list(elem, srs, href_resolver)
+    if name.startswith("Multi") or name == "GeometryCollection":
+        parts = []
+        for prop in elem:
+            pl = _local(prop.tag).lower()
+            if not (pl.endswith("member") or pl.endswith("members")):
+                continue
+            for member in prop:
+                parts.append(geometry_coordinate_list(member, srs, href_resolver))
+        if not parts:
+            raise ValueError(f"Empty geometry collection: {name}")
+        return np.vstack(parts)
     # everything else with patches/exterior is a surface (incl. aixm:Surface)
-    return surface_exterior_boundary(elem, inherited_srs, href_resolver)
+    return surface_exterior_boundary(elem, srs, href_resolver)
 
 
 # ---------------------------------------------------------------------------

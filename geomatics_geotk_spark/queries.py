@@ -290,6 +290,10 @@ _DIST_M = 8000.0
 
 
 def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine DWITHIN as a deliberate 1:1 SQL mirror (crossJoin over
+    the 3 fixture POIs — fine at dimension size, NOT the engine path).
+    The production operator is ``spatial_join.dwithin_join`` (cell-disk
+    prefilter + Vincenty refine), driver-checked as ``dwithin_exact``."""
     pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
     cand = pts.crossJoin(F.broadcast(_pois_df(spark)))
     d = haversine_m(F.col("lat"), F.col("lon"), F.col("poi_lat"), F.col("poi_lon"))
@@ -947,6 +951,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, hash_fn="md5")
 
 
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production minhash path: identical plan to ``minhash_lsh`` with
+    xxhash64 lanes (~1.7x faster; no DuckDB mirror exists for Spark's
+    xxhash64, so this entry is rows-only — the md5 twin carries the
+    oracle proof for the shared plan)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, hash_fn="xxhash64")
+
+
 def _oracle_minhash_lsh(n_hashes: int = 32, bands: int = 8) -> str:
     rows_per_band = n_hashes // bands
     lane = (
@@ -1551,6 +1564,45 @@ ORACLE_GEOMETRY_JOIN_LINES = (
 )
 
 
+def q_geometry_join_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join, polygon path under OVERLAPS: per-customer
+    axis-box POLYGON WKT vs the shifted rectangle zones — envelope
+    covering-cell prefilter + exact DE-9IM polygon kernel refine
+    (TopologicalRelationships.java:80-82 semantics).  The oracle mirrors
+    overlaps for rectangles: interiors intersect AND neither contains."""
+    from .operators.geometry_join import geometry_join
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    lon, lat = F.col("lon"), F.col("lat")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            s(lon), s(lat),
+            s(lon + F.lit(0.06)), s(lat),
+            s(lon + F.lit(0.06)), s(lat + F.lit(0.04)),
+            s(lon), s(lat + F.lit(0.04)),
+            s(lon), s(lat),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "overlaps", res=10)
+
+
+ORACLE_GEOMETRY_JOIN_POLYS = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+    "b AS (SELECT doc_id, lon AS axmin, lat AS aymin, lon + 0.06 AS axmax, "
+    "lat + 0.04 AS aymax FROM pts), "
+    f"z AS ({_ZRECT_SQL}) "
+    "SELECT doc_id, zone_id FROM b CROSS JOIN z WHERE "
+    # interiors intersect (strict — derived coords never align exactly)
+    "axmin < zxmax AND axmax > zxmin AND aymin < zymax AND aymax > zymin "
+    # neither box contains the other
+    "AND NOT (axmin > zxmin AND axmax < zxmax AND aymin > zymin AND aymax < zymax) "
+    "AND NOT (zxmin > axmin AND zxmax < axmax AND zymin > aymin AND zymax < aymax)"
+)
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy histogram — the skew-detection aggregation that
     feeds the hot-cell salting policy (one exchange, map-side partials)."""
@@ -1917,19 +1969,22 @@ QUERIES = {
     "crs_roundtrip_utm": q_crs_roundtrip_utm,
     "arc_densify": q_arc_densify,
     "ring_dedupe_ppm": q_ring_dedupe_ppm,
-    # rows-only (non-SQL-expressible: hash/LSH internals)
     "minhash_lsh": q_minhash_lsh,
+    "embedding_neardups": q_embedding_neardups,
+    "multimodal_features": q_multimodal_features,
+    # rows-only (Spark-xxhash64 / randomized-LSH / hull geometry — no SQL
+    # mirror exists; each has pytest-asserted guarantees instead)
+    "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_neardups": q_simhash_neardups,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "embedding_neardups": q_embedding_neardups,
-    "multimodal_features": q_multimodal_features,
     "convex_hull_groups": q_convex_hull_groups,
     "spatial_predicates": q_spatial_predicates,
     "pip_salted_shuffle": q_pip_salted_shuffle,
     "antipodal_envelope": q_antipodal_envelope,
     "crs_domain": q_crs_domain,
     "geometry_join_lines": q_geometry_join_lines,
+    "geometry_join_polys": q_geometry_join_polys,
     "cell_histogram": q_cell_histogram,
     "skew_report": q_skew_report,
     # span-sequence invariant: must be the empty set (oracle = empty)
@@ -1983,6 +2038,7 @@ ORACLES = {
     "antipodal_envelope": ORACLE_ANTIPODAL_ENVELOPE,
     "crs_domain": ORACLE_CRS_DOMAIN,
     "geometry_join_lines": ORACLE_GEOMETRY_JOIN_LINES,
+    "geometry_join_polys": ORACLE_GEOMETRY_JOIN_POLYS,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "span_invariant": ORACLE_SPAN_INVARIANT,

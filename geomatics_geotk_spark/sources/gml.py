@@ -37,12 +37,19 @@ GML_DECODE_SCHEMA = T.StructType([
 
 
 def _decode_one(xml_text: str) -> dict:
+    import numpy as np
+
     try:
-        elem = gml_k.parse(xml_text)
+        elem = gml_k.unwrap_property(gml_k.parse(xml_text))
         gml_k.set_srs_name_on_collection_members(elem)
         kind = gml_k._local(elem.tag)
         crs = gml_k.find_crs_reference(elem, elem)
-        coords = gml_k.geometry_coordinate_list(elem)
+        if kind == "Envelope":
+            env = gml_k.create_envelope(xml_text)
+            coords = np.array([env["lower"], env["upper"]], dtype=np.float64)
+            crs = env["crs"]
+        else:
+            coords = gml_k.geometry_coordinate_list(elem)
         try:
             interiors = (
                 gml_k.surface_interior_boundaries(elem)

@@ -227,7 +227,12 @@ class TestSparkGmlScan:
             os.path.basename(r["path"]): r["geom"].asDict()
             for r in df.collect()
         }
-        assert len(rows) >= 35
+        assert len(rows) == 38
+        # every fixture except the (non-geometry) feature collection
+        # decodes cleanly — incl. Multi*, property-wrapped, Envelope,
+        # and the comma-separated posList variant
+        errored = [f for f, r in rows.items() if r["error"] is not None]
+        assert errored == ["FeatureCollection-1.xml"]
         golden_counts = {
             "Curve-ArcByCenterPoint.xml": 5,
             "LineString.xml": 3,
