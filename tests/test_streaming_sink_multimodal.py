@@ -180,3 +180,54 @@ class TestMultimodal:
     def test_decode_seam_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+
+class TestStatefulStreamingDedup:
+    def test_dedup_across_micro_batches_with_restart(self, spark, tmp_path):
+        """applyInPandasWithState exact dedup: duplicates are dropped
+        within a batch, across batches, and across a QUERY RESTART (state
+        recovered from the checkpoint)."""
+        from geomatics_geotk_spark.streaming.tile_stream import streaming_exact_dedup
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        outp = str(tmp_path / "out")
+        schema = "doc_id string, text string"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_exact_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", outp)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # batch 1: alpha (twice — in-batch dup), beta
+        spark.createDataFrame(
+            [("a1", "alpha"), ("a2", "alpha"), ("b1", "beta")], schema
+        ).write.mode("append").parquet(src)
+        run_once()
+
+        # batch 2 after restart: alpha again (cross-batch dup) + gamma
+        spark.createDataFrame(
+            [("a3", "alpha"), ("c1", "gamma")], schema
+        ).write.mode("append").parquet(src)
+        run_once()
+
+        import hashlib
+
+        rows = spark.read.parquet(outp).collect()
+        by_hash = {}
+        for r in rows:
+            by_hash.setdefault(r["content_hash"], []).append(r["doc_id"])
+        h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+        assert sorted(by_hash) == sorted([h("alpha"), h("beta"), h("gamma")])
+        # each content hash emitted exactly once, ever
+        assert all(len(v) == 1 for v in by_hash.values())
+        assert by_hash[h("alpha")][0] in {"a1", "a2"}  # batch-1 winner, not a3
+        assert by_hash[h("gamma")] == ["c1"]
