@@ -9,6 +9,8 @@ while parallelizing across partitions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +54,62 @@ def envelope_agg_boxes(df: DataFrame, group_cols: list[str] | None = None) -> Da
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def coalesce_boxes_cross_crs(df: DataFrame, group_col: str = "grp",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Cross-CRS coalesceBoundingBoxes (``Extents.java:258-274``): union
+    of envelope rows after transforming EACH box into the first box's CRS
+    ("first" = smallest ``id_col`` per group, matching the reference's
+    list order).
+
+    Input rows: (group_col, id_col, crs, x1, y1, x2, y2) with corner
+    ordinates in the box's native axis order (EPSG:4326 ⇒ (lat, lon)).
+    Corner-transform approximation: both corners reproject and min/max
+    normalize — exact for the axis swap, and within meters for in-zone
+    TM boxes of this size (the same rule the SQL oracle mirrors).
+
+    Output: (group_col, anchor_crs, xmin, ymin, xmax, ymax).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..kernels import crs as crs_k
+
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    boxed = df.withColumn("anchor_crs", F.first("crs").over(w))
+
+    schema = T.StructType([
+        T.StructField("txmin", T.DoubleType()), T.StructField("tymin", T.DoubleType()),
+        T.StructField("txmax", T.DoubleType()), T.StructField("tymax", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def reproject(crs: pd.Series, anchor: pd.Series, x1: pd.Series, y1: pd.Series,
+                  x2: pd.Series, y2: pd.Series) -> pd.DataFrame:
+        n = len(crs)
+        tx1 = np.empty(n); ty1 = np.empty(n)
+        tx2 = np.empty(n); ty2 = np.empty(n)
+        pairs = pd.DataFrame({"src": crs, "dst": anchor})
+        for (src, dst), idx in pairs.groupby(["src", "dst"]).groups.items():
+            i = np.asarray(idx)
+            a, b = crs_k.transform(x1.to_numpy()[i], y1.to_numpy()[i], src, dst)
+            c, d = crs_k.transform(x2.to_numpy()[i], y2.to_numpy()[i], src, dst)
+            tx1[i], ty1[i], tx2[i], ty2[i] = a, b, c, d
+        return pd.DataFrame({
+            "txmin": np.minimum(tx1, tx2), "tymin": np.minimum(ty1, ty2),
+            "txmax": np.maximum(tx1, tx2), "tymax": np.maximum(ty1, ty2),
+        })
+
+    t = boxed.withColumn(
+        "t", reproject("crs", "anchor_crs", "x1", "y1", "x2", "y2")
+    )
+    return t.groupBy(group_col, "anchor_crs").agg(
+        F.min("t.txmin").alias("xmin"),
+        F.min("t.tymin").alias("ymin"),
+        F.max("t.txmax").alias("xmax"),
+        F.max("t.tymax").alias("ymax"),
+    )
 
 
 def with_antipodal_envelope(df: DataFrame) -> DataFrame:

@@ -274,6 +274,69 @@ def vincenty_direct_levels(lat1: str, lon1: str, az: str, dist: str,
     return levels
 
 
+def tm_inverse_levels(x: str, y: str, lon0_deg: float,
+                      out_lon: str = "inv_lon", out_lat: str = "inv_lat",
+                      prefix: str = "_ti") -> Levels:
+    """Nested-subquery levels for the transverse-Mercator INVERSE
+    (Snyder series) — mirror of kernels/crs.py::tm_inverse."""
+    p = prefix
+    return [
+        [
+            (f"{p}_e2", f"({_F} * (2.0 - {_F}))"),
+            (f"{p}_x", f"({x}) - 500000.0"),
+            (f"{p}_m", f"({y}) / 0.9996"),
+        ],
+        [
+            (f"{p}_ep2", f"{p}_e2 / (1.0 - {p}_e2)"),
+            (
+                f"{p}_mu",
+                f"{p}_m / ({_A} * (1.0 - {p}_e2 / 4.0 - 3.0 * power({p}_e2, 2) / 64.0 "
+                f"- 5.0 * power({p}_e2, 3) / 256.0))",
+            ),
+            (f"{p}_e1", f"(1.0 - sqrt(1.0 - {p}_e2)) / (1.0 + sqrt(1.0 - {p}_e2))"),
+        ],
+        [
+            (
+                f"{p}_phi1",
+                f"{p}_mu + ((3.0 * {p}_e1 / 2.0 - 27.0 * power({p}_e1, 3) / 32.0) * sin(2.0 * {p}_mu) "
+                f"+ (21.0 * power({p}_e1, 2) / 16.0 - 55.0 * power({p}_e1, 4) / 32.0) * sin(4.0 * {p}_mu) "
+                f"+ (151.0 * power({p}_e1, 3) / 96.0) * sin(6.0 * {p}_mu) "
+                f"+ (1097.0 * power({p}_e1, 4) / 512.0) * sin(8.0 * {p}_mu))",
+            ),
+        ],
+        [
+            (f"{p}_s1", f"sin({p}_phi1)"),
+            (f"{p}_c1v", f"cos({p}_phi1)"),
+            (f"{p}_t1v", f"tan({p}_phi1)"),
+        ],
+        [
+            (f"{p}_cc1", f"{p}_ep2 * {p}_c1v * {p}_c1v"),
+            (f"{p}_tt1", f"{p}_t1v * {p}_t1v"),
+            (f"{p}_n1", f"{_A} / sqrt(1.0 - {p}_e2 * {p}_s1 * {p}_s1)"),
+            (f"{p}_r1", f"{_A} * (1.0 - {p}_e2) / power(1.0 - {p}_e2 * {p}_s1 * {p}_s1, 1.5)"),
+        ],
+        [(f"{p}_d", f"{p}_x / ({p}_n1 * 0.9996)")],
+        [
+            (
+                f"{p}_phi",
+                f"{p}_phi1 - ({p}_n1 * {p}_t1v / {p}_r1) * (power({p}_d, 2) / 2.0 "
+                f"- (5.0 + 3.0 * {p}_tt1 + 10.0 * {p}_cc1 - 4.0 * {p}_cc1 * {p}_cc1 - 9.0 * {p}_ep2) "
+                f"* power({p}_d, 4) / 24.0 "
+                f"+ (61.0 + 90.0 * {p}_tt1 + 298.0 * {p}_cc1 + 45.0 * {p}_tt1 * {p}_tt1 "
+                f"- 252.0 * {p}_ep2 - 3.0 * {p}_cc1 * {p}_cc1) * power({p}_d, 6) / 720.0)",
+            ),
+            (
+                f"{p}_lam",
+                f"radians({float(lon0_deg)!r}) + ({p}_d - (1.0 + 2.0 * {p}_tt1 + {p}_cc1) "
+                f"* power({p}_d, 3) / 6.0 "
+                f"+ (5.0 - 2.0 * {p}_cc1 + 28.0 * {p}_tt1 - 3.0 * {p}_cc1 * {p}_cc1 "
+                f"+ 8.0 * {p}_ep2 + 24.0 * {p}_tt1 * {p}_tt1) * power({p}_d, 5) / 120.0) / {p}_c1v",
+            ),
+        ],
+        [(out_lon, f"degrees({p}_lam)"), (out_lat, f"degrees({p}_phi)")],
+    ]
+
+
 def tm_forward_levels(lon: str, lat: str, lon0_deg: float,
                       out_e: str = "easting", out_n: str = "northing",
                       prefix: str = "_tm") -> Levels:

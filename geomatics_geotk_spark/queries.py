@@ -1460,6 +1460,102 @@ ORACLE_ANTIPODAL_ENVELOPE = (
 )
 
 
+def q_coalesce_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CRS coalesceBoundingBoxes (Extents.java:258-274): per-group
+    union of envelopes where each box is first transformed into the
+    FIRST box's CRS (mixed EPSG:4326 lat,lon / EPSG:32610 boxes here).
+    The oracle replays both the TM forward and inverse (bit-exact Snyder
+    mirrors) plus the anchor-CRS window rule."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from .kernels import crs as crs_k
+    from .operators.envelope import coalesce_boxes_cross_crs
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+
+    corner_schema = T.StructType([
+        T.StructField("e1", T.DoubleType()), T.StructField("n1", T.DoubleType()),
+        T.StructField("e2", T.DoubleType()), T.StructField("n2", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(corner_schema)
+    def utm_corners(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        e1, n1 = crs_k.tm_forward(lon.to_numpy(), lat.to_numpy(), -123.0)
+        e2, n2 = crs_k.tm_forward(lon.to_numpy() + 0.03, lat.to_numpy() + 0.02, -123.0)
+        return pd.DataFrame({"e1": e1, "n1": n1, "e2": e2, "n2": n2})
+
+    odd = F.col("doc_id") % 2 == 1
+    b = pts.withColumn("u", utm_corners("lon", "lat")).select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("grp"),
+        F.when(odd, F.lit("EPSG:32610")).otherwise(F.lit("EPSG:4326")).alias("crs"),
+        F.when(odd, F.col("u.e1")).otherwise(F.col("lat")).alias("x1"),
+        F.when(odd, F.col("u.n1")).otherwise(F.col("lon")).alias("y1"),
+        F.when(odd, F.col("u.e2")).otherwise(F.col("lat") + F.lit(0.02)).alias("x2"),
+        F.when(odd, F.col("u.n2")).otherwise(F.col("lon") + F.lit(0.03)).alias("y2"),
+    )
+    out = coalesce_boxes_cross_crs(b, group_col="grp", id_col="doc_id")
+    return out.select(
+        "grp", "anchor_crs",
+        F.round("xmin", 6).alias("xmin"), F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"), F.round("ymax", 6).alias("ymax"),
+    )
+
+
+def _oracle_coalesce_boxes() -> str:
+    from .oracle_math import nest_levels, tm_forward_levels, tm_inverse_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+        "SELECT doc_id, doc_id % 25 AS grp, lon, lat, "
+        "CASE WHEN doc_id % 2 = 1 THEN 'EPSG:32610' ELSE 'EPSG:4326' END AS crs "
+        "FROM pts"
+    )
+    # native corners (forward TM for odd rows), then anchor + per-row
+    # reprojection candidates (forward of the 4326 corners, inverse of
+    # the UTM corners), CASE-selected by (crs, anchor_crs)
+    levels = []
+    levels += tm_forward_levels("lon", "lat", -123.0, "_ue1", "_un1", "_bf1")
+    levels += tm_forward_levels("lon + 0.03", "lat + 0.02", -123.0, "_ue2", "_un2", "_bf2")
+    levels += [[
+        ("x1", "CASE WHEN doc_id % 2 = 1 THEN _ue1 ELSE lat END"),
+        ("y1", "CASE WHEN doc_id % 2 = 1 THEN _un1 ELSE lon END"),
+        ("x2", "CASE WHEN doc_id % 2 = 1 THEN _ue2 ELSE lat + 0.02 END"),
+        ("y2", "CASE WHEN doc_id % 2 = 1 THEN _un2 ELSE lon + 0.03 END"),
+    ]]
+    levels += [[
+        ("anchor_crs", "first_value(crs) OVER (PARTITION BY grp ORDER BY doc_id)"),
+    ]]
+    # candidate transforms of the native corners into the other CRS
+    levels += tm_forward_levels("y1", "x1", -123.0, "_w1e", "_w1n", "_cf1")
+    levels += tm_forward_levels("y2", "x2", -123.0, "_w2e", "_w2n", "_cf2")
+    levels += tm_inverse_levels("x1", "y1", -123.0, "_i1lon", "_i1lat", "_ci1")
+    levels += tm_inverse_levels("x2", "y2", -123.0, "_i2lon", "_i2lat", "_ci2")
+    sel = (
+        "CASE WHEN crs = anchor_crs THEN {native} "
+        "WHEN anchor_crs = 'EPSG:32610' THEN {fwd} ELSE {inv} END"
+    )
+    levels += [[
+        ("tx1", sel.format(native="x1", fwd="_w1e", inv="_i1lat")),
+        ("ty1", sel.format(native="y1", fwd="_w1n", inv="_i1lon")),
+        ("tx2", sel.format(native="x2", fwd="_w2e", inv="_i2lat")),
+        ("ty2", sel.format(native="y2", fwd="_w2n", inv="_i2lon")),
+    ]]
+    inner = nest_levels(
+        src, levels,
+        ["grp", "anchor_crs",
+         "least(tx1, tx2) AS txmin", "least(ty1, ty2) AS tymin",
+         "greatest(tx1, tx2) AS txmax", "greatest(ty1, ty2) AS tymax"],
+        cte_prefix="_cb",
+    )
+    return (
+        f"SELECT grp, anchor_crs, round(min(txmin), 6) AS xmin, "
+        f"round(min(tymin), 6) AS ymin, round(max(txmax), 6) AS xmax, "
+        f"round(max(tymax), 6) AS ymax FROM ({inner}) GROUP BY grp, anchor_crs"
+    )
+
+
 def q_crs_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG area-of-use lookup (getDomainOfValidity,
     GeodesyUtils.java:56-66) — broadcast static table keyed by the
@@ -1982,6 +2078,7 @@ QUERIES = {
     "spatial_predicates": q_spatial_predicates,
     "pip_salted_shuffle": q_pip_salted_shuffle,
     "antipodal_envelope": q_antipodal_envelope,
+    "coalesce_boxes": q_coalesce_boxes,
     "crs_domain": q_crs_domain,
     "geometry_join_lines": q_geometry_join_lines,
     "geometry_join_polys": q_geometry_join_polys,
@@ -2036,6 +2133,7 @@ ORACLES = {
     "spatial_predicates": ORACLE_SPATIAL_PREDICATES,
     "pip_salted_shuffle": ORACLE_PIP_CONVEX,
     "antipodal_envelope": ORACLE_ANTIPODAL_ENVELOPE,
+    "coalesce_boxes": _oracle_coalesce_boxes(),
     "crs_domain": ORACLE_CRS_DOMAIN,
     "geometry_join_lines": ORACLE_GEOMETRY_JOIN_LINES,
     "geometry_join_polys": ORACLE_GEOMETRY_JOIN_POLYS,
