@@ -1836,15 +1836,11 @@ ORACLE_SPATIAL_PREDICATES = (
 _GML_NS = "http://www.opengis.net/gml/3.2"
 
 
-def q_gml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan-side GML geometry decode (unmarshalGMLGeometry semantics,
-    GmlUtils.java:414-433 + the flattening factories): documents carrying
-    GML Point / LineString / Polygon markup are decoded by the Arrow
-    pandas-UDF stage into typed columns.  Coordinates survive the
-    double→string→double trip losslessly, so the oracle reproduces every
-    value bit-exactly from the same derivations."""
-    from .sources.gml import decode_gml
-
+def _gml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, xml): synthesized GML Point / LineString / Polygon markup
+    with coordinates derived from the customer point cloud — shared by
+    the gml_decode / gml_envelope queries (and mirrored by their oracles:
+    coordinates survive the double→string→double trip losslessly)."""
     pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
     lat, lon = F.col("lat"), F.col("lon")
     s = lambda c: c.cast("string")  # noqa: E731
@@ -1873,11 +1869,19 @@ def q_gml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         s(lat), s(lon),
     )
     m = F.col("doc_id") % 3
-    docs = pts.select(
+    return pts.select(
         "doc_id",
         F.when(m == 0, point_xml).when(m == 1, line_xml).otherwise(poly_xml).alias("xml"),
     )
-    out = decode_gml(docs)
+
+
+def q_gml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side GML geometry decode (unmarshalGMLGeometry semantics,
+    GmlUtils.java:414-433 + the flattening factories): documents carrying
+    GML markup decoded by the Arrow pandas-UDF stage into typed columns."""
+    from .sources.gml import decode_gml
+
+    out = decode_gml(_gml_docs(spark, sf_dir))
     return out.select(
         "doc_id",
         F.col("geom.kind").alias("kind"),
@@ -1905,6 +1909,34 @@ ORACLE_GML_DECODE = (
     "AS last_x, "
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lon WHEN 1 THEN lon + 0.01 ELSE lon END "
     "AS last_y FROM pts"
+)
+
+
+def q_gml_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculateEnvelopeUsingSingleGeometry (Extents.java:131-183): the
+    MBR of each decoded GML geometry — the envelope columns the scan
+    stage emits alongside the flattened coords."""
+    from .sources.gml import decode_gml
+
+    # identical GML synthesis as q_gml_decode (same derivations → the
+    # oracle reproduces every envelope ordinate bit-exactly)
+    docs = _gml_docs(spark, sf_dir)
+    out = decode_gml(docs)
+    return out.select(
+        "doc_id",
+        F.col("geom.xmin").alias("xmin"), F.col("geom.ymin").alias("ymin"),
+        F.col("geom.xmax").alias("xmax"), F.col("geom.ymax").alias("ymax"),
+    )
+
+
+ORACLE_GML_ENVELOPE = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+    "SELECT doc_id, "
+    "lat AS xmin, lon AS ymin, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lat WHEN 1 THEN lat + 0.03 "
+    "ELSE lat + 0.1 END AS xmax, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN lon WHEN 1 THEN lon + 0.02 "
+    "ELSE lon + 0.1 END AS ymax FROM pts"
 )
 
 
@@ -2056,6 +2088,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "gml_decode": q_gml_decode,
+    "gml_envelope": q_gml_envelope,
     "min_curve_segment_length": q_min_curve_segment_length,
     "create_envelope_parse": q_create_envelope_parse,
     "beyond": q_beyond,
@@ -2121,6 +2154,7 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "minhash_lsh": _oracle_minhash_lsh(),
     "gml_decode": ORACLE_GML_DECODE,
+    "gml_envelope": ORACLE_GML_ENVELOPE,
     "min_curve_segment_length": ORACLE_MIN_CURVE_SEGMENT_LENGTH,
     "create_envelope_parse": ORACLE_CREATE_ENVELOPE_PARSE,
     "beyond": _oracle_beyond(),

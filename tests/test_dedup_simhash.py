@@ -125,3 +125,34 @@ def test_lsh_bucket_report(spark):
     assert rep["n_hot_buckets"] == 4  # the 50-doc clique saturates all 4 blocks
     assert rep["rows_dropped"] == 200
     assert rep["max_bucket_size"] == 50
+
+
+def test_minhash_planted_near_dup_recall(spark):
+    """Recall check on planted near-duplicates: ~90%-overlapping docs
+    must surface as band-sharing candidates, and their exact jaccard must
+    clear the dedup threshold, under BOTH hash backends."""
+    rows = []
+    for i in range(30):
+        toks = [f"w{(i * 1009 + j * 31) % 49999}" for j in range(60)]
+        rows.append((i, " ".join(toks)))
+        if i < 12:  # plant a near-dup: replace 2 of 60 tokens (jaccard ~0.8;
+            # expected band recall 1-(1-0.8^4)^8 ≈ 0.99 per pair)
+            nd = list(toks)
+            for k in (10, 40):
+                nd[k] = f"z{i}_{k}"
+            rows.append((500 + i, " ".join(nd)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    want = {(i, 500 + i) for i in range(12)}
+    for hf in ("xxhash64", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(df, hash_fn=hf).collect()
+        }
+        recall = len(pairs & want) / len(want)
+        assert recall >= 0.9, f"{hf}: recall {recall}"
+        assert all(p in want for p in pairs), f"{hf}: false positives {pairs - want}"
+    # the exact-jaccard refine confirms every planted pair
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in jac.collect()}
+    assert got == want
