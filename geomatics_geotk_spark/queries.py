@@ -588,6 +588,54 @@ ORACLE_SPLIT_INTERVAL = (
 )
 
 
+_REL_NAMES = [
+    "Before", "After", "Meets", "MetBy", "Begins", "BegunBy", "Ends",
+    "EndedBy", "During", "Contains", "Equals", "Overlaps", "OverlappedBy",
+]
+
+_REL_SQL = {
+    "Before": "e1 < b2", "After": "b1 > e2", "Meets": "e1 = b2",
+    "MetBy": "b1 = e2", "Begins": "b1 = b2 AND e1 < e2",
+    "BegunBy": "b1 = b2 AND e1 > e2", "Ends": "e1 = e2 AND b1 > b2",
+    "EndedBy": "e1 = e2 AND b1 < b2", "During": "b1 > b2 AND e1 < e2",
+    "Contains": "b1 < b2 AND e1 > e2", "Equals": "b1 = b2 AND e1 = e2",
+    "Overlaps": "b1 < b2 AND e1 > b2 AND e1 < e2",
+    "OverlappedBy": "b1 > b2 AND b1 < e2 AND e1 > e2",
+}
+
+
+def q_temporal_relations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL 13 ISO 19108 relations (TemporalUtils.java:36-66) evaluated at
+    once between each event period and a derived anchor period — every
+    relation driver-checked against its interval-algebra SQL mirror
+    (boundary-equality cases arise deterministically from the integer
+    hour arithmetic)."""
+    from .functions import temporal_relation
+
+    per = _event_periods(spark, sf_dir)
+    per = per.select(
+        "event_id",
+        F.col("begin").alias("b1"), F.col("end").alias("e1"),
+        (F.col("begin") + F.make_interval(hours=(F.col("event_id") % 5 - 2).cast("int"))).alias("b2"),
+    ).withColumn("e2", F.col("b2") + F.make_interval(hours=F.lit(3)))
+    cols = [
+        temporal_relation(r, F.col("b1"), F.col("e1"), F.col("b2"), F.col("e2")).alias(r.lower())
+        for r in _REL_NAMES
+    ]
+    return per.select("event_id", *cols)
+
+
+ORACLE_TEMPORAL_RELATIONS_ALL = (
+    f"WITH per AS ({_PER_SQL}), "
+    "p AS (SELECT event_id, begin AS b1, \"end\" AS e1, "
+    "begin + CAST(event_id % 5 - 2 AS INT) * INTERVAL 1 HOUR AS b2 FROM per), "
+    "q AS (SELECT *, b2 + INTERVAL 3 HOUR AS e2 FROM p) "
+    "SELECT event_id, "
+    + ", ".join(f"({_REL_SQL[r]}) AS \"{r.lower()}\"" for r in _REL_NAMES)
+    + " FROM q"
+)
+
+
 def q_temporal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _event_periods(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(
@@ -1699,6 +1747,40 @@ ORACLE_GEOMETRY_JOIN_POLYS = (
 )
 
 
+def q_geometry_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join under WITHIN (g1 ⊆ g2,
+    TopologicalRelationships.java:77-79): small per-customer boxes fully
+    inside the shifted rectangle zones.  Oracle: strict box containment
+    (generic derived coords never touch a boundary)."""
+    from .operators.geometry_join import geometry_join
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    lon, lat = F.col("lon"), F.col("lat")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            s(lon), s(lat),
+            s(lon + F.lit(0.03)), s(lat),
+            s(lon + F.lit(0.03)), s(lat + F.lit(0.02)),
+            s(lon), s(lat + F.lit(0.02)),
+            s(lon), s(lat),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "within", res=10)
+
+
+ORACLE_GEOMETRY_JOIN_WITHIN = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+    "b AS (SELECT doc_id, lon AS axmin, lat AS aymin, lon + 0.03 AS axmax, "
+    "lat + 0.02 AS aymax FROM pts), "
+    f"z AS ({_ZRECT_SQL}) "
+    "SELECT doc_id, zone_id FROM b CROSS JOIN z WHERE "
+    "axmin > zxmin AND axmax < zxmax AND aymin > zymin AND aymax < zymax"
+)
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy histogram — the skew-detection aggregation that
     feeds the hot-cell salting policy (one exchange, map-side partials)."""
@@ -2074,6 +2156,7 @@ QUERIES = {
     "temporal_during": q_temporal_during,
     "temporal_extent": q_temporal_extent,
     "split_interval": q_split_interval,
+    "temporal_relations_all": q_temporal_relations_all,
     "temporal_rank": q_temporal_rank,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2115,6 +2198,7 @@ QUERIES = {
     "crs_domain": q_crs_domain,
     "geometry_join_lines": q_geometry_join_lines,
     "geometry_join_polys": q_geometry_join_polys,
+    "geometry_join_within": q_geometry_join_within,
     "cell_histogram": q_cell_histogram,
     "skew_report": q_skew_report,
     # span-sequence invariant: must be the empty set (oracle = empty)
@@ -2137,6 +2221,7 @@ ORACLES = {
     "temporal_during": ORACLE_TEMPORAL_DURING,
     "temporal_extent": ORACLE_TEMPORAL_EXTENT,
     "split_interval": ORACLE_SPLIT_INTERVAL,
+    "temporal_relations_all": ORACLE_TEMPORAL_RELATIONS_ALL,
     "temporal_rank": ORACLE_TEMPORAL_RANK,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
@@ -2171,6 +2256,7 @@ ORACLES = {
     "crs_domain": ORACLE_CRS_DOMAIN,
     "geometry_join_lines": ORACLE_GEOMETRY_JOIN_LINES,
     "geometry_join_polys": ORACLE_GEOMETRY_JOIN_POLYS,
+    "geometry_join_within": ORACLE_GEOMETRY_JOIN_WITHIN,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "span_invariant": ORACLE_SPAN_INVARIANT,
