@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "quality_score",
     "fingerprint",
+    "gml_decode",
     "pip_salted_shuffle",
 ]
 
