@@ -1375,29 +1375,72 @@ def _oracle_arc_densify() -> str:
 
 def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group planar convex hull (GmlUtils.computeConvexHull,
-    GmlUtils.java:138-143) via applyInPandas — grouped-map Arrow path."""
+    GmlUtils.java:138-143) via applyInPandas — grouped-map Arrow path.
+
+    Point clouds are ellipse-parameterized so the hull is ANALYTICALLY
+    known and SQL-verifiable: every radius-1.0 point lies on a strictly
+    convex curve (⇒ a hull vertex), every radius-0.15 point is strictly
+    interior (0.15 < cos(3π/n), the worst-case chord radius when two
+    consecutive parameter points are interior) — so DuckDB can replay hull_size (boundary count) and
+    hull_area (shoelace over the boundary ring in angle order, which is
+    exactly the vertex ring the monotone chain returns)."""
+    from pyspark.sql import Window
+
     from .kernels import geometry as geom_k
 
-    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey").withColumn(
-        "grp", F.col("doc_id") % 25
+    k = F.col("c_custkey")
+    base = _read(spark, sf_dir, "customer").select(
+        k.alias("k"), (k % 20).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("k").asc())
+    wn = Window.partitionBy("grp")
+    b = base.withColumn("j", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    theta = F.lit(2.0) * F.lit(np.pi) * F.col("j") / F.col("n")
+    rs = F.when(F.col("j") % 3 == 0, F.lit(0.15)).otherwise(F.lit(1.0))
+    pts = b.select(
+        "grp", "j",
+        (F.lit(-123.0) + F.col("grp") * F.lit(0.01)
+         + F.lit(0.03) * rs * F.cos(theta)).alias("lon"),
+        (F.lit(49.5) + F.lit(0.02) * rs * F.sin(theta)).alias("lat"),
     )
 
     def hull(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = np.column_stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()])
         h = geom_k.convex_hull(coords)
-        # shoelace area of the hull ring
         x, y = h[:, 0], h[:, 1]
         area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) if len(h) > 2 else 0.0
         return pd.DataFrame({
             "grp": [int(pdf["grp"].iloc[0])],
             "n_points": [len(pdf)],
             "hull_size": [max(0, len(h) - 1)],
-            "hull_area": [round(float(area), 9)],
+            "hull_area_r": [round(float(area), 9)],
         })
 
     return pts.groupBy("grp").applyInPandas(
-        hull, "grp long, n_points long, hull_size long, hull_area double"
+        hull, "grp long, n_points long, hull_size long, hull_area_r double"
     )
+
+
+ORACLE_CONVEX_HULL_GROUPS = (
+    "WITH b AS (SELECT c_custkey AS k, c_custkey % 20 AS grp, "
+    "row_number() OVER (PARTITION BY c_custkey % 20 ORDER BY c_custkey) - 1 AS j, "
+    "count(*) OVER (PARTITION BY c_custkey % 20) AS n FROM customer), "
+    "c AS (SELECT grp, j, 2.0 * pi() * j / n AS theta, "
+    "CASE WHEN j % 3 = 0 THEN 0.15 ELSE 1.0 END AS rs FROM b), "
+    "d AS (SELECT grp, j, (-123.0 + grp * 0.01) + 0.03 * rs * cos(theta) AS x, "
+    "49.5 + 0.02 * rs * sin(theta) AS y, rs FROM c), "
+    "e AS (SELECT grp, j, x, y, "
+    "coalesce(lead(x) OVER wb, first_value(x) OVER wb) AS nx, "
+    "coalesce(lead(y) OVER wb, first_value(y) OVER wb) AS ny "
+    "FROM d WHERE rs = 1.0 "
+    "WINDOW wb AS (PARTITION BY grp ORDER BY j)), "
+    "a AS (SELECT grp, sum(x * ny - nx * y) AS s2, count(*) AS hull_size FROM e GROUP BY grp), "
+    "t AS (SELECT grp, count(*) AS n_points FROM d GROUP BY grp) "
+    "SELECT t.grp, t.n_points, a.hull_size, round(abs(a.s2) / 2.0, 9) AS hull_area_r "
+    "FROM t JOIN a ON t.grp = a.grp"
+)
 
 
 def q_ring_dedupe_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2184,13 +2227,13 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "embedding_neardups": q_embedding_neardups,
     "multimodal_features": q_multimodal_features,
-    # rows-only (Spark-xxhash64 / randomized-LSH / hull geometry — no SQL
-    # mirror exists; each has pytest-asserted guarantees instead)
+    "convex_hull_groups": q_convex_hull_groups,
+    # rows-only (Spark-xxhash64 / randomized-LSH — no SQL mirror exists;
+    # each has pytest-asserted guarantees instead)
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_neardups": q_simhash_neardups,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "convex_hull_groups": q_convex_hull_groups,
     "spatial_predicates": q_spatial_predicates,
     "pip_salted_shuffle": q_pip_salted_shuffle,
     "antipodal_envelope": q_antipodal_envelope,
@@ -2238,6 +2281,7 @@ ORACLES = {
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "minhash_lsh": _oracle_minhash_lsh(),
+    "convex_hull_groups": ORACLE_CONVEX_HULL_GROUPS,
     "gml_decode": ORACLE_GML_DECODE,
     "gml_envelope": ORACLE_GML_ENVELOPE,
     "min_curve_segment_length": ORACLE_MIN_CURVE_SEGMENT_LENGTH,
