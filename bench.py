@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "minhash_lsh_fast",
     "ngram_jaccard",
     "simhash_neardups",
+    "simhash_neardups_fast",
     "cosine_topk",
     "ann_topk",
     "quality_score",

@@ -319,7 +319,8 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_simhash_columnar(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit simhash as pure Column math — the JVM scale path.
 
     Shape: tokenize + explode once (JVM split), hash each token with
@@ -337,11 +338,27 @@ def with_simhash_columnar(df: DataFrame, text_col: str = "text",
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok")
     ).where(F.col("_tok") != "")
-    h = F.xxhash64(F.col("_tok"))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("_tok"))
+
+        def bit(b):
+            return F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+    elif hash_fn == "md5":
+        # two 60-bit integers from the md5 hex → a 120-bit lane pool the
+        # DuckDB oracle reproduces exactly (Spark's xxhash64 has no SQL
+        # mirror); lanes 0-59 from the first, 60-63 from the second
+        md5 = F.md5(F.col("_tok"))
+        v1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+        v2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
+        toks = toks.withColumn("_v1", v1).withColumn("_v2", v2)
+
+        def bit(b):
+            src, off = (F.col("_v1"), b) if b < 60 else (F.col("_v2"), b - 60)
+            return F.shiftrightunsigned(src, off).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     lanes = [
-        F.sum(
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_l{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_l{b}")
         for b in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*lanes)
@@ -359,7 +376,8 @@ def with_simhash_columnar(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
                       text_col: str = "text", impl: str = "columnar",
-                      max_bucket: int | None = 10_000) -> DataFrame:
+                      max_bucket: int | None = 10_000,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
 
     Candidates via 4×16-bit block LSH (a pair within distance 3 shares at
@@ -368,7 +386,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id
     :func:`cap_buckets`); None disables the guard.
     """
     if impl == "columnar":
-        sig = with_simhash_columnar(df, text_col, id_col).select(id_col, "simhash")
+        sig = with_simhash_columnar(df, text_col, id_col, hash_fn).select(id_col, "simhash")
     else:
         sig = with_simhash(df, text_col).select(id_col, "simhash")
     blocks = sig.select(

@@ -1040,8 +1040,56 @@ def _oracle_minhash_lsh(n_hashes: int = 32, bands: int = 8) -> str:
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with md5-derived lane bits so DuckDB replays the
+    ENTIRE pipeline (token bits → 64 ±1 lane sums → signature → 16-bit
+    block LSH → popcount filter) bit-for-bit.  Production default stays
+    xxhash64 (`simhash_neardups_fast`)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.simhash_near_dups(docs, max_hamming=8)
+    return dedup.simhash_near_dups(docs, max_hamming=8, hash_fn="md5")
+
+
+def q_simhash_neardups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production simhash path (xxhash64 lane bits — no SQL mirror,
+    rows-only; the md5 twin carries the oracle proof for the shared plan)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_near_dups(docs, max_hamming=8, hash_fn="xxhash64")
+
+
+def _oracle_simhash_neardups(max_hamming: int = 8) -> str:
+    lanes = []
+    for b in range(64):
+        src, off = ("v1", b) if b < 60 else ("v2", b - 60)
+        lanes.append(
+            f"sum(CASE WHEN (({src} >> {off}) & 1) = 1 THEN 1 ELSE -1 END) AS l{b}"
+        )
+    # bit 63 can't be built by << (DuckDB range-checks the shift); use the
+    # Long.MIN_VALUE constant — two's-complement addition of disjoint bits
+    # equals the bitwise OR, so the sum assembles the signature exactly
+    sig_terms = " + ".join(
+        f"(CASE WHEN l{b} > 0 THEN (-9223372036854775807::BIGINT - 1) ELSE 0::BIGINT END)"
+        if b == 63
+        else f"(CASE WHEN l{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(64)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v1, "
+        "('0x' || substr(md5(tok), 17, 15))::BIGINT AS v2 FROM tf), "
+        f"lanes AS (SELECT doc_id, {', '.join(lanes)} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sig_terms} AS simhash FROM lanes), "
+        "blk AS (SELECT doc_id, simhash, b.block, "
+        "((simhash >> (b.block * 16)) & 65535) AS bval FROM sig CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 3)) AS block) b), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+        "a.simhash AS sig_a, c.simhash AS sig_b "
+        "FROM blk a JOIN blk c ON a.block = c.block AND a.bval = c.bval "
+        "AND a.doc_id < c.doc_id) "
+        "SELECT id_a, id_b, sig_a, sig_b, "
+        "CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2228,10 +2276,11 @@ QUERIES = {
     "embedding_neardups": q_embedding_neardups,
     "multimodal_features": q_multimodal_features,
     "convex_hull_groups": q_convex_hull_groups,
+    "simhash_neardups": q_simhash_neardups,
     # rows-only (Spark-xxhash64 / randomized-LSH — no SQL mirror exists;
     # each has pytest-asserted guarantees instead)
     "minhash_lsh_fast": q_minhash_lsh_fast,
-    "simhash_neardups": q_simhash_neardups,
+    "simhash_neardups_fast": q_simhash_neardups_fast,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "spatial_predicates": q_spatial_predicates,
@@ -2281,6 +2330,7 @@ ORACLES = {
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "minhash_lsh": _oracle_minhash_lsh(),
+    "simhash_neardups": _oracle_simhash_neardups(),
     "convex_hull_groups": ORACLE_CONVEX_HULL_GROUPS,
     "gml_decode": ORACLE_GML_DECODE,
     "gml_envelope": ORACLE_GML_ENVELOPE,
