@@ -719,6 +719,42 @@ ORACLE_REVENUE_BY_NATION = (
 )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization of the event stream: per-user session windows with
+    a 30-minute inactivity gap (Spark's session_window — the streaming-
+    capable sessionizer run in batch).  Oracle: the classic
+    gaps-and-islands construction (lag + cumulative session counter),
+    which is definitionally the same partitioning."""
+    ev = _read(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
+ORACLE_SESSION_WINDOWS = (
+    "WITH o AS (SELECT user_id, ts, value, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), "
+    "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
+    "OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) "
+    "SELECT user_id, min(ts) AS session_start, "
+    "max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM s GROUP BY user_id, sid"
+)
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = (
@@ -2252,6 +2288,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_running": q_window_running,
+    "session_windows": q_session_windows,
     "zonal_pairs": q_zonal_pairs,
     "zonal_stats": q_zonal_stats,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2318,6 +2355,7 @@ ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "window_running": ORACLE_WINDOW_RUNNING,
+    "session_windows": ORACLE_SESSION_WINDOWS,
     "zonal_pairs": ORACLE_ZONAL_PAIRS,
     "zonal_stats": ORACLE_ZONAL_STATS,
     "exact_dup_groups": ORACLE_EXACT_DUP_GROUPS,
