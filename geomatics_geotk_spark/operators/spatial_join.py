@@ -378,6 +378,100 @@ def spatial_join(
     return refined.drop("full", "exterior", "interiors")
 
 
+def dwithin_zone_join(
+    docs: DataFrame,
+    zones: DataFrame,
+    distance_m: float,
+    res: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """docs(points) within ``distance_m`` of polygon ZONES — the
+    geometry×geometry DWithin of the reference
+    (``TopologicalRelationships.java:149-179``): JTS ``nearestPoints``
+    witness pair + orthodromic distance, lifted to filter-and-refine:
+
+    1. zone side: covering cells of the polygon envelope EXPANDED by the
+       distance margin, each flagged full (cell inside the polygon ⇒
+       distance 0, refine skipped) — dimension-side prep, broadcast;
+    2. docs equi-join on cell_id;
+    3. refine (Arrow batch, grouped by zone): inside test, else the
+       planar nearest witness on the rings (vertex/segment projections —
+       exactly JTS DistanceOp's reduction) and the exact Vincenty
+       distance of the witness pair.
+
+    Returns doc columns… + zone_id + dist_m (0.0 for interior points).
+    """
+    spark = docs.sparkSession
+    if res is None:
+        res = cells.res_for_meters(max(distance_m, 500.0) * 4)
+
+    rows = zones.collect()  # dimension side (broadcast-style decision)
+    cell_rows = []
+    ring_map: dict[str, list[np.ndarray]] = {}
+    for row in rows:
+        rings = _zone_rings_lonlat(row)
+        ring_map[row["zone_id"]] = rings
+        xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
+        mlat = distance_m / 110_000.0  # conservative meridian degree
+        max_abs_lat = min(89.9, max(abs(ymin), abs(ymax)) + mlat)
+        mlon = distance_m / (111_320.0 * np.cos(np.deg2rad(max_abs_lat)))
+        carr = cells.cells_covering(xmin - mlon, ymin - mlat, xmax + mlon, ymax + mlat, res)
+        cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
+        corners_in = np.ones(len(carr), dtype=bool)
+        for gx, gy in ((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)):
+            corners_in &= geom_k.points_in_polygon(gx, gy, rings)
+        hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
+        full = corners_in & ~hits
+        for c, f in zip(carr.tolist(), full.tolist()):
+            cell_rows.append((int(c), row["zone_id"], bool(f)))
+    zone_cells = spark.createDataFrame(
+        cell_rows, "cell_id long, zone_id string, full boolean"
+    )
+    ring_bc = spark.sparkContext.broadcast(ring_map)
+
+    pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
+    cand = pts.join(F.broadcast(zone_cells), "cell_id", "inner")
+
+    from ..kernels import geodesic
+
+    @F.pandas_udf(T.DoubleType())
+    def zone_dist(lon: pd.Series, lat: pd.Series, zone_id: pd.Series,
+                  full: pd.Series) -> pd.Series:
+        rings_by_zone = ring_bc.value
+        lon_np = lon.to_numpy(dtype=np.float64)
+        lat_np = lat.to_numpy(dtype=np.float64)
+        out = np.full(len(lon_np), np.inf)
+        out[full.to_numpy(dtype=bool)] = 0.0
+        todo = np.nonzero(~full.to_numpy(dtype=bool))[0]
+        if len(todo):
+            codes, uniques = pd.factorize(zone_id.to_numpy()[todo])
+            for k, z in enumerate(uniques):
+                rings = rings_by_zone.get(z)
+                if rings is None:
+                    continue
+                m = todo[codes == k]
+                px, py = lon_np[m], lat_np[m]
+                inside = geom_k.points_in_polygon(px, py, rings)
+                best = np.full(len(m), np.inf)
+                bqx = np.zeros(len(m))
+                bqy = np.zeros(len(m))
+                for r in rings:
+                    d2, qx, qy = geom_k._nearest_on_segments(px, py, r[:-1], r[1:])
+                    better = d2 < best
+                    best = np.where(better, d2, best)
+                    bqx = np.where(better, qx, bqx)
+                    bqy = np.where(better, qy, bqy)
+                dist = geodesic.inverse(py, px, bqy, bqx)
+                out[m] = np.where(inside, 0.0, dist)
+        return pd.Series(out)
+
+    cand = cand.withColumn(
+        "dist_m", zone_dist(F.col(lon_col), F.col(lat_col), F.col("zone_id"), F.col("full"))
+    )
+    return cand.where(F.col("dist_m") < F.lit(distance_m)).drop("full")
+
+
 def beyond_join(
     docs: DataFrame,
     pois: DataFrame,

@@ -282,6 +282,51 @@ ORACLE_INTERLEAVED = (
 )
 
 
+def q_interleaved_gml_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with GML as the geometry encoding: the geo
+    span carries a gml:Point (EPSG:4326, lat lon axis order) instead of
+    WKT — decoded by the Arrow GML stage, axis-normalized, tiled, and
+    broadcast-pip-joined exactly like the WKT path.  Same oracle row set
+    as the WKT flagship: the encoding must not change a single match."""
+    from .sources.gml import gml_decode_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    lon = F.lit(-123.5) + ((k % 996 + 1) / F.lit(997.0))
+    lat = F.lit(49.0) + (((k * 7919 + 13) % 990 + 1) / F.lit(991.0))
+    gml_text = F.format_string(
+        f'<gml:Point xmlns:gml="{_GML_NS}" srsName="urn:ogc:def:crs:EPSG::4326">'
+        "<gml:pos>%s %s</gml:pos></gml:Point>",
+        lat.cast("string"), lon.cast("string"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), F.col("text").alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("geo").alias("kind"), gml_text.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(10).cast("int").alias("offset"),
+        ),
+    )
+    inter = docs.select(k.alias("doc_id"), spans.alias("spans"))
+    geo_text = F.element_at(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("geo")), 1
+    )["text"]
+    decoded = inter.withColumn("g", gml_decode_udf(geo_text))
+    # EPSG:4326 stores (lat, lon): first_x is latitude — axis-normalize
+    # (transformRingToRightHandedCS semantics) into lon/lat columns
+    pts = decoded.select(
+        "doc_id", "spans",
+        F.col("g.first_y").alias("lon"), F.col("g.first_x").alias("lat"),
+    )
+    tiled = spatial_join.tile_assign(pts, RES)
+    joined = spatial_join.spatial_join(
+        tiled, _grid_zones(spark), res=RES, strategy="broadcast"
+    )
+    return joined.select("doc_id", "zone_id", "cell_id")
+
+
 # ===========================================================================
 # 4. DWITHIN (haversine path) + kNN ranking  — SURVEY §2.1 DWithin, §2.6 topk
 # ===========================================================================
@@ -310,6 +355,46 @@ ORACLE_DWITHIN = (
     f"AS dist_m_r FROM pts CROSS JOIN {_POIS_SQL} "
     f"WHERE {_haversine_sql('lat', 'lon', 'poi_lat', 'poi_lon')} < {_DIST_M}"
 )
+
+
+def q_dwithin_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWITHIN against polygon ZONES (geometry×geometry — the reference's
+    real signature): nearest-witness on the zone boundary + exact Vincenty
+    distance, interior points at distance 0.  Oracle: for the rectangle
+    zones the planar nearest witness is the corner-clamp, and the Vincenty
+    chain replays in SQL."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    out = spatial_join.dwithin_zone_join(
+        pts, _shifted_zone_rects(spark), distance_m=5000.0
+    )
+    return out.select("doc_id", "zone_id", F.round("dist_m", 3).alias("dist_m_r"))
+
+
+def _oracle_dwithin_zones() -> str:
+    from .oracle_math import nest_levels, vincenty_inverse_levels
+
+    # cheap planar prefilter before the (expensive) Vincenty chain: any
+    # pair within 5000 m geodesic is within 0.05° lat / 0.075° lon at
+    # these latitudes — strictly conservative, so the row set is unchanged
+    src = (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+        f"z AS ({_ZRECT_SQL}), "
+        "c AS (SELECT doc_id, zone_id, lon, lat, "
+        "least(greatest(lon, zxmin), zxmax) AS wlon, "
+        "least(greatest(lat, zymin), zymax) AS wlat "
+        "FROM pts CROSS JOIN z) "
+        "SELECT * FROM c WHERE abs(lat - wlat) <= 0.05 AND abs(lon - wlon) <= 0.075"
+    )
+    inner = nest_levels(
+        src,
+        vincenty_inverse_levels("lat", "lon", "wlat", "wlon", "_zd"),
+        ["doc_id", "zone_id", "_zd"],
+        cte_prefix="_dz",
+    )
+    return (
+        f"SELECT doc_id, zone_id, round(_zd, 3) AS dist_m_r FROM ({inner}) "
+        f"WHERE _zd < 5000.0"
+    )
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2271,6 +2356,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "pip_convex": q_pip_convex,
     "interleaved_tile_pip": q_interleaved_tile_pip,
+    "interleaved_gml_pip": q_interleaved_gml_pip,
     "dwithin": q_dwithin,
     "knn": q_knn,
     "envelope_agg": q_envelope_agg,
@@ -2304,6 +2390,7 @@ QUERIES = {
     "create_envelope_parse": q_create_envelope_parse,
     "beyond": q_beyond,
     "dwithin_exact": q_dwithin_exact,
+    "dwithin_zones": q_dwithin_zones,
     "knn_cellring": q_knn_cellring,
     "geodesic_destination": q_geodesic_destination,
     "crs_roundtrip_utm": q_crs_roundtrip_utm,
@@ -2338,6 +2425,8 @@ ORACLES = {
     "tile_assign": ORACLE_TILE_ASSIGN,
     "pip_convex": ORACLE_PIP_CONVEX,
     "interleaved_tile_pip": ORACLE_INTERLEAVED,
+    # GML-encoded flagship must produce the identical match set
+    "interleaved_gml_pip": ORACLE_INTERLEAVED,
     "dwithin": ORACLE_DWITHIN,
     "knn": ORACLE_KNN,
     "envelope_agg": ORACLE_ENVELOPE_AGG,
@@ -2376,6 +2465,7 @@ ORACLES = {
     "create_envelope_parse": ORACLE_CREATE_ENVELOPE_PARSE,
     "beyond": _oracle_beyond(),
     "dwithin_exact": _oracle_dwithin_exact(),
+    "dwithin_zones": _oracle_dwithin_zones(),
     "knn_cellring": _oracle_knn_cellring(),
     "geodesic_destination": _oracle_geodesic_destination(),
     "crs_roundtrip_utm": _oracle_crs_roundtrip_utm(),
