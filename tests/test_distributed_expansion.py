@@ -108,3 +108,41 @@ def test_spatial_join_same_rows_both_preps(spark):
     b = {(r["doc_id"], r["zone_id"]) for r in pd_path.select("doc_id", "zone_id").collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_dwithin_zone_join_vs_brute_force_pentagon(spark):
+    """Geometry×geometry DWITHIN against a non-rectangular (pentagon)
+    zone: the cell-prefiltered operator must reproduce the numpy brute
+    force exactly — witness on the nearest boundary segment, Vincenty of
+    the witness pair, interior points at distance 0."""
+    import numpy as np
+    from geomatics_geotk_spark.kernels import geometry as geom_k
+
+    pentagon = [
+        (-123.4, 49.1), (-122.9, 49.05), (-122.6, 49.4),
+        (-122.9, 49.9), (-123.35, 49.7), (-123.4, 49.1),
+    ]
+    zones = spark.createDataFrame(
+        [("pent", "CRS:84", pentagon, [])],
+        "zone_id string, crs string, exterior array<struct<x:double,y:double>>, "
+        "interiors array<array<struct<x:double,y:double>>>",
+    )
+    docs = sj.decode_geo_spans(synth_documents(spark, 600)).select("doc_id", "lon", "lat")
+    dist = 6000.0
+    out = sj.dwithin_zone_join(docs, zones, distance_m=dist)
+    got = {(r["doc_id"], round(r["dist_m"], 6)) for r in out.collect()}
+
+    d = docs.toPandas()
+    ring = np.array(pentagon, dtype=np.float64)
+    px, py = d["lon"].to_numpy(), d["lat"].to_numpy()
+    inside = geom_k.points_in_polygon(px, py, [ring])
+    d2, qx, qy = geom_k._nearest_on_segments(px, py, ring[:-1], ring[1:])
+    vd = geodesic.inverse(py, px, qy, qx)
+    vd = np.where(inside, 0.0, vd)
+    want = {
+        (d["doc_id"].iloc[i], round(float(vd[i]), 6))
+        for i in np.nonzero(vd < dist)[0]
+    }
+    assert got == want
+    assert any(v == 0.0 for _, v in got)  # interior points present
+    assert any(v > 0.0 for _, v in got)   # exterior-but-near points present
