@@ -397,6 +397,47 @@ def _oracle_dwithin_zones() -> str:
     )
 
 
+def q_beyond_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND against polygon zones: docs farther than d from EVERY zone
+    (isBeyond over geometry×geometry, TopologicalRelationships.java:
+    194-196) — the anti-join of dwithin_zones."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    # a sparse diagonal of zones, so "beyond every zone" is non-trivial
+    zones = _shifted_zone_rects(spark).where(
+        F.col("zone_id").isin("zr-0-0", "zr-1-1", "zr-2-2", "zr-3-3", "zr-4-4")
+    )
+    near = spatial_join.dwithin_zone_join(pts, zones, distance_m=5000.0)
+    return pts.join(near.select("doc_id").distinct(), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+
+
+def _oracle_beyond_zones() -> str:
+    from .oracle_math import nest_levels, vincenty_inverse_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+        f"z AS (SELECT * FROM ({_ZRECT_SQL}) WHERE zone_id IN "
+        "('zr-0-0', 'zr-1-1', 'zr-2-2', 'zr-3-3', 'zr-4-4')), "
+        "c AS (SELECT doc_id, zone_id, lon, lat, "
+        "least(greatest(lon, zxmin), zxmax) AS wlon, "
+        "least(greatest(lat, zymin), zymax) AS wlat "
+        "FROM pts CROSS JOIN z) "
+        "SELECT * FROM c WHERE abs(lat - wlat) <= 0.05 AND abs(lon - wlon) <= 0.075"
+    )
+    near = nest_levels(
+        src,
+        vincenty_inverse_levels("lat", "lon", "wlat", "wlon", "_bd"),
+        ["doc_id", "_bd"],
+        cte_prefix="_bz",
+    )
+    return (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+        f"SELECT doc_id FROM pts WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM ({near}) WHERE _bd < 5000.0)"
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
     cand = pts.crossJoin(F.broadcast(_pois_df(spark)))
@@ -2391,6 +2432,7 @@ QUERIES = {
     "beyond": q_beyond,
     "dwithin_exact": q_dwithin_exact,
     "dwithin_zones": q_dwithin_zones,
+    "beyond_zones": q_beyond_zones,
     "knn_cellring": q_knn_cellring,
     "geodesic_destination": q_geodesic_destination,
     "crs_roundtrip_utm": q_crs_roundtrip_utm,
@@ -2466,6 +2508,7 @@ ORACLES = {
     "beyond": _oracle_beyond(),
     "dwithin_exact": _oracle_dwithin_exact(),
     "dwithin_zones": _oracle_dwithin_zones(),
+    "beyond_zones": _oracle_beyond_zones(),
     "knn_cellring": _oracle_knn_cellring(),
     "geodesic_destination": _oracle_geodesic_destination(),
     "crs_roundtrip_utm": _oracle_crs_roundtrip_utm(),

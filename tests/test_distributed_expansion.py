@@ -146,3 +146,30 @@ def test_dwithin_zone_join_vs_brute_force_pentagon(spark):
     assert got == want
     assert any(v == 0.0 for _, v in got)  # interior points present
     assert any(v > 0.0 for _, v in got)   # exterior-but-near points present
+
+
+def test_spatial_join_shuffle_2000_zones(spark):
+    """Shuffle strategy with a large-ish zone side (2000 rects) prepared
+    fully distributed — identical match set to the broadcast path."""
+    n = 2000
+    zones = spark.range(n).select(
+        F.format_string("zz-%04d", F.col("id")).alias("zone_id"),
+        F.lit("CRS:84").alias("crs"),
+        F.transform(
+            F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+            lambda i: F.struct(
+                (F.lit(-123.5) + (F.col("id") % 50) * F.lit(0.02)
+                 + F.when(i.isin(1, 2), F.lit(0.018)).otherwise(F.lit(0.0))).alias("x"),
+                (F.lit(49.0) + F.floor(F.col("id") / 50) * F.lit(0.024)
+                 + F.when(i.isin(2, 3), F.lit(0.02)).otherwise(F.lit(0.0))).alias("y"),
+            ),
+        ).alias("exterior"),
+        F.array().cast("array<array<struct<x:double,y:double>>>").alias("interiors"),
+    )
+    docs = sj.tile_assign(sj.decode_geo_spans(synth_documents(spark, 2000)), 12)
+    bc = sj.spatial_join(docs, zones, res=12, strategy="broadcast")
+    sh = sj.spatial_join(docs, zones, res=12, strategy="shuffle")
+    a = {(r["doc_id"], r["zone_id"]) for r in bc.select("doc_id", "zone_id").collect()}
+    b = {(r["doc_id"], r["zone_id"]) for r in sh.select("doc_id", "zone_id").collect()}
+    assert a == b
+    assert len(a) > 500  # dense tiling: most docs land in a zone
