@@ -466,6 +466,10 @@ def dwithin_zone_join(
                 out[m] = np.where(inside, 0.0, dist)
         return pd.Series(out)
 
+    # single-eval barrier: the refine column feeds BOTH the filter and the
+    # output; without this Catalyst inlines the (expensive) Arrow UDF into
+    # each consumer and evaluates it twice per candidate
+    zone_dist = zone_dist.asNondeterministic()
     cand = cand.withColumn(
         "dist_m", zone_dist(F.col(lon_col), F.col(lat_col), F.col("zone_id"), F.col("full"))
     )
@@ -575,6 +579,10 @@ def dwithin_join(
             )
         )
 
+    # single-eval barrier: dist_m feeds both the filter and downstream
+    # projections — without this Catalyst inlines the Arrow UDF into each
+    # consumer and runs the Vincenty refine twice per candidate
+    geo_dist = geo_dist.asNondeterministic()
     return cand.withColumn(
         "dist_m", geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon"))
     ).where(F.col("dist_m") < F.lit(distance_m))
