@@ -2000,6 +2000,40 @@ ORACLE_GEOMETRY_JOIN_POLYS = (
 )
 
 
+def q_geometry_join_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join under CROSSES (interiors intersect in lower
+    dimension, TopologicalRelationships.java:83-85): the per-customer
+    segments vs the rectangle zones.  For a 2-vertex segment the kernel's
+    vertex-granularity rule is: one endpoint strictly inside AND one not
+    — exactly mirrorable with strict point-in-rect tests."""
+    from .operators.geometry_join import geometry_join
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "LINESTRING (%s %s, %s %s)",
+            F.col("lon").cast("string"), F.col("lat").cast("string"),
+            (F.col("lon") + F.lit(0.07)).cast("string"),
+            (F.col("lat") + F.lit(0.05)).cast("string"),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "crosses", res=10)
+
+
+ORACLE_GEOMETRY_JOIN_CROSSES = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+    "seg AS (SELECT doc_id, lon AS x1, lat AS y1, lon + 0.07 AS x2, "
+    "lat + 0.05 AS y2 FROM pts), "
+    f"z AS ({_ZRECT_SQL}), "
+    "t AS (SELECT doc_id, zone_id, "
+    "(x1 > zxmin AND x1 < zxmax AND y1 > zymin AND y1 < zymax) AS in1, "
+    "(x2 > zxmin AND x2 < zxmax AND y2 > zymin AND y2 < zymax) AS in2 "
+    "FROM seg CROSS JOIN z) "
+    "SELECT doc_id, zone_id FROM t WHERE (in1 OR in2) AND NOT (in1 AND in2)"
+)
+
+
 def q_geometry_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-geometry join under WITHIN (g1 ⊆ g2,
     TopologicalRelationships.java:77-79): small per-customer boxes fully
@@ -2457,6 +2491,7 @@ QUERIES = {
     "geometry_join_lines": q_geometry_join_lines,
     "geometry_join_polys": q_geometry_join_polys,
     "geometry_join_within": q_geometry_join_within,
+    "geometry_join_crosses": q_geometry_join_crosses,
     "cell_histogram": q_cell_histogram,
     "skew_report": q_skew_report,
     # span-sequence invariant: must be the empty set (oracle = empty)
@@ -2522,6 +2557,7 @@ ORACLES = {
     "geometry_join_lines": ORACLE_GEOMETRY_JOIN_LINES,
     "geometry_join_polys": ORACLE_GEOMETRY_JOIN_POLYS,
     "geometry_join_within": ORACLE_GEOMETRY_JOIN_WITHIN,
+    "geometry_join_crosses": ORACLE_GEOMETRY_JOIN_CROSSES,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "span_invariant": ORACLE_SPAN_INVARIANT,
