@@ -2309,6 +2309,58 @@ ORACLE_GML_ENVELOPE = (
 )
 
 
+def q_gml_arc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gml:Curve with an ArcByCenterPoint segment through the full GML
+    scan stage: the decoder must densify the arc to TOTAL_ARC_POINTS via
+    the geodesic direct kernel (GmlUtils.java:98-128; UCUM NM radius,
+    4326 lat,lon axis order).  Oracle: the Vincenty direct chain at the
+    start/end swept angles."""
+    from .sources.gml import decode_gml
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    radius_nm = (F.col("doc_id") % 20 + 1).cast("double")
+    xml = F.format_string(
+        f'<gml:Curve xmlns:gml="{_GML_NS}" srsName="urn:ogc:def:crs:EPSG::4326">'
+        "<gml:segments><gml:ArcByCenterPoint numArc=\"1\">"
+        "<gml:pos>%s %s</gml:pos>"
+        "<gml:radius uom=\"NM\">%s</gml:radius>"
+        "<gml:startAngle uom=\"deg\">30.0</gml:startAngle>"
+        "<gml:endAngle uom=\"deg\">210.0</gml:endAngle>"
+        "</gml:ArcByCenterPoint></gml:segments></gml:Curve>",
+        F.col("lat").cast("string"), F.col("lon").cast("string"),
+        radius_nm.cast("string"),
+    )
+    out = decode_gml(pts.select("doc_id", xml.alias("xml")))
+    return out.select(
+        "doc_id",
+        F.col("geom.n_points").cast("long").alias("n_points"),
+        F.round(F.col("geom.first_x"), 7).alias("first_lat"),
+        F.round(F.col("geom.first_y"), 7).alias("first_lon"),
+        F.round(F.col("geom.last_x"), 7).alias("last_lat"),
+        F.round(F.col("geom.last_y"), 7).alias("last_lon"),
+    )
+
+
+def _oracle_gml_arc_decode() -> str:
+    from .oracle_math import nest_levels, vincenty_direct_levels
+
+    src = (
+        f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}) "
+        "SELECT doc_id, lon, lat, "
+        "CAST(doc_id % 20 + 1 AS DOUBLE) * 1852.0 AS radius_m FROM pts"
+    )
+    levels = []
+    levels += vincenty_direct_levels("lat", "lon", "30.0", "radius_m", "_f_la", "_f_lo", "_ga")
+    levels += vincenty_direct_levels("lat", "lon", "210.0", "radius_m", "_l_la", "_l_lo", "_gb")
+    return nest_levels(
+        src, levels,
+        ["doc_id", "CAST(5 AS BIGINT) AS n_points",
+         "round(_f_la, 7) AS first_lat", "round(_f_lo, 7) AS first_lon",
+         "round(_l_la, 7) AS last_lat", "round(_l_lo, 7) AS last_lon"],
+        cte_prefix="_gad",
+    )
+
+
 _SEG_TYPES = [
     "LineStringSegment", "GeodesicString", "ArcByCenterPoint",
     "CircleByCenterPoint", "ArcString", "Arc", "Circle",
@@ -2461,6 +2513,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "gml_decode": q_gml_decode,
     "gml_envelope": q_gml_envelope,
+    "gml_arc_decode": q_gml_arc_decode,
     "min_curve_segment_length": q_min_curve_segment_length,
     "create_envelope_parse": q_create_envelope_parse,
     "beyond": q_beyond,
@@ -2538,6 +2591,7 @@ ORACLES = {
     "convex_hull_groups": ORACLE_CONVEX_HULL_GROUPS,
     "gml_decode": ORACLE_GML_DECODE,
     "gml_envelope": ORACLE_GML_ENVELOPE,
+    "gml_arc_decode": _oracle_gml_arc_decode(),
     "min_curve_segment_length": ORACLE_MIN_CURVE_SEGMENT_LENGTH,
     "create_envelope_parse": ORACLE_CREATE_ENVELOPE_PARSE,
     "beyond": _oracle_beyond(),
