@@ -2068,6 +2068,43 @@ ORACLE_GEOMETRY_JOIN_WITHIN = (
 )
 
 
+def q_geometry_join_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join under EQUALS (topological equality,
+    TopologicalRelationships.java:89-91): every 40th customer doc carries
+    a polygon BIT-IDENTICAL to one grid zone (same IEEE arithmetic on
+    both sides; WKT round-trips losslessly), everyone else a translated
+    box — the normalized-ring comparison must match exactly the planted
+    docs to exactly their zones."""
+    from .operators.geometry_join import geometry_join
+
+    d = F.col("doc_id")
+    k = F.floor(d / 40)
+    i = (k % 6).cast("double")
+    j = (F.floor(k / 6) % 6).cast("double")
+    planted = d % 40 == 0
+    x0 = F.lit(-123.47) + i * F.lit(0.16) + F.when(planted, F.lit(0.0)).otherwise(F.lit(0.01))
+    y0 = F.lit(49.03) + j * F.lit(0.16) + F.when(planted, F.lit(0.0)).otherwise(F.lit(0.01))
+    x1, y1 = x0 + F.lit(0.16), y0 + F.lit(0.16)
+    s = lambda c: c.cast("string")  # noqa: E731
+    pts = _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("doc_id"))
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            s(x0), s(y0), s(x1), s(y0), s(x1), s(y1), s(x0), s(y1), s(x0), s(y0),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "equals_topo", res=10)
+
+
+ORACLE_GEOMETRY_JOIN_EQUALS = (
+    "SELECT c_custkey AS doc_id, "
+    "'zr-' || CAST(CAST(floor(c_custkey / 40) AS BIGINT) % 6 AS VARCHAR) || '-' || "
+    "CAST(CAST(floor(floor(c_custkey / 40) / 6) AS BIGINT) % 6 AS VARCHAR) AS zone_id "
+    "FROM customer WHERE c_custkey % 40 = 0"
+)
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy histogram — the skew-detection aggregation that
     feeds the hot-cell salting policy (one exchange, map-side partials)."""
@@ -2545,6 +2582,7 @@ QUERIES = {
     "geometry_join_polys": q_geometry_join_polys,
     "geometry_join_within": q_geometry_join_within,
     "geometry_join_crosses": q_geometry_join_crosses,
+    "geometry_join_equals": q_geometry_join_equals,
     "cell_histogram": q_cell_histogram,
     "skew_report": q_skew_report,
     # span-sequence invariant: must be the empty set (oracle = empty)
@@ -2612,6 +2650,7 @@ ORACLES = {
     "geometry_join_polys": ORACLE_GEOMETRY_JOIN_POLYS,
     "geometry_join_within": ORACLE_GEOMETRY_JOIN_WITHIN,
     "geometry_join_crosses": ORACLE_GEOMETRY_JOIN_CROSSES,
+    "geometry_join_equals": ORACLE_GEOMETRY_JOIN_EQUALS,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "span_invariant": ORACLE_SPAN_INVARIANT,
