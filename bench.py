@@ -108,13 +108,24 @@ def main() -> None:
         spark.stop()
         return
 
+    # Per-query protocol: 1 untimed warm-up + best of 2 timed passes.
+    # The r2→r3 controlled A/B (scripts/ab_bench.py, AB_BENCH.json) showed
+    # the single-cold-pass protocol measured session/host noise, not the
+    # engine: identical queries ran 2-4x slower on their first execution
+    # of a session (JIT, Python-worker spin-up, page cache) and the
+    # "regression" in BENCH_r02.json disappeared on any warm re-run.
+    timed_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = q.QUERIES[name]
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        _force(df)
-        timings[name] = round(time.time() - t0, 3)
+        _force(fn(spark, sf_dir))  # warm-up (untimed)
+        best = float("inf")
+        for _ in range(timed_passes):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            _force(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     flagship(spark, n_docs)  # warm-up (JIT + page cache)
     docs_per_sec = max(flagship(spark, n_docs) for _ in range(2))

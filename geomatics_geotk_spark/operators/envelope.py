@@ -88,8 +88,10 @@ def coalesce_boxes_cross_crs(df: DataFrame, group_col: str = "grp",
     def reproject(crs: pd.Series, anchor: pd.Series, x1: pd.Series, y1: pd.Series,
                   x2: pd.Series, y2: pd.Series) -> pd.DataFrame:
         n = len(crs)
-        tx1 = np.empty(n); ty1 = np.empty(n)
-        tx2 = np.empty(n); ty2 = np.empty(n)
+        # NaN-init: rows dropped by the groupby (null src/dst CRS) must
+        # surface as NaN in the aggregate, not as uninitialized memory
+        tx1 = np.full(n, np.nan); ty1 = np.full(n, np.nan)
+        tx2 = np.full(n, np.nan); ty2 = np.full(n, np.nan)
         pairs = pd.DataFrame({"src": crs, "dst": anchor})
         for (src, dst), idx in pairs.groupby(["src", "dst"]).groups.items():
             i = np.asarray(idx)

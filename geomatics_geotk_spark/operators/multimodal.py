@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
     "doc_id string, media_ref string, media_kind string, "
-    "n_bytes long, content_hash string, width int, height int, duration_s double"
+    "n_bytes long, content_hash string, oracle_hash string, "
+    "width int, height int, duration_s double"
 )
 
 FEATURE_SCHEMA = "doc_id string, media_ref string, feature array<float>, decode_ok boolean"
@@ -68,24 +69,38 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
-                # hash of the HEX of the payload: same fingerprint quality,
-                # and mirrorable in the DuckDB oracle (whose sha256 only
-                # accepts VARCHAR) — sha256(repeat(sha256(ref), 4))
-                h = hashlib.sha256(payload.hex().encode()).hexdigest()
-                seed = int(h[:8], 16)
-                rows.append({
-                    "doc_id": doc_id,
-                    "media_ref": ref,
-                    "media_kind": ["image", "audio", "video"][seed % 3],
-                    "n_bytes": len(payload),
-                    "content_hash": h,
-                    "width": 64 + seed % 1920,
-                    "height": 64 + (seed >> 8) % 1080,
-                    "duration_s": float(seed % 600) / 10.0,
-                })
+                rows.append(_meta_row(doc_id, ref, payload))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
+
+
+def _meta_row(doc_id, ref, payload: bytes) -> dict:
+    """One metadata row from a payload.
+
+    ``content_hash`` is sha256 of the PAYLOAD BYTES — the real content
+    address, matching any external sha256 of the media (ADVICE r2: the
+    hex-domain variant silently broke content addressing).
+    ``oracle_hash`` is sha256 of the payload's HEX — fingerprint-
+    equivalent but expressible in the DuckDB oracle, whose sha256 only
+    accepts VARCHAR: sha256(repeat(sha256(ref), 4)).  The fake-decoder
+    seed derives from oracle_hash so width/height/duration stay
+    SQL-mirrorable.
+    """
+    h_bytes = hashlib.sha256(payload).hexdigest()
+    h_hex = hashlib.sha256(payload.hex().encode()).hexdigest()
+    seed = int(h_hex[:8], 16)
+    return {
+        "doc_id": doc_id,
+        "media_ref": ref,
+        "media_kind": ["image", "audio", "video"][seed % 3],
+        "n_bytes": len(payload),
+        "content_hash": h_bytes,
+        "oracle_hash": h_hex,
+        "width": 64 + seed % 1920,
+        "height": 64 + (seed >> 8) % 1080,
+        "duration_s": float(seed % 600) / 10.0,
+    }
 
 
 def decode_image(payload: bytes):  # pragma: no cover - real-codec seam
@@ -141,18 +156,7 @@ def media_pipeline(docs: DataFrame, fused: bool = True) -> DataFrame:
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
                 payload = hashlib.sha256(ref.encode()).digest() * 4
-                h = hashlib.sha256(payload.hex().encode()).hexdigest()
-                seed = int(h[:8], 16)
-                rows.append({
-                    "doc_id": doc_id,
-                    "media_ref": ref,
-                    "media_kind": ["image", "audio", "video"][seed % 3],
-                    "n_bytes": len(payload),
-                    "content_hash": h,
-                    "width": 64 + seed % 1920,
-                    "height": 64 + (seed >> 8) % 1080,
-                    "duration_s": float(seed % 600) / 10.0,
-                })
+                rows.append(_meta_row(doc_id, ref, payload))
             yield pd.DataFrame(rows)
 
     return spans.mapInPandas(gen, schema=MEDIA_META_SCHEMA)

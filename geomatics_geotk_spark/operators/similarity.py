@@ -126,7 +126,8 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     explode is pipelined map-side.  Candidate pairs are deduped before
     the cosine so each pair is scored once.  Measured recall on the
     driver embeddings (weak neighbors, cos≈0.3): ≥0.9 at b=4/t=16 — see
-    tests/test_similarity_recall.py, which asserts it stays there.  For
+    test_ann_lsh_recall in tests/test_operators_spark.py, which asserts
+    it stays there.  For
     corpora where even t·n/2^b candidates is too much (very weak
     similarity at 10^9 rows), use :func:`ann_topk_ivf`.
     """

@@ -116,12 +116,25 @@ def _segs_hit_boxes(rings: list[np.ndarray], x0, y0, x1, y1) -> np.ndarray:
     return hit
 
 
-def _classify_zone_cells(rings: list[np.ndarray], res: int):
+def _classify_zone_cells(rings: list[np.ndarray], res: int, margin_m: float = 0.0):
     """Covering cells of a polygon with full/partial classification —
     vectorized numpy over (cells × ring segments).  Returns
-    (kept_cell_ids, full_mask) arrays."""
+    (kept_cell_ids, full_mask) arrays.
+
+    With ``margin_m`` > 0 the covering box expands by the distance margin
+    (conservative meridian/parallel degrees) and EVERY cell in the
+    expanded box is kept — the DWithin candidate disk, where cells not
+    touching the polygon are still within reach of it.  full = cell
+    entirely inside the polygon (distance 0; refine skipped).
+    """
     xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
-    carr = cells.cells_covering(xmin, ymin, xmax, ymax, res)
+    if margin_m > 0.0:
+        mlat = margin_m / 110_000.0  # conservative meridian degree
+        max_abs_lat = min(89.9, max(abs(ymin), abs(ymax)) + mlat)
+        mlon = margin_m / (111_320.0 * np.cos(np.deg2rad(max_abs_lat)))
+        carr = cells.cells_covering(xmin - mlon, ymin - mlat, xmax + mlon, ymax + mlat, res)
+    else:
+        carr = cells.cells_covering(xmin, ymin, xmax, ymax, res)
     cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
     corners_in = np.ones(len(carr), dtype=bool)
     corners_any = np.zeros(len(carr), dtype=bool)
@@ -130,9 +143,11 @@ def _classify_zone_cells(rings: list[np.ndarray], res: int):
         corners_in &= c_in
         corners_any |= c_in
     hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
+    full_mask = corners_in & ~hits
+    if margin_m > 0.0:
+        return carr, full_mask
     fx, fy = rings[0][0, 0], rings[0][0, 1]
     first_in = (fx >= cx0) & (fx <= cx1) & (fy >= cy0) & (fy <= cy1)
-    full_mask = corners_in & ~hits
     keep = full_mask | corners_any | hits | first_in
     return carr[keep], full_mask[keep]
 
@@ -185,14 +200,18 @@ _ZPREP_SCHEMA = T.StructType([
 ])
 
 
-def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    """zone_cells(cell_id, zone_id, full, exterior, interiors) computed
-    ZONE-PARALLEL: CRS harmonization + covering-cell classification run
-    inside a pandas UDF on the executors, then the cell list explodes as
-    Column ops.  The driver never materializes a zone or a cell — this is
-    the true large-zone-side path (10^6 zones is just more partitions),
-    and the identical row set to :func:`prepare_zones` (same kernels,
-    cross-checked in tests/test_distributed_expansion.py).
+def prep_zone_struct(zones: DataFrame, res: int = DEFAULT_RES,
+                     margin_m: float = 0.0) -> DataFrame:
+    """(zone_id, _z(exterior, interiors, cells)) computed ZONE-PARALLEL:
+    CRS harmonization + covering-cell classification inside a pandas UDF
+    on the executors.  The driver never materializes a zone or a cell —
+    10^6 zones is just more partitions.  ``margin_m`` expands the covering
+    cells by a distance margin (the DWithin candidate disk).
+
+    Downstream shapes: explode ``_z.cells`` for the cell equi-join;
+    project ``_z.exterior``/``_z.interiors`` for a (zone_id → rings)
+    attach join — rings reach the refine on join rows, never via a
+    driver-built broadcast dict.
     """
 
     @F.pandas_udf(_ZPREP_SCHEMA)
@@ -201,7 +220,7 @@ def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataF
         for ext, ints, c in zip(exterior, interiors, crs):
             row = {"exterior": ext, "interiors": ints, "crs": c}
             rings = _zone_rings_lonlat(row)
-            kept, full_mask = _classify_zone_cells(rings, res)
+            kept, full_mask = _classify_zone_cells(rings, res, margin_m)
             out.append({
                 "exterior": [{"x": float(x), "y": float(y)} for x, y in rings[0]],
                 "interiors": [
@@ -214,7 +233,17 @@ def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataF
             })
         return pd.DataFrame(out)
 
-    z = zones.withColumn("_z", prep("exterior", "interiors", "crs"))
+    return zones.withColumn("_z", prep("exterior", "interiors", "crs"))
+
+
+def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """zone_cells(cell_id, zone_id, full, exterior, interiors) computed
+    ZONE-PARALLEL (:func:`prep_zone_struct`) then exploded as Column ops —
+    the identical row set to :func:`prepare_zones` (same kernels,
+    cross-checked in tests/test_distributed_expansion.py).  Rings ride on
+    partial-cell rows; full cells carry empty rings (refine skipped).
+    """
+    z = prep_zone_struct(zones, res)
     c = z.select(
         "zone_id",
         F.col("_z.exterior").alias("_ext"),
@@ -230,6 +259,16 @@ def prepare_zones_distributed(zones: DataFrame, res: int = DEFAULT_RES) -> DataF
         F.when(F.col("_c.full"), empty_ext).otherwise(F.col("_ext")).alias("exterior"),
         F.when(F.col("_c.full"), empty_int).otherwise(F.col("_int")).alias("interiors"),
     )
+
+
+def _rings_from_row(ext, ints) -> list[np.ndarray]:
+    """Arrow-decoded ring columns (list of {x,y} structs / list of lists)
+    → [exterior, *interiors] as (n,2) float64 arrays, for refine UDFs
+    that receive zone rings ON THE JOIN ROW instead of a broadcast dict."""
+    rings = [np.array([[p["x"], p["y"]] for p in ext], dtype=np.float64)]
+    for hole in (ints if ints is not None else []):
+        rings.append(np.array([[p["x"], p["y"]] for p in hole], dtype=np.float64))
+    return rings
 
 
 def _pip_refine_udf(ring_map_bc):
@@ -385,6 +424,7 @@ def dwithin_zone_join(
     res: int | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """docs(points) within ``distance_m`` of polygon ZONES — the
     geometry×geometry DWithin of the reference
@@ -401,44 +441,41 @@ def dwithin_zone_join(
        distance of the witness pair.
 
     Returns doc columns… + zone_id + dist_m (0.0 for interior points).
+
+    Zone prep is FULLY DISTRIBUTED (:func:`prep_zone_struct` — pandas UDF
+    per zone, margin-expanded covering cells, Column explode): the driver
+    never collects a zone, so a 10^6-zone side is just more partitions
+    (r2 verdict item 2; the old driver-side ``zones.collect()`` + ring
+    dict broadcast is gone).  Rings reach the refine ON JOIN ROWS via a
+    (zone_id → rings) attach join.  ``strategy='broadcast'`` broadcasts
+    the cell and ring tables (dimension-sized zone sets); ``'shuffle'``
+    hash-partitions both joins on their keys for zone sides too large to
+    broadcast.
     """
-    spark = docs.sparkSession
     if res is None:
         res = cells.res_for_meters(max(distance_m, 500.0) * 4)
 
-    rows = zones.collect()  # dimension side (broadcast-style decision)
-    cell_rows = []
-    ring_map: dict[str, list[np.ndarray]] = {}
-    for row in rows:
-        rings = _zone_rings_lonlat(row)
-        ring_map[row["zone_id"]] = rings
-        xmin, ymin, xmax, ymax = geom_k.envelope_of(rings)
-        mlat = distance_m / 110_000.0  # conservative meridian degree
-        max_abs_lat = min(89.9, max(abs(ymin), abs(ymax)) + mlat)
-        mlon = distance_m / (111_320.0 * np.cos(np.deg2rad(max_abs_lat)))
-        carr = cells.cells_covering(xmin - mlon, ymin - mlat, xmax + mlon, ymax + mlat, res)
-        cx0, cy0, cx1, cy1 = cells.cell_bounds_many(carr)
-        corners_in = np.ones(len(carr), dtype=bool)
-        for gx, gy in ((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1)):
-            corners_in &= geom_k.points_in_polygon(gx, gy, rings)
-        hits = _segs_hit_boxes(rings, cx0, cy0, cx1, cy1)
-        full = corners_in & ~hits
-        for c, f in zip(carr.tolist(), full.tolist()):
-            cell_rows.append((int(c), row["zone_id"], bool(f)))
-    zone_cells = spark.createDataFrame(
-        cell_rows, "cell_id long, zone_id string, full boolean"
+    z = prep_zone_struct(zones, res, margin_m=distance_m)
+    zone_cells = z.select(
+        "zone_id", F.explode("_z.cells").alias("_c")
+    ).select(F.col("_c.cell_id").alias("cell_id"), "zone_id", F.col("_c.full").alias("full"))
+    zone_rings = z.select(
+        "zone_id",
+        F.col("_z.exterior").alias("_zext"),
+        F.col("_z.interiors").alias("_zint"),
     )
-    ring_bc = spark.sparkContext.broadcast(ring_map)
+    if strategy == "broadcast":
+        zone_cells = F.broadcast(zone_cells)
+        zone_rings = F.broadcast(zone_rings)
 
     pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
-    cand = pts.join(F.broadcast(zone_cells), "cell_id", "inner")
+    cand = pts.join(zone_cells, "cell_id", "inner").join(zone_rings, "zone_id", "inner")
 
     from ..kernels import geodesic
 
     @F.pandas_udf(T.DoubleType())
     def zone_dist(lon: pd.Series, lat: pd.Series, zone_id: pd.Series,
-                  full: pd.Series) -> pd.Series:
-        rings_by_zone = ring_bc.value
+                  full: pd.Series, zext: pd.Series, zint: pd.Series) -> pd.Series:
         lon_np = lon.to_numpy(dtype=np.float64)
         lat_np = lat.to_numpy(dtype=np.float64)
         out = np.full(len(lon_np), np.inf)
@@ -446,11 +483,9 @@ def dwithin_zone_join(
         todo = np.nonzero(~full.to_numpy(dtype=bool))[0]
         if len(todo):
             codes, uniques = pd.factorize(zone_id.to_numpy()[todo])
-            for k, z in enumerate(uniques):
-                rings = rings_by_zone.get(z)
-                if rings is None:
-                    continue
+            for k in range(len(uniques)):
                 m = todo[codes == k]
+                rings = _rings_from_row(zext.iloc[m[0]], zint.iloc[m[0]])
                 px, py = lon_np[m], lat_np[m]
                 inside = geom_k.points_in_polygon(px, py, rings)
                 best = np.full(len(m), np.inf)
@@ -471,9 +506,11 @@ def dwithin_zone_join(
     # each consumer and evaluates it twice per candidate
     zone_dist = zone_dist.asNondeterministic()
     cand = cand.withColumn(
-        "dist_m", zone_dist(F.col(lon_col), F.col(lat_col), F.col("zone_id"), F.col("full"))
+        "dist_m",
+        zone_dist(F.col(lon_col), F.col(lat_col), F.col("zone_id"),
+                  F.col("full"), F.col("_zext"), F.col("_zint")),
     )
-    return cand.where(F.col("dist_m") < F.lit(distance_m)).drop("full")
+    return cand.where(F.col("dist_m") < F.lit(distance_m)).drop("full", "_zext", "_zint")
 
 
 def beyond_join(

@@ -191,7 +191,10 @@ def vincenty_direct_levels(lat1: str, lon1: str, az: str, dist: str,
         ],
         [
             (f"{p}_cu1", f"1.0 / sqrt(1.0 + {p}_tu1 * {p}_tu1)"),
-            (f"{p}_sg1", f"atan2({p}_tu1, {p}_ca1)"),
+            # sigma1 — named _sig1, NOT _sg1, so the i=1 loop level's
+            # {p}_sg1 (first sigma update) can't shadow it (ADVICE r2:
+            # duplicate aliases relied on DuckDB's silent _1 renaming)
+            (f"{p}_sig1", f"atan2({p}_tu1, {p}_ca1)"),
         ],
         [
             (f"{p}_su1", f"{p}_tu1 * {p}_cu1"),
@@ -217,7 +220,7 @@ def vincenty_direct_levels(lat1: str, lon1: str, az: str, dist: str,
         sg = f"{p}_sg{i - 1}" if i > 1 else f"{p}_sg0"
         levels += [
             [
-                (f"{p}_c2m{i}", f"cos(2.0 * {p}_sg1 + {sg})"),
+                (f"{p}_c2m{i}", f"cos(2.0 * {p}_sig1 + {sg})"),
                 (f"{p}_ssg{i}", f"sin({sg})"),
                 (f"{p}_csg{i}", f"cos({sg})"),
             ],
@@ -237,7 +240,7 @@ def vincenty_direct_levels(lat1: str, lon1: str, az: str, dist: str,
         [
             (f"{p}_ss", f"sin({p}_sg{n})"),
             (f"{p}_cs", f"cos({p}_sg{n})"),
-            (f"{p}_c2m", f"cos(2.0 * {p}_sg1 + {p}_sg{n})"),
+            (f"{p}_c2m", f"cos(2.0 * {p}_sig1 + {p}_sg{n})"),
         ],
         [
             (f"{p}_tmp", f"{p}_su1 * {p}_ss - {p}_cu1 * {p}_cs * {p}_ca1"),

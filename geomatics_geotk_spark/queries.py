@@ -1381,7 +1381,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = build_interleaved(spark, sf_dir).withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    return multimodal.media_pipeline(inter)
+    # content_hash (sha256 of the payload BYTES — the public content
+    # address) is not expressible in DuckDB's VARCHAR-only sha256, so the
+    # oracle-compared projection carries oracle_hash (hex-domain twin)
+    # instead; content_hash is pytest-verified against hashlib directly
+    # (tests/test_streaming_sink_multimodal.py).
+    return multimodal.media_pipeline(inter).drop("content_hash")
 
 
 # Mirror of the deterministic fake-codec metadata derivation: the fetch
@@ -1391,11 +1396,11 @@ ORACLE_MULTIMODAL_FEATURES = (
     "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
     "'media://blob/' || doc_id AS media_ref FROM documents), "
     "h AS (SELECT doc_id, media_ref, "
-    "sha256(repeat(sha256(media_ref), 4)) AS content_hash FROM m), "
-    "s AS (SELECT *, ('0x' || substr(content_hash, 1, 8))::BIGINT AS seed FROM h) "
+    "sha256(repeat(sha256(media_ref), 4)) AS oracle_hash FROM m), "
+    "s AS (SELECT *, ('0x' || substr(oracle_hash, 1, 8))::BIGINT AS seed FROM h) "
     "SELECT doc_id, media_ref, "
     "CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind, "
-    "CAST(128 AS BIGINT) AS n_bytes, content_hash, "
+    "CAST(128 AS BIGINT) AS n_bytes, oracle_hash, "
     "CAST(64 + seed % 1920 AS INT) AS width, "
     "CAST(64 + (seed >> 8) % 1080 AS INT) AS height, "
     "CAST(seed % 600 AS DOUBLE) / 10.0 AS duration_s FROM s"

@@ -158,12 +158,21 @@ class TestMultimodal:
         assert len(rows) == n_media
         assert set(meta.columns) == {
             "doc_id", "media_ref", "media_kind", "n_bytes",
-            "content_hash", "width", "height", "duration_s",
+            "content_hash", "oracle_hash", "width", "height", "duration_s",
         }
         # deterministic: same refs → same hashes on a re-run
         again = {r["media_ref"]: r["content_hash"] for r in multimodal.media_pipeline(docs).collect()}
         for r in rows:
             assert again[r["media_ref"]] == r["content_hash"]
+        # content_hash is the sha256 of the PAYLOAD BYTES (the public
+        # content address — ADVICE r2); oracle_hash is the hex-domain
+        # twin the DuckDB oracle mirrors
+        import hashlib
+
+        for r in rows[:10]:
+            payload = hashlib.sha256(r["media_ref"].encode()).digest() * 4
+            assert r["content_hash"] == hashlib.sha256(payload).hexdigest()
+            assert r["oracle_hash"] == hashlib.sha256(payload.hex().encode()).hexdigest()
 
     def test_feature_extraction_shape(self, spark):
         docs = synth_documents(spark, 16, partitions=1).withColumn(
