@@ -437,24 +437,56 @@ def touches(kind_a, parts_a, kind_b, parts_b) -> bool:
     return True
 
 
+def segments_cross_proper_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any segment of polyline ``a`` PROPERLY crosses any of ``b``
+    (both orientation products strictly negative — transversal crossing
+    away from every endpoint).  A proper crossing of a polygon boundary
+    edge implies the line passes strictly inside AND strictly outside."""
+    if len(a) < 2 or len(b) < 2:
+        return False
+    a1, a2 = a[:-1], a[1:]
+    b1, b2 = b[:-1], b[1:]
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    ax2, ay2 = a2[:, 0][:, None], a2[:, 1][:, None]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+    bx2, by2 = b2[:, 0][None, :], b2[:, 1][None, :]
+    d1 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    return bool((((d1 * d2) < 0) & ((d3 * d4) < 0)).any())
+
+
 def crosses(kind_a, parts_a, kind_b, parts_b) -> bool:
     """Interiors intersect in lower dimension.  Ref: :83-85.
 
-    Implemented for line×polygon (some points strictly inside AND some
-    strictly outside) and line×line (proper crossing).
+    line×polygon (JTS Geometry.crosses semantics):
+      inside-evidence  = any vertex strictly inside OR any segment
+                         properly crossing a boundary edge;
+      outside-evidence = any vertex strictly outside the closure (not
+                         inside, not on the boundary) OR a proper edge
+                         crossing (which passes both sides by definition).
+      crosses ⟺ both.  This catches corner-clipping segments with both
+      endpoints outside (ADVICE r2) and no longer misreports an
+      interior-to-boundary line as crossing.  Remaining divergence from
+      JTS (documented in COVERAGE.md): tangential entry exactly through a
+      ring VERTEX and collinear-overlap entries are not counted as
+      inside-evidence — measure-zero configurations on continuous data.
+    line×line: proper crossing.
     """
     ka, kb = kind_a.lower(), kind_b.lower()
     if "linestring" in ka and "polygon" in kb:
         line = _as_parts_list(kind_a, parts_a)[0][1][0]
-        ins = outs = False
-        for _, pb in _as_parts_list(kind_b, parts_b):
-            i = points_in_polygon(line[:, 0], line[:, 1], pb)
-            ins |= bool(i.any())
+        inside = np.zeros(len(line), dtype=bool)
         on = np.zeros(len(line), dtype=bool)
+        proper = False
         for _, pb in _as_parts_list(kind_b, parts_b):
-            i = points_in_polygon(line[:, 0], line[:, 1], pb)
-            on |= i
-        outs = bool((~on).any())
+            inside |= points_in_polygon(line[:, 0], line[:, 1], pb)
+            for r in pb:
+                on |= points_on_ring(line[:, 0], line[:, 1], r)
+                proper = proper or segments_cross_proper_any(line, r)
+        ins = bool(inside.any()) or proper
+        outs = bool((~inside & ~on).any()) or proper
         return ins and outs
     if "polygon" in ka and "linestring" in kb:
         return crosses(kind_b, parts_b, kind_a, parts_a)

@@ -183,6 +183,30 @@ def _segs_hit_zone(a1: np.ndarray, a2: np.ndarray, zone_rings) -> np.ndarray:
     return hit
 
 
+def _segs_cross_proper_zone(a1: np.ndarray, a2: np.ndarray, zone_rings) -> np.ndarray:
+    """Per doc-segment: PROPER crossing (both orientation products
+    strictly negative) vs any zone ring segment — batch twin of
+    :func:`geometry.segments_cross_proper_any`."""
+    S = len(a1)
+    hit = np.zeros(S, dtype=bool)
+    if S == 0:
+        return hit
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    ax2, ay2 = a2[:, 0][:, None], a2[:, 1][:, None]
+    for r in zone_rings:
+        if len(r) < 2:
+            continue
+        b1, b2 = r[:-1], r[1:]
+        bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+        bx2, by2 = b2[:, 0][None, :], b2[:, 1][None, :]
+        d1 = geom_k._orient(ax1, ay1, ax2, ay2, bx1, by1)
+        d2 = geom_k._orient(ax1, ay1, ax2, ay2, bx2, by2)
+        d3 = geom_k._orient(bx1, by1, bx2, by2, ax1, ay1)
+        d4 = geom_k._orient(bx1, by1, bx2, by2, ax2, ay2)
+        hit |= (((d1 * d2) < 0) & ((d3 * d4) < 0)).any(axis=1)
+    return hit
+
+
 def _zone_verts_in_docs(zone_ext: np.ndarray, doc_rings):
     """(any_in (D,), all_in (D,)): zone EXTERIOR vertices strictly inside
     each doc polygon (even-odd with the doc's holes) — the ``rings_b[0]
@@ -287,11 +311,15 @@ def batch_predicate(predicate: str, kind: str, geoms, zone_rings) -> np.ndarray:
 
     if predicate == "crosses":
         if kind == "linestring":
-            # geometry.crosses line×polygon: some vertex strictly inside
-            # AND some vertex not inside (vertex-granularity rule — the
-            # documented divergence from JTS edge-clipping, COVERAGE.md)
-            any_out = _reduce_any(~v_in, voff)
-            return any_in & any_out
+            # geometry.crosses line×polygon: inside-evidence (vertex
+            # strictly in OR proper boundary crossing) AND
+            # outside-evidence (vertex strictly outside closure OR proper
+            # crossing) — the batch twin of the upgraded per-pair rule
+            v_on = _verts_on_zone(vcoords, zone_rings)
+            proper = _reduce_any(_segs_cross_proper_zone(a1, a2, zone_rings), seg_off)
+            ins = any_in | proper
+            outs = _reduce_any(~v_in & ~v_on, voff) | proper
+            return ins & outs
         return np.zeros(D, dtype=bool)  # point/polygon → False (per-pair rule)
 
     if predicate in ("intersects", "overlaps", "within", "contains"):

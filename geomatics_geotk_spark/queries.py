@@ -2008,9 +2008,12 @@ ORACLE_GEOMETRY_JOIN_POLYS = (
 def q_geometry_join_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic-geometry join under CROSSES (interiors intersect in lower
     dimension, TopologicalRelationships.java:83-85): the per-customer
-    segments vs the rectangle zones.  For a 2-vertex segment the kernel's
-    vertex-granularity rule is: one endpoint strictly inside AND one not
-    — exactly mirrorable with strict point-in-rect tests."""
+    segments vs the rectangle zones.  Kernel rule (JTS semantics):
+    inside-evidence (endpoint strictly inside OR proper boundary-edge
+    crossing — catches corner-clipping segments with both endpoints
+    outside) AND outside-evidence (endpoint strictly outside the closure
+    OR proper crossing).  The oracle mirrors both terms: strict
+    point-in-rect endpoints plus the 4 rect-edge orientation products."""
     from .operators.geometry_join import geometry_join
 
     pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
@@ -2026,6 +2029,26 @@ def q_geometry_join_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geometry_join(docs, _shifted_zone_rects(spark), "crosses", res=10)
 
 
+def _proper_cross_rect_sql() -> str:
+    """OR over the 4 rect edges of the proper-crossing orientation test
+    for segment (x1,y1)-(x2,y2): d1·d2 < 0 AND d3·d4 < 0 — the SQL mirror
+    of geometry.segments_cross_proper_any against an axis box."""
+    edges = [
+        ("zxmin", "zymin", "zxmax", "zymin"),  # bottom
+        ("zxmax", "zymin", "zxmax", "zymax"),  # right
+        ("zxmax", "zymax", "zxmin", "zymax"),  # top
+        ("zxmin", "zymax", "zxmin", "zymin"),  # left
+    ]
+    terms = []
+    for ex1, ey1, ex2, ey2 in edges:
+        d1 = f"((x2 - x1) * ({ey1} - y1) - (y2 - y1) * ({ex1} - x1))"
+        d2 = f"((x2 - x1) * ({ey2} - y1) - (y2 - y1) * ({ex2} - x1))"
+        d3 = f"(({ex2} - {ex1}) * (y1 - {ey1}) - ({ey2} - {ey1}) * (x1 - {ex1}))"
+        d4 = f"(({ex2} - {ex1}) * (y2 - {ey1}) - ({ey2} - {ey1}) * (x2 - {ex1}))"
+        terms.append(f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)")
+    return "(" + " OR ".join(terms) + ")"
+
+
 ORACLE_GEOMETRY_JOIN_CROSSES = (
     f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
     "seg AS (SELECT doc_id, lon AS x1, lat AS y1, lon + 0.07 AS x2, "
@@ -2033,9 +2056,13 @@ ORACLE_GEOMETRY_JOIN_CROSSES = (
     f"z AS ({_ZRECT_SQL}), "
     "t AS (SELECT doc_id, zone_id, "
     "(x1 > zxmin AND x1 < zxmax AND y1 > zymin AND y1 < zymax) AS in1, "
-    "(x2 > zxmin AND x2 < zxmax AND y2 > zymin AND y2 < zymax) AS in2 "
+    "(x2 > zxmin AND x2 < zxmax AND y2 > zymin AND y2 < zymax) AS in2, "
+    "NOT (x1 >= zxmin AND x1 <= zxmax AND y1 >= zymin AND y1 <= zymax) AS out1, "
+    "NOT (x2 >= zxmin AND x2 <= zxmax AND y2 >= zymin AND y2 <= zymax) AS out2, "
+    + _proper_cross_rect_sql() + " AS pc "
     "FROM seg CROSS JOIN z) "
-    "SELECT doc_id, zone_id FROM t WHERE (in1 OR in2) AND NOT (in1 AND in2)"
+    "SELECT doc_id, zone_id FROM t "
+    "WHERE (in1 OR in2 OR pc) AND (out1 OR out2 OR pc)"
 )
 
 

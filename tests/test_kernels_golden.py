@@ -271,6 +271,24 @@ class TestPredicates:
         line = ("linestring", [np.array([[-0.5, 0.5], [0.5, 0.5]])])
         assert geometry.crosses(*line, *sq)
 
+    def test_crosses_corner_clip_both_endpoints_outside(self):
+        # clips the lower-left corner of the unit square: neither endpoint
+        # inside, but the interior enters and exits (JTS crosses = true) —
+        # the r2 ADVICE fidelity gap, now caught via proper edge crossings
+        sq = ("polygon", [np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)])
+        clip = ("linestring", [np.array([[-0.2, 0.3], [0.3, -0.2]])])
+        assert geometry.crosses(*clip, *sq)
+        # near-miss variant passing outside the corner: not crossing
+        miss = ("linestring", [np.array([[-0.2, 0.1], [0.1, -0.2]])])
+        assert not geometry.crosses(*miss, *sq)
+
+    def test_crosses_interior_to_boundary_is_not_crossing(self):
+        # a line from a strictly-interior point ENDING ON the boundary
+        # never reaches the exterior — JTS says within, not crosses
+        sq = ("polygon", [np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)])
+        line = ("linestring", [np.array([[0.5, 0.5], [1.0, 0.5]])])
+        assert not geometry.crosses(*line, *sq)
+
     def test_overlaps_polygons(self):
         a = ("polygon", [np.array([[0.0, 0.0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)])
         b = ("polygon", [np.array([[1.0, 1.0], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)])
