@@ -285,6 +285,43 @@ def curve_coordinate_list(elem: ET.Element, inherited_srs: str = "",
     raise ValueError(f"Unsupported curve type: {name}")
 
 
+def local_href_resolver(documents: dict[str, str]):
+    """Resolver for remote Ring members (``CurveCoordinateListFactory.
+    java:198-218``): the reference dereferences an ``xlink:href`` on a
+    ``curveMember`` by loading the target document and extracting the
+    referenced element.  This engine keeps the resolution pluggable (no
+    network I/O inside a Spark kernel); this factory builds a resolver
+    over an in-memory {uri: xml_text} store — the local-fixture mirror of
+    the reference's URL fetch, used in tests and by callers that stage
+    remote documents beside the data.
+
+    href forms: ``uri`` (whole document is the member element) or
+    ``uri#id`` / ``#id`` (element with matching ``gml:id``; a bare
+    fragment searches every stored document, the reference's
+    same-document case).
+    """
+
+    def resolve(href: str) -> str:
+        uri, _, frag = href.partition("#")
+        if uri:
+            if uri not in documents:
+                raise ValueError(f"Unresolvable ring member href: {href!r}")
+            xml = documents[uri]
+            if not frag:
+                return xml
+            roots = [parse(xml)]
+        else:
+            roots = [parse(x) for x in documents.values()]
+        for root in roots:
+            for el in root.iter():
+                gid = el.get("{http://www.opengis.net/gml/3.2}id") or el.get("id")
+                if gid == frag:
+                    return ET.tostring(el, encoding="unicode")
+        raise ValueError(f"Unresolvable ring member href: {href!r}")
+
+    return resolve
+
+
 def validate_curve_segments(elem: ET.Element) -> list[str]:
     """Segment-length validation: every segment must carry at least
     ``min_curve_segment_length`` direct positions.  Returns violation
@@ -320,32 +357,13 @@ def _ring_edges(ring: np.ndarray):
             if pts[i] != pts[i + 1]]
 
 
-def union_boundary(rings: list[np.ndarray]) -> np.ndarray:
-    """Exterior boundary of edge-adjacent polygons — the engine's
-    re-expression of the JTS ``GeometryCollection.union()`` the reference
-    applies to surface patches (``SurfaceCoordinateListFactory.java:
-    177-201``).  Patches of a valid gml:Surface meet along complete
-    shared edges, so the union boundary is exactly the set of edges used
-    an odd number of times, chained into a closed ring starting at the
-    lexicographically smallest vertex.  A single patch passes through
-    unchanged (JTS union of one polygon is itself)."""
-    if len(rings) == 1:
-        r = rings[0]
-        if tuple(r[0]) != tuple(r[-1]):
-            r = np.vstack([r, r[:1]])
-        return r
-    count: dict[frozenset, int] = defaultdict(int)
-    for ring in rings:
-        for e in _ring_edges(ring):
-            count[e] += 1
-    surviving = [e for e, c in count.items() if c % 2 == 1]
+def _chain_edges(edges: list[tuple]) -> np.ndarray:
+    """Chain undirected edges into a closed ring starting at the
+    lexicographically smallest vertex."""
     adj: dict[tuple, list[tuple]] = defaultdict(list)
-    for e in surviving:
-        pts = sorted(e)
-        if len(pts) == 2:
-            a, b = pts
-            adj[a].append(b)
-            adj[b].append(a)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
     if not adj:
         return np.zeros((0, 2))
     start = min(adj)
@@ -362,6 +380,145 @@ def union_boundary(rings: list[np.ndarray]) -> np.ndarray:
         if cur == start:
             break
     return np.array(path, dtype=np.float64)
+
+
+def _close(ring: np.ndarray) -> np.ndarray:
+    if tuple(ring[0]) != tuple(ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+def _rings_overlap(rings: list[np.ndarray]) -> bool:
+    """True when any two patch rings touch beyond COMPLETE shared edges:
+    a proper edge crossing, a vertex of one strictly inside another, or a
+    vertex lying ON the other's boundary without being a vertex OF it
+    (the partial-shared-edge signature).  Edge-adjacent patches of a
+    valid gml:Surface share whole edges vertex-to-vertex, so they stay on
+    the exact odd-edge-count fast path.
+    """
+    from . import geometry as geom_k
+
+    closed = [_close(r) for r in rings]
+    vsets = [{_snap(p) for p in r} for r in closed]
+    for i in range(len(closed)):
+        for j in range(i + 1, len(closed)):
+            a, b = closed[i], closed[j]
+            if geom_k.segments_cross_proper_any(a, b):
+                return True
+            a_in = geom_k.points_in_ring(a[:, 0], a[:, 1], b)
+            b_in = geom_k.points_in_ring(b[:, 0], b[:, 1], a)
+            a_on = geom_k.points_on_ring(a[:, 0], a[:, 1], b)
+            b_on = geom_k.points_on_ring(b[:, 0], b[:, 1], a)
+            if (a_in & ~a_on).any() or (b_in & ~b_on).any():
+                return True
+            for k in np.nonzero(a_on)[0]:
+                if _snap(a[k]) not in vsets[j]:
+                    return True
+            for k in np.nonzero(b_on)[0]:
+                if _snap(b[k]) not in vsets[i]:
+                    return True
+    return False
+
+
+_SNAP = 1e-9
+
+
+def _snap(p) -> tuple:
+    return (round(float(p[0]) / _SNAP) * _SNAP, round(float(p[1]) / _SNAP) * _SNAP)
+
+
+def _split_params(a: np.ndarray, b: np.ndarray, others: list[np.ndarray]) -> list[float]:
+    """Parameters t ∈ (0,1) where segment a→b meets any edge of the other
+    rings — proper crossings, endpoint touches, and collinear-overlap
+    endpoints all split the edge."""
+    d = b - a
+    den_ab = d[0] * d[0] + d[1] * d[1]
+    ts: list[float] = []
+    for ring in others:
+        c, e = ring[:-1], ring[1:]
+        f = e - c
+        denom = d[0] * f[:, 1] - d[1] * f[:, 0]
+        diff = c - a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (diff[:, 0] * f[:, 1] - diff[:, 1] * f[:, 0]) / denom
+            u = (diff[:, 0] * d[1] - diff[:, 1] * d[0]) / denom
+        ok = (denom != 0) & (t > 1e-12) & (t < 1 - 1e-12) & (u >= -1e-12) & (u <= 1 + 1e-12)
+        ts.extend(t[ok].tolist())
+        # collinear overlap: project the other edge's endpoints onto a→b
+        if den_ab > 0:
+            for q in (c, e):
+                tq = ((q[:, 0] - a[0]) * d[0] + (q[:, 1] - a[1]) * d[1]) / den_ab
+                cross = (q[:, 0] - a[0]) * d[1] - (q[:, 1] - a[1]) * d[0]
+                on = (np.abs(cross) <= 1e-12 * np.sqrt(den_ab)) & (tq > 1e-12) & (tq < 1 - 1e-12)
+                ts.extend(tq[on].tolist())
+    return ts
+
+
+def _union_boundary_overlapping(rings: list[np.ndarray]) -> np.ndarray:
+    """General polygon union boundary (OVERLAPPING patches): split every
+    edge at its intersections with the other rings, drop sub-edges whose
+    midpoint lies strictly inside any other patch, cancel coincident
+    sub-edge pairs (shared boundaries), chain the rest.  Reproduces the
+    JTS ``GeometryCollection.union()`` exterior for simple overlapping
+    patches — the case the odd-edge-count fast path cannot handle
+    (``SurfaceCoordinateListFactory.java:196-201``; r2 verdict item 4)."""
+    from . import geometry as geom_k
+
+    closed = [_close(r) for r in rings]
+    count: dict[frozenset, int] = defaultdict(int)
+    for i, ring in enumerate(closed):
+        others = [closed[j] for j in range(len(closed)) if j != i]
+        for k in range(len(ring) - 1):
+            a, b = ring[k], ring[k + 1]
+            if tuple(a) == tuple(b):
+                continue
+            ts = sorted(set([0.0, 1.0] + _split_params(a, b, others)))
+            for t0, t1 in zip(ts[:-1], ts[1:]):
+                if t1 - t0 <= 1e-12:
+                    continue
+                p0 = a + t0 * (b - a)
+                p1 = a + t1 * (b - a)
+                mid = a + 0.5 * (t0 + t1) * (b - a)
+                strictly_inside = False
+                for o in others:
+                    inside = geom_k.points_in_ring(
+                        np.array([mid[0]]), np.array([mid[1]]), o
+                    )[0]
+                    on = geom_k.points_on_ring(
+                        np.array([mid[0]]), np.array([mid[1]]), o
+                    )[0]
+                    if inside and not on:
+                        strictly_inside = True
+                        break
+                if not strictly_inside:
+                    count[frozenset((_snap(p0), _snap(p1)))] += 1
+    surviving = [tuple(sorted(e)) for e, c in count.items() if c % 2 == 1 and len(e) == 2]
+    return _chain_edges(surviving)
+
+
+def union_boundary(rings: list[np.ndarray]) -> np.ndarray:
+    """Exterior boundary of a set of polygon patches — the engine's
+    re-expression of the JTS ``GeometryCollection.union()`` the reference
+    applies to surface patches (``SurfaceCoordinateListFactory.java:
+    177-201``).
+
+    Edge-adjacent patches (the valid-gml:Surface case — patches meet
+    along complete shared edges): the union boundary is exactly the set
+    of edges used an odd number of times, chained into a closed ring
+    starting at the lexicographically smallest vertex.  OVERLAPPING
+    patches (legal GML, handled by JTS union) are detected and routed to
+    the general edge-splitting union.  A single patch passes through
+    unchanged (JTS union of one polygon is itself)."""
+    if len(rings) == 1:
+        return _close(rings[0])
+    if _rings_overlap(rings):
+        return _union_boundary_overlapping(rings)
+    count: dict[frozenset, int] = defaultdict(int)
+    for ring in rings:
+        for e in _ring_edges(ring):
+            count[e] += 1
+    surviving = [tuple(sorted(e)) for e, c in count.items() if c % 2 == 1 and len(e) == 2]
+    return _chain_edges(surviving)
 
 
 def _patch_rings(patch: ET.Element, srs: str, href_resolver=None):
