@@ -1254,26 +1254,63 @@ def _oracle_simhash_neardups(max_hamming: int = 8) -> str:
     )
 
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_fixture(spark: SparkSession, sf_dir: str):
+    """(corpus, queries) with PLANTED ground truth (r2 verdict item 7):
+    each query vector (vec_id < 8) gets 4 corpus copies at exactly-
+    representable positive scales 1.5/2.0/2.5/3.0 (vec_id 10^6 + q·10 +
+    j).  Positive scaling preserves every hyperplane sign and the IVF
+    cell (both assign on direction), so LSH and IVF are GUARANTEED to
+    surface the copies as candidates, and the true top-5 per query —
+    the query vector itself plus its 4 copies, all cosine ≈ 1 — is
+    analytically known and SQL-expressible (brute-force top-k oracle)."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = similarity.ann_topk(emb, queries, k=5, dim=64, planes_per_table=4, n_tables=24)
+    scales = spark.range(1, 5).select(F.col("id").alias("j"))
+    planted = queries.crossJoin(scales).select(
+        (F.lit(1_000_000) + F.col("q_id") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v * (F.lit(1.0) + F.lit(0.5) * F.col("j"))
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted), queries
+
+
+_ANN_PLANTED_SQL = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8), "
+    "pl AS (SELECT 1000000 + q_id * 10 + j AS vec_id, "
+    "list_transform(qv, x -> x * (1.0 + 0.5 * j)) AS v "
+    "FROM q CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)), "
+    "c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pl), "
+    "s AS (SELECT q_id, vec_id, "
+    + _DOT.format(a="v", b="qv")
+    + " / (" + _NRM.format(a="v") + " * " + _NRM.format(a="qv") + ") AS cosine "
+    "FROM c CROSS JOIN q) "
+    "SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id "
+    "ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank, cosine FROM s "
+    "QUALIFY rank <= 5"
+)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN over the planted-ground-truth
+    fixture: the approximate result must EQUAL the brute-force top-5
+    (the planted copies guarantee candidate coverage; see _ann_fixture)."""
+    corpus, queries = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk(corpus, queries, k=5, dim=64, planes_per_table=4, n_tables=24)
     return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (coarse-quantizer) ANN — the bucketed-layout scale path."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("embedding")
-    )
-    queries = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    out = similarity.ann_topk_ivf(emb, queries, k=5, n_centroids=32, nprobe=8)
+    """IVF (coarse-quantizer) ANN — the bucketed-layout scale path —
+    over the same planted-ground-truth fixture as ``ann_topk``."""
+    corpus, queries = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk_ivf(corpus, queries, k=5, n_centroids=32, nprobe=8)
     return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
@@ -2544,11 +2581,118 @@ ORACLE_CREATE_ENVELOPE_PARSE = (
 )
 
 
+def q_gml_to_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gmlToTemporalGeometricPrimitive (GmlUtils.java:466-506): parse
+    gml:TimeInstant / gml:TimePeriod XML from a documents column into
+    typed begin/end timestamps, enforcing the ISO-8601 frame rule —
+    date-only positions are REJECTED ('Not an ISO instant'), like the
+    reference.  Three planted categories per event: valid instant, valid
+    period, and a date-only instant exercising the rejection path.
+    Oracle: category arithmetic over the same event timestamps."""
+    from pyspark.sql import types as T
+
+    from .kernels import gml as gml_k
+
+    per = _event_periods(spark, sf_dir)
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")  # noqa: E731
+    instant_xml = F.format_string(
+        f'<gml:TimeInstant xmlns:gml="{_GML_NS}">'
+        '<gml:timePosition frame="#ISO-8601">%s</gml:timePosition>'
+        "</gml:TimeInstant>", iso(F.col("begin")),
+    )
+    period_xml = F.format_string(
+        f'<gml:TimePeriod xmlns:gml="{_GML_NS}">'
+        "<gml:beginPosition>%s</gml:beginPosition>"
+        "<gml:endPosition>%s</gml:endPosition></gml:TimePeriod>",
+        iso(F.col("begin")), iso(F.col("end")),
+    )
+    dateonly_xml = F.format_string(
+        f'<gml:TimeInstant xmlns:gml="{_GML_NS}">'
+        "<gml:timePosition>%s</gml:timePosition></gml:TimeInstant>",
+        F.date_format(F.col("begin"), "yyyy-MM-dd"),
+    )
+    m = F.col("event_id") % 3
+    docs = per.select(
+        "event_id",
+        F.when(m == 0, instant_xml).when(m == 1, period_xml)
+        .otherwise(dateonly_xml).alias("xml"),
+    )
+
+    schema = T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("begin_iso", T.StringType()),
+        T.StructField("end_iso", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def parse_temporal(xml: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in xml:
+            try:
+                t = gml_k.gml_to_temporal(x)
+                rows.append({
+                    "kind": t["kind"], "begin_iso": t["begin"],
+                    "end_iso": t.get("end"), "status": "ok",
+                })
+            except ValueError:
+                rows.append({
+                    "kind": None, "begin_iso": None, "end_iso": None,
+                    "status": "rejected",
+                })
+        return pd.DataFrame(rows)
+
+    out = docs.withColumn("t", parse_temporal("xml"))
+    return out.select(
+        "event_id",
+        F.col("t.kind").alias("kind"),
+        F.to_timestamp(F.col("t.begin_iso")).alias("begin"),
+        F.to_timestamp(F.col("t.end_iso")).alias("end"),
+        F.col("t.status").alias("status"),
+    )
+
+
+ORACLE_GML_TO_TEMPORAL = (
+    f"WITH per AS ({_PER_SQL}) "
+    "SELECT event_id, "
+    "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'instant' WHEN 1 THEN 'period' "
+    "ELSE NULL END AS kind, "
+    "CASE WHEN CAST(event_id % 3 AS INT) IN (0, 1) THEN begin ELSE NULL END AS begin, "
+    "CASE WHEN CAST(event_id % 3 AS INT) = 1 THEN \"end\" ELSE NULL END AS \"end\", "
+    "CASE WHEN CAST(event_id % 3 AS INT) = 2 THEN 'rejected' ELSE 'ok' END AS status "
+    "FROM per"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
 
+# Ordering note (r2 verdict item 8): the driver's correctness pass walks
+# this dict in order and may stop on a time budget — CORRECTNESS_r02
+# covered only the first 50.  Queries the driver has NOT yet recorded
+# (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "gml_to_temporal": q_gml_to_temporal,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "geometry_join_lines": q_geometry_join_lines,
+    "geometry_join_polys": q_geometry_join_polys,
+    "geometry_join_within": q_geometry_join_within,
+    "geometry_join_crosses": q_geometry_join_crosses,
+    "geometry_join_equals": q_geometry_join_equals,
+    "spatial_predicates": q_spatial_predicates,
+    "antipodal_envelope": q_antipodal_envelope,
+    "coalesce_boxes": q_coalesce_boxes,
+    "crs_domain": q_crs_domain,
+    "cell_histogram": q_cell_histogram,
+    "skew_report": q_skew_report,
+    "pip_salted_shuffle": q_pip_salted_shuffle,
+    "dwithin_zones": q_dwithin_zones,
+    "beyond_zones": q_beyond_zones,
+    # span-sequence invariant: must be the empty set (oracle = empty)
+    "span_invariant": q_span_invariant,
+    # --- driver-covered since r2 below ---
     "tile_assign": q_tile_assign,
     "pip_convex": q_pip_convex,
     "interleaved_tile_pip": q_interleaved_tile_pip,
@@ -2587,8 +2731,6 @@ QUERIES = {
     "create_envelope_parse": q_create_envelope_parse,
     "beyond": q_beyond,
     "dwithin_exact": q_dwithin_exact,
-    "dwithin_zones": q_dwithin_zones,
-    "beyond_zones": q_beyond_zones,
     "knn_cellring": q_knn_cellring,
     "geodesic_destination": q_geodesic_destination,
     "crs_roundtrip_utm": q_crs_roundtrip_utm,
@@ -2599,26 +2741,10 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "convex_hull_groups": q_convex_hull_groups,
     "simhash_neardups": q_simhash_neardups,
-    # rows-only (Spark-xxhash64 / randomized-LSH — no SQL mirror exists;
-    # each has pytest-asserted guarantees instead)
+    # rows-only (Spark-xxhash64 lanes — no SQL mirror exists; each is
+    # pytest-asserted equal to its md5-lane oracle twin on planted pairs)
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_neardups_fast": q_simhash_neardups_fast,
-    "ann_topk": q_ann_topk,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "spatial_predicates": q_spatial_predicates,
-    "pip_salted_shuffle": q_pip_salted_shuffle,
-    "antipodal_envelope": q_antipodal_envelope,
-    "coalesce_boxes": q_coalesce_boxes,
-    "crs_domain": q_crs_domain,
-    "geometry_join_lines": q_geometry_join_lines,
-    "geometry_join_polys": q_geometry_join_polys,
-    "geometry_join_within": q_geometry_join_within,
-    "geometry_join_crosses": q_geometry_join_crosses,
-    "geometry_join_equals": q_geometry_join_equals,
-    "cell_histogram": q_cell_histogram,
-    "skew_report": q_skew_report,
-    # span-sequence invariant: must be the empty set (oracle = empty)
-    "span_invariant": q_span_invariant,
 }
 
 ORACLES = {
@@ -2654,6 +2780,8 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "fingerprint": ORACLE_FINGERPRINT,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "ann_topk": _ANN_PLANTED_SQL,
+    "ann_topk_ivf": _ANN_PLANTED_SQL,
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "minhash_lsh": _oracle_minhash_lsh(),
@@ -2685,5 +2813,6 @@ ORACLES = {
     "geometry_join_equals": ORACLE_GEOMETRY_JOIN_EQUALS,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
+    "gml_to_temporal": ORACLE_GML_TO_TEMPORAL,
     "span_invariant": ORACLE_SPAN_INVARIANT,
 }
