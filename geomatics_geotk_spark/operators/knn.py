@@ -52,11 +52,40 @@ def knn_join(
     id_col: str = "doc_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """k nearest pois per doc: (doc columns…, poi_id, dist_m, rank)."""
+    """k nearest pois per doc: (doc columns…, poi_id, dist_m, rank).
+
+    strategy: 'cellring' = disk-expansion candidates + exact fallback
+    (the scale path — right when the poi side is dense enough that a
+    cell disk bounds the k nearest); 'brute' = broadcast cross-join +
+    one window (ONE shuffle — strictly cheaper when the poi side is
+    dimension-sized, where the ring pass resolves almost nothing and
+    every doc falls through to brute anyway); 'auto' picks brute at
+    ≤ 100 pois.  Identical row sets either way (both end in the same
+    exact geodesic ranking; the cellring query pins strategy='cellring'
+    so the scale path stays oracle-checked).
+    """
     from .spatial_join import expand_poi_cells
 
     n_pois = max(1, pois.count())  # aggregate only — rows stay distributed
+    geo_dist = _geo_dist_udf()
+    w = Window.partitionBy(id_col).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
+    if strategy == "auto":
+        strategy = "brute" if n_pois <= 100 else "cellring"
+    if strategy == "brute":
+        all_pois = pois.select(
+            F.col("poi_id"), F.col("x").alias("poi_lon"), F.col("y").alias("poi_lat")
+        )
+        return (
+            docs.crossJoin(F.broadcast(all_pois))
+            .withColumn(
+                "dist_m",
+                geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
     if res is None:
         # aim for ~4k candidate pois per disk: finer grid when pois dense
         res = min(14, max(6, int(np.log2(np.sqrt(n_pois))) + 6))
@@ -71,7 +100,6 @@ def knn_join(
     # tiled at a different res — ids embed the res, so reuse would join
     # to nothing); pure JVM bit math, negligible cost
     pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
-    geo_dist = _geo_dist_udf()
 
     cand = (
         pts.join(F.broadcast(poi_cells), "cell_id", "inner")
@@ -80,7 +108,6 @@ def knn_join(
             geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
     topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
     # ring-coverage guarantee: the disk(rings) certainly contains every poi

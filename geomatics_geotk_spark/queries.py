@@ -1400,12 +1400,14 @@ def _oracle_knn_cellring() -> str:
 
 
 def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-partitioned kNN via cell-ring expansion + exact fallback."""
+    """Grid-partitioned kNN via cell-ring expansion + exact fallback.
+    strategy pinned to 'cellring' so the SCALE path stays oracle-checked
+    (auto would pick brute for this dimension-sized poi fixture)."""
     pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
     pois = _pois_df(spark).select(
         "poi_id", F.col("poi_lon").alias("x"), F.col("poi_lat").alias("y")
     )
-    out = knn.knn_join(pts, pois, k=2)
+    out = knn.knn_join(pts, pois, k=2, strategy="cellring")
     return out.select(
         "doc_id", "poi_id", F.col("rank").cast("long").alias("rank"),
         F.round("dist_m", 3).alias("dist_m_r"),
