@@ -58,6 +58,13 @@ def _wkt_envelope(wkt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+# single-eval barrier: _env feeds both the validity filter and the
+# covering-cell explode — without this Catalyst inlines the Arrow UDF
+# into each consumer and parses every WKT twice (seen as a second
+# ArrowEvalPython node in PLANS.md before the fix)
+_wkt_envelope = _wkt_envelope.asNondeterministic()
+
+
 def _refine_udf(predicate: str):
     """(wkt, zone_id, exterior, interiors) → bool, batch-vectorized.
 
@@ -172,7 +179,10 @@ def geometry_join(
         )
         .join(zone_cells, "cell_id")
         .groupBy(id_col, "zone_id")
-        .agg(F.first(wkt_col).alias(wkt_col))
+        # min, not first: every candidate row of a (doc, zone) pair holds
+        # the SAME wkt, and min() keeps the aggregate hash-based
+        # (first() is order-sensitive and forces Sort + SortAggregate)
+        .agg(F.min(wkt_col).alias(wkt_col))
         .join(zone_rings, "zone_id")
     )
     refine = _refine_udf(predicate)

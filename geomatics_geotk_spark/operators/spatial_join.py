@@ -233,6 +233,10 @@ def prep_zone_struct(zones: DataFrame, res: int = DEFAULT_RES,
             })
         return pd.DataFrame(out)
 
+    # single-eval barrier: _z feeds both the cell explode and the ring
+    # projection — without this Catalyst re-runs the (expensive) zone
+    # classification once per consumer
+    prep = prep.asNondeterministic()
     return zones.withColumn("_z", prep("exterior", "interiors", "crs"))
 
 

@@ -94,10 +94,29 @@ def main() -> None:
 
     sections.append((
         "Geometry-distance join (dwithin_zones)",
-        "Broadcast of the buffered zone-cell table, no doc-side shuffle; "
-        "the Arrow node is the per-candidate nearest-witness + Vincenty "
-        "refine (candidates only — full cells short-circuit to 0).",
-        _trim(plans.formatted_plan(queries.q_dwithin_zones(spark, SF)), 30),
+        "Zone prep is DISTRIBUTED (prep_zone_struct pandas UDF on the "
+        "zone side, margin-expanded cells exploded as Column ops — the "
+        "driver never collects a zone); candidates broadcast-join on "
+        "cell_id, rings attach on zone_id, then ONE Arrow node runs the "
+        "per-candidate nearest-witness + Vincenty refine (full cells "
+        "short-circuit to 0).  strategy='shuffle' swaps both broadcasts "
+        "for hash exchanges when the zone side outgrows the driver.",
+        _trim(plans.formatted_plan(queries.q_dwithin_zones(spark, SF)), 36),
+    ))
+
+    sections.append((
+        "Generic-geometry join (geometry_join, intersects)",
+        "Envelope extraction (ONE Arrow node, scan-side — asNondeterministic "
+        "barrier stops Catalyst re-running it per consumer) → covering-cell "
+        "explode (Column) → zone-cell equi-join → candidate dedupe "
+        "(one exchange; SortAggregate because the carried wkt payload is a "
+        "string — min(string) has no hash-agg buffer; partial agg still "
+        "runs map-side) → ring-attach join on zone_id → batch DE-9IM "
+        "refine (one Arrow node; factorized by (zone, kind) inside each "
+        "batch, concatenated-array kernels — no per-pair Python).  Zone "
+        "prep distributed; rings never ride through the explode/shuffle, "
+        "only the final dimension join.",
+        _trim(plans.formatted_plan(queries.q_geometry_join_lines(spark, SF)), 40),
     ))
 
     sections.append((
