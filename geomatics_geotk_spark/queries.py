@@ -2176,6 +2176,55 @@ ORACLE_GEOMETRY_JOIN_EQUALS = (
 )
 
 
+def q_geometry_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-geometry join over MULTIPOLYGON docs (the multi* member
+    loop of TopologicalRelationships — each member evaluated, any match
+    counts): two disjoint boxes per customer, INTERSECTS vs the rectangle
+    zones.  Oracle: closed-interval box overlap of EITHER member (exact
+    for axis-aligned rectangles; the derived coords never align exactly
+    so open/closed is immaterial)."""
+    from .operators.geometry_join import geometry_join
+
+    pts = _pts_from_key(_read(spark, sf_dir, "customer"), "c_custkey")
+    lon, lat = F.col("lon"), F.col("lat")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = pts.select(
+        "doc_id",
+        F.format_string(
+            "MULTIPOLYGON (((%s %s, %s %s, %s %s, %s %s, %s %s)), "
+            "((%s %s, %s %s, %s %s, %s %s, %s %s)))",
+            # member A: small box at the point
+            s(lon), s(lat), s(lon + F.lit(0.04)), s(lat),
+            s(lon + F.lit(0.04)), s(lat + F.lit(0.03)),
+            s(lon), s(lat + F.lit(0.03)), s(lon), s(lat),
+            # member B: disjoint box shifted north-east
+            s(lon + F.lit(0.2)), s(lat + F.lit(0.2)),
+            s(lon + F.lit(0.24)), s(lat + F.lit(0.2)),
+            s(lon + F.lit(0.24)), s(lat + F.lit(0.23)),
+            s(lon + F.lit(0.2)), s(lat + F.lit(0.23)),
+            s(lon + F.lit(0.2)), s(lat + F.lit(0.2)),
+        ).alias("wkt"),
+    )
+    return geometry_join(docs, _shifted_zone_rects(spark), "intersects", res=10)
+
+
+def _box_overlap_sql(axmin, aymin, axmax, aymax) -> str:
+    return (
+        f"({axmin} <= zxmax AND {axmax} >= zxmin AND "
+        f"{aymin} <= zymax AND {aymax} >= zymin)"
+    )
+
+
+ORACLE_GEOMETRY_JOIN_MULTI = (
+    f"WITH pts AS ({_pts_sql('customer', 'c_custkey')}), "
+    f"z AS ({_ZRECT_SQL}) "
+    "SELECT doc_id, zone_id FROM pts CROSS JOIN z WHERE "
+    + _box_overlap_sql("lon", "lat", "lon + 0.04", "lat + 0.03")
+    + " OR "
+    + _box_overlap_sql("lon + 0.2", "lat + 0.2", "lon + 0.24", "lat + 0.23")
+)
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy histogram — the skew-detection aggregation that
     feeds the hot-cell salting policy (one exchange, map-side partials)."""
@@ -2683,6 +2732,7 @@ QUERIES = {
     "geometry_join_within": q_geometry_join_within,
     "geometry_join_crosses": q_geometry_join_crosses,
     "geometry_join_equals": q_geometry_join_equals,
+    "geometry_join_multi": q_geometry_join_multi,
     "spatial_predicates": q_spatial_predicates,
     "antipodal_envelope": q_antipodal_envelope,
     "coalesce_boxes": q_coalesce_boxes,
@@ -2813,6 +2863,7 @@ ORACLES = {
     "geometry_join_within": ORACLE_GEOMETRY_JOIN_WITHIN,
     "geometry_join_crosses": ORACLE_GEOMETRY_JOIN_CROSSES,
     "geometry_join_equals": ORACLE_GEOMETRY_JOIN_EQUALS,
+    "geometry_join_multi": ORACLE_GEOMETRY_JOIN_MULTI,
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "gml_to_temporal": ORACLE_GML_TO_TEMPORAL,
