@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "fingerprint",
     "gml_decode",
     "pip_salted_shuffle",
+    # round-3 additions: the operators whose scale paths were rebuilt
+    # (distributed zone prep + batch-vectorized DE-9IM refine)
+    "geometry_join_lines",
+    "dwithin_zones",
 ]
 
 

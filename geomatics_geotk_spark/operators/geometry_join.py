@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from ..functions import covering_cells_col
 from ..kernels import geometry as geom_k
 from ..kernels import geometry_batch as gb
-from .spatial_join import _rings_from_row, prep_zone_struct
+from .spatial_join import _rings_from_flat, prep_zone_struct
 
 DEFAULT_RES = 10
 
@@ -65,7 +65,7 @@ def _wkt_envelope(wkt: pd.Series) -> pd.DataFrame:
 _wkt_envelope = _wkt_envelope.asNondeterministic()
 
 
-def _refine_udf(predicate: str):
+def _refine_udf(predicate: str, impl: str = "batch"):
     """(wkt, zone_id, exterior, interiors) → bool, batch-vectorized.
 
     Inside each Arrow batch: parse each distinct WKT once (docs repeat
@@ -97,7 +97,7 @@ def _refine_udf(predicate: str):
         codes, uniques = pd.factorize(zone_id.to_numpy())
         for k in range(len(uniques)):
             zidx = np.nonzero(codes == k)[0]
-            rings = _rings_from_row(zext.iloc[zidx[0]], zint.iloc[zidx[0]])
+            rings = _rings_from_flat(zext.iloc[zidx[0]], zint.iloc[zidx[0]])
             # split the zone group by kind; batch same-kind groups
             kinds = np.array([
                 (parsed[w][0] if parsed[w] is not None else "_bad")
@@ -107,7 +107,8 @@ def _refine_udf(predicate: str):
                 kidx = zidx[kinds == kind]
                 if kind == "_bad":
                     continue
-                if kind in ("point", "linestring", "polygon") and predicate in gb.BATCHABLE:
+                if (impl == "batch" and kind in ("point", "linestring", "polygon")
+                        and predicate in gb.BATCHABLE):
                     geoms = [parsed[w][1] for w in wkt_np[kidx]]
                     out[kidx] = gb.batch_predicate(predicate, kind, geoms, rings)
                 else:
@@ -128,6 +129,7 @@ def geometry_join(
     wkt_col: str = "wkt",
     id_col: str = "doc_id",
     strategy: str = "broadcast",
+    refine_impl: str = "batch",
 ) -> DataFrame:
     """docs(any WKT geometry) ⋈ zones(polygons) under ``predicate``.
 
@@ -138,6 +140,10 @@ def geometry_join(
     strategy: 'broadcast' ships zone cell + ring tables to every executor
     (dimension-sized zone sets); 'shuffle' hash-partitions both joins —
     the large-zone-side path (zone prep is distributed either way).
+
+    refine_impl: 'batch' (default — vectorized group kernels) or
+    'perpair' (force the fallback loop; benchmarking/cross-check only,
+    results identical by the geometry_batch property tests).
     """
     env = docs.withColumn("_env", _wkt_envelope(F.col(wkt_col)))
     # malformed WKT yields a NaN envelope (which Arrow surfaces as NULL
@@ -156,15 +162,16 @@ def geometry_join(
             matched.select(id_col).distinct(), id_col, "left_anti"
         )
 
+    from .spatial_join import flat_ring_cols
+
     z = prep_zone_struct(zones, res)
     zone_cells = z.select("zone_id", F.explode("_z.cells").alias("_c")).select(
         F.col("_c.cell_id").alias("cell_id"), "zone_id"
     )
-    zone_rings = z.select(
-        "zone_id",
-        F.col("_z.exterior").alias("_zext"),
-        F.col("_z.interiors").alias("_zint"),
-    )
+    # rings travel flattened ([x0,y0,…] double arrays): Arrow hands the
+    # refine numpy, not per-row dict lists — see flat_ring_cols
+    flat_ext, flat_int = flat_ring_cols(F.col("_z.exterior"), F.col("_z.interiors"))
+    zone_rings = z.select("zone_id", flat_ext.alias("_zext"), flat_int.alias("_zint"))
     if strategy == "broadcast":
         zone_cells = F.broadcast(zone_cells)
         zone_rings = F.broadcast(zone_rings)
@@ -185,7 +192,7 @@ def geometry_join(
         .agg(F.min(wkt_col).alias(wkt_col))
         .join(zone_rings, "zone_id")
     )
-    refine = _refine_udf(predicate)
+    refine = _refine_udf(predicate, refine_impl)
     return cand.where(
         refine(F.col(wkt_col), F.col("zone_id"), F.col("_zext"), F.col("_zint"))
     ).select(id_col, "zone_id")

@@ -275,6 +275,29 @@ def _rings_from_row(ext, ints) -> list[np.ndarray]:
     return rings
 
 
+def flat_ring_cols(ext_col, int_col):
+    """(exterior array<struct<x,y>>, interiors) → (array<double>,
+    array<array<double>>) flattened [x0,y0,x1,y1,…] Column expressions.
+
+    Rings ride every candidate join row; as list<struct> Arrow hands the
+    refine UDF per-row PYTHON DICT lists (the conversion dominated the
+    dwithin_zones refine at 10^6 candidates).  Flat double arrays arrive
+    as numpy — reshape(-1,2) and go."""
+    ext = F.flatten(F.transform(ext_col, lambda p: F.array(p["x"], p["y"])))
+    ints = F.transform(
+        int_col, lambda h: F.flatten(F.transform(h, lambda p: F.array(p["x"], p["y"])))
+    )
+    return ext, ints
+
+
+def _rings_from_flat(ext, ints) -> list[np.ndarray]:
+    """Flat [x0,y0,…] arrays (numpy from Arrow) → [(n,2) float64 rings]."""
+    rings = [np.asarray(ext, dtype=np.float64).reshape(-1, 2)]
+    for hole in (ints if ints is not None else []):
+        rings.append(np.asarray(hole, dtype=np.float64).reshape(-1, 2))
+    return rings
+
+
 def _pip_refine_udf(ring_map_bc):
     """Vectorized crossing-number refine: (lon, lat, zone_id, full) → bool.
 
@@ -463,10 +486,9 @@ def dwithin_zone_join(
     zone_cells = z.select(
         "zone_id", F.explode("_z.cells").alias("_c")
     ).select(F.col("_c.cell_id").alias("cell_id"), "zone_id", F.col("_c.full").alias("full"))
+    flat_ext, flat_int = flat_ring_cols(F.col("_z.exterior"), F.col("_z.interiors"))
     zone_rings = z.select(
-        "zone_id",
-        F.col("_z.exterior").alias("_zext"),
-        F.col("_z.interiors").alias("_zint"),
+        "zone_id", flat_ext.alias("_zext"), flat_int.alias("_zint")
     )
     if strategy == "broadcast":
         zone_cells = F.broadcast(zone_cells)
@@ -474,6 +496,13 @@ def dwithin_zone_join(
 
     pts = tile_assign(docs.drop("cell_id"), res, lon_col, lat_col)
     cand = pts.join(zone_cells, "cell_id", "inner").join(zone_rings, "zone_id", "inner")
+    # full cells never touch the rings (distance 0 short-circuit) — null
+    # them out so the Arrow transfer only pays for partial candidates
+    cand = cand.withColumn(
+        "_zext", F.when(F.col("full"), F.lit(None)).otherwise(F.col("_zext"))
+    ).withColumn(
+        "_zint", F.when(F.col("full"), F.lit(None)).otherwise(F.col("_zint"))
+    )
 
     from ..kernels import geodesic
 
@@ -489,7 +518,7 @@ def dwithin_zone_join(
             codes, uniques = pd.factorize(zone_id.to_numpy()[todo])
             for k in range(len(uniques)):
                 m = todo[codes == k]
-                rings = _rings_from_row(zext.iloc[m[0]], zint.iloc[m[0]])
+                rings = _rings_from_flat(zext.iloc[m[0]], zint.iloc[m[0]])
                 px, py = lon_np[m], lat_np[m]
                 inside = geom_k.points_in_polygon(px, py, rings)
                 best = np.full(len(m), np.inf)
