@@ -73,10 +73,11 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 
 def _lane_hash(shingle, seed: int, hash_fn: str):
-    """Per-lane 64-bit shingle hash.  'xxhash64' is the production
-    default (fastest JVM path); 'md5' derives a 60-bit integer from the
-    md5 hex — ~2x slower but bit-reproducible in DuckDB, which is what
-    lets the LSH pipeline be oracle-hash-checked end to end."""
+    """Seeded 64-bit hash (used for BAND bucket hashing).  'xxhash64' is
+    the production default (fastest JVM path); 'md5' derives a 60-bit
+    integer from the md5 hex — slower but bit-reproducible in DuckDB,
+    which is what lets the LSH pipeline be oracle-hash-checked end to
+    end."""
     if hash_fn == "xxhash64":
         return F.xxhash64(shingle, F.lit(seed))
     if hash_fn == "md5":
@@ -86,11 +87,44 @@ def _lane_hash(shingle, seed: int, hash_fn: str):
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
+# Affine minhash permutation family: lane_i(x) = (a_i·x + b_i) mod P over
+# ONE base hash per shingle — the classic universal-hashing minhash
+# construction.  One md5/xxhash64 call per shingle instead of n_hashes
+# calls (the 32-lane variant spent >2x the whole query's time in hashing).
+# P < 2^31 keeps every product < 2^62: no BIGINT overflow in Spark
+# (which would wrap silently) or DuckDB (which would error), so the SQL
+# oracle replays the arithmetic bit-for-bit.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+
+def minhash_lane_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for affine lane i, a_i ∈ [1, P)."""
+    a = (i * 2_654_435_761 + 0x9E3779B1) % MINHASH_P
+    if a == 0:
+        a = 1
+    b = (i * 40_503 + 17) % MINHASH_P
+    return a, b
+
+
+def _base_hash(shingle, hash_fn: str):
+    """Non-negative base hash < P, once per shingle."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(shingle), F.lit(MINHASH_P))
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        )
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
                       shingle_n: int = 3, id_col: str = "doc_id",
                       hash_fn: str = "xxhash64") -> DataFrame:
-    """(id_col, minhash: array<bigint>) — per hash lane i, min over
-    shingles of hash(shingle, seed=i).
+    """(id_col, minhash: array<bigint>) — per lane i, min over shingles
+    of the affine permutation (a_i·base(shingle) + b_i) mod P
+    (:data:`MINHASH_P`, :func:`minhash_lane_params`); ``base`` is ONE
+    md5/xxhash64 call per shingle.
 
     Shape: explode shingles once (a single materialized column — inlining
     the shingle expression into 32 lanes explodes Catalyst codegen), then
@@ -106,11 +140,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
     """
     sh = with_shingles(df, text_col, shingle_n).select(
         id_col, F.explode("shingles").alias("_sh")
-    )
-    lanes = [
-        F.min(_lane_hash(F.col("_sh"), i, hash_fn)).alias(f"_mh{i}")
-        for i in range(n_hashes)
-    ]
+    ).select(id_col, _base_hash(F.col("_sh"), hash_fn).alias("_b"))
+    lanes = []
+    for i in range(n_hashes):
+        a, b = minhash_lane_params(i)
+        lanes.append(
+            F.min((F.lit(a) * F.col("_b") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_mh{i}")
+        )
     agg = sh.groupBy(id_col).agg(*lanes)
     sig = agg.select(
         id_col, F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("minhash")

@@ -1171,11 +1171,20 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_lsh(n_hashes: int = 32, bands: int = 8) -> str:
+    from .operators.dedup import MINHASH_P, minhash_lane_params
+
     rows_per_band = n_hashes // bands
-    lane = (
-        "min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    # affine lane family over one md5-derived base per shingle — the
+    # exact arithmetic minhash_signature runs (dedup.MINHASH_P/_lane
+    # params are the shared constants)
+    base = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P})"
+    lanes_sql = ", ".join(
+        "min(({a} * {base} + {b}) % {p}) AS mh{i}".format(
+            a=minhash_lane_params(i)[0], b=minhash_lane_params(i)[1],
+            base=base, p=MINHASH_P, i=i,
+        )
+        for i in range(n_hashes)
     )
-    lanes_sql = ", ".join(lane.format(i=i) for i in range(n_hashes))
     band_exprs = []
     for b in range(bands):
         joined = " || ',' || ".join(
