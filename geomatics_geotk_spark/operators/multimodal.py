@@ -135,6 +135,78 @@ def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, "
+    "pixels binary, resize_ok boolean"
+)
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_index int, frame_t_s double, "
+    "frame binary"
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize decoded image payloads to (width, height) — Arrow-batched
+    mapInPandas over (doc_id, media_ref, payload) rows.
+
+    The pixel resample itself is a deterministic fake (the container has
+    no image codec — :func:`decode_image` is the documented seam): output
+    ``pixels`` is a hash-seeded byte grid of exactly width·height bytes,
+    so downstream schema/size invariants (fixed-shape tensors per row)
+    are production-real and testable.
+    """
+    n = width * height
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                seed = hashlib.sha256(payload).digest()
+                reps = n // len(seed) + 1
+                rows.append({
+                    "doc_id": doc_id, "media_ref": ref,
+                    "width": width, "height": height,
+                    "pixels": (seed * reps)[:n], "resize_ok": True,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_s: float = 10.0,
+                  max_frames: int = 8) -> DataFrame:
+    """Sample video frames every ``every_s`` seconds (≤ ``max_frames``)
+    from media payloads — one output row per (doc, frame).
+
+    Frame timing derives from the (fake-decoded) duration in the
+    metadata derivation, so row counts are deterministic and
+    SQL-predictable; frame bytes are the hash-seeded stand-in for the
+    codec seam.  Batch shape (explode inside mapInPandas — a fat binary
+    row fans out WITHOUT a Spark explode of binary columns through a
+    shuffle) is the production pattern.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                meta = _meta_row(doc_id, ref, payload)
+                n = min(max_frames, int(meta["duration_s"] / every_s) + 1)
+                base = hashlib.sha256(payload).digest()
+                for i in range(n):
+                    rows.append({
+                        "doc_id": doc_id, "media_ref": ref,
+                        "frame_index": i, "frame_t_s": i * every_s,
+                        "frame": hashlib.sha256(base + i.to_bytes(4, "big")).digest(),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "frame_index", "frame_t_s", "frame"]
+            )
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def media_pipeline(docs: DataFrame, fused: bool = True) -> DataFrame:
     """media spans → fetch → metadata, repartitioned on media_ref so fat
     binary batches don't skew the text-processing partitions.

@@ -1455,6 +1455,39 @@ ORACLE_MULTIMODAL_FEATURES = (
 )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.sample_frames): one row per
+    (doc, frame) every 10 s up to 8 frames, fanned out INSIDE the Arrow
+    stage (no JVM explode of binary columns).  Frame count and timing
+    derive from the fake-decoded duration, so the oracle replays them
+    with generate_series over the same hash arithmetic; frame bytes stay
+    pytest-verified (binary is not hash-compared by the driver)."""
+    from .operators import multimodal
+
+    inter = build_interleaved(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    spans = multimodal.media_spans(inter)
+    frames = multimodal.sample_frames(
+        multimodal.fetch_media_stub(spans), every_s=10.0, max_frames=8
+    )
+    return frames.select("doc_id", "media_ref", "frame_index", "frame_t_s")
+
+
+ORACLE_MEDIA_FRAMES = (
+    "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "'media://blob/' || doc_id AS media_ref FROM documents), "
+    "h AS (SELECT doc_id, media_ref, "
+    "('0x' || substr(sha256(repeat(sha256(media_ref), 4)), 1, 8))::BIGINT AS seed FROM m), "
+    "d AS (SELECT doc_id, media_ref, "
+    "least(8, CAST(floor((CAST(seed % 600 AS DOUBLE) / 10.0) / 10.0) AS INT) + 1) AS n "
+    "FROM h), "
+    "g AS (SELECT doc_id, media_ref, unnest(generate_series(0, n - 1)) AS i FROM d) "
+    "SELECT doc_id, media_ref, CAST(i AS INT) AS frame_index, "
+    "CAST(i AS DOUBLE) * 10.0 AS frame_t_s FROM g"
+)
+
+
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence invariant as a driver-visible check: run the full
     decode→tile→join pipeline and emit every doc whose (kind, text,
@@ -2734,6 +2767,7 @@ ORACLE_GML_TO_TEMPORAL = (
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
     "gml_to_temporal": q_gml_to_temporal,
+    "media_frames": q_media_frames,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "geometry_join_lines": q_geometry_join_lines,
@@ -2876,5 +2910,6 @@ ORACLES = {
     "cell_histogram": ORACLE_CELL_HISTOGRAM,
     "skew_report": ORACLE_SKEW_REPORT,
     "gml_to_temporal": ORACLE_GML_TO_TEMPORAL,
+    "media_frames": ORACLE_MEDIA_FRAMES,
     "span_invariant": ORACLE_SPAN_INVARIANT,
 }

@@ -190,6 +190,47 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
 
+    def test_resize_images_fixed_shape(self, spark):
+        docs = synth_documents(spark, 16, partitions=1).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        spans = multimodal.media_spans(docs)
+        out = multimodal.resize_images(
+            multimodal.fetch_media_stub(spans), width=32, height=24
+        ).collect()
+        assert len(out) == len(spans.collect())
+        for r in out:
+            assert r["width"] == 32 and r["height"] == 24
+            assert len(r["pixels"]) == 32 * 24  # fixed-shape tensor per row
+            assert r["resize_ok"] is True
+        # deterministic: identical payload → identical pixels
+        again = multimodal.resize_images(
+            multimodal.fetch_media_stub(spans), width=32, height=24
+        ).collect()
+        assert {r["media_ref"]: bytes(r["pixels"]) for r in out} == {
+            r["media_ref"]: bytes(r["pixels"]) for r in again
+        }
+
+    def test_sample_frames_counts_and_timing(self, spark):
+        import math
+
+        docs = synth_documents(spark, 24, partitions=2).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        spans = multimodal.media_spans(docs)
+        fetched = multimodal.fetch_media_stub(spans)
+        frames = multimodal.sample_frames(fetched, every_s=10.0, max_frames=8).collect()
+        meta = {r["media_ref"]: r for r in multimodal.extract_media_metadata(fetched).collect()}
+        by_ref = {}
+        for r in frames:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        for ref, m in meta.items():
+            want = min(8, math.floor(m["duration_s"] / 10.0) + 1)
+            got = sorted(by_ref[ref], key=lambda r: r["frame_index"])
+            assert len(got) == want, ref
+            assert [r["frame_t_s"] for r in got] == [i * 10.0 for i in range(want)]
+            assert len({bytes(r["frame"]) for r in got}) == want  # distinct frames
+
 
 class TestStatefulStreamingDedup:
     def test_dedup_across_micro_batches_with_restart(self, spark, tmp_path):
