@@ -455,3 +455,93 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pair edges — duplicate CLUSTERS
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected edge list → (node, component),
+    component = min node id of the component.
+
+    Min-label propagation with pointer doubling: each round every node
+    takes the min label over its neighbors (one equi-join + one map-side
+    combinable min-agg), then shortcuts through the label table
+    (label(n) := label(label(n)) — Shiloach–Vishkin style), so chains
+    contract in O(log diameter) rounds rather than O(diameter).  Each
+    round is ~2 shuffles on node id; ``localCheckpoint`` truncates the
+    lineage so round k doesn't replay rounds 1..k-1.  Converged when no
+    label changes (exact, driver sees only a count).
+
+    Dup clusters in web corpora are shallow (near-clique bands/shingle
+    buckets), so rounds ≈ 3-5 in practice; the alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") is the upgrade path if component diameters
+    ever dominate.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+        )
+        # pointer doubling: follow the label one more hop
+        lk = labels.select(F.col("node").alias("lk_node"), F.col("comp").alias("lk_comp"))
+        doubled = (
+            stepped.join(lk, stepped["comp"] == lk["lk_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("lk_comp"), F.col("comp"))).alias("comp"),
+                "old_comp",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = doubled.where(F.col("comp") != F.col("old_comp")).limit(1).count()
+        labels = doubled.drop("old_comp")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dup_components(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+                   max_iter: int = 25) -> DataFrame:
+    """Cluster docs by near-dup edges; every doc gets a component
+    (singletons map to themselves), a cluster size, and the keep flag
+    (keeper = min id of the cluster) — the keep-one-per-cluster shape a
+    training-data dedup stage emits."""
+    comp = connected_components(edges, max_iter=max_iter)
+    out = (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        id_col,
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("component")).alias("is_keeper"),
+    )

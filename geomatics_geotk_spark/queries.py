@@ -782,6 +782,40 @@ ORACLE_TEMPORAL_RANK = (
 )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the latest view by the same
+    user at or before the purchase timestamp (union-sort-window
+    formulation — one exchange on user_id, no candidate blow-up; see
+    operators/temporal.py::asof_join).  (user_id, ts) is unique in the
+    events table, so the match is deterministic.  Oracle: DuckDB's
+    native ASOF JOIN over the same two slices.
+    """
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    j = temporal.asof_join(left, right, on=["user_id"])
+    lag = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+    ).cast("long")
+    return j.select("event_id", "user_id", "value", "view_value", lag.alias("lag_us"))
+
+
+ORACLE_ASOF_JOIN = (
+    "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+    "WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, ts, value AS view_value FROM events "
+    "WHERE event_type = 'view') "
+    "SELECT l.event_id, l.user_id, l.value, r.view_value, "
+    "epoch_us(l.ts) - epoch_us(r.ts) AS lag_us "
+    "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+)
+
+
 # ===========================================================================
 # 8. Relational coverage (scan→filter→join→agg→window; SURVEY §2.6)
 # ===========================================================================
@@ -1013,17 +1047,62 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3)
 
 
-ORACLE_NGRAM_JACCARD = (
-    "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents), "
+# shared by ngram_jaccard and dup_components oracles: 3-gram word-shingle
+# sets per doc + pairwise overlap counts (mirrors dedup.with_shingles +
+# the pair join inside ngram_jaccard_pairs)
+_JACCARD_CTES = (
+    "toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents), "
     "sh AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(len(tk) - 2, 1)), "
     "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM toks), "
     "ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh), "
     "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, "
     "count(*) AS inter FROM ex a JOIN ex b ON a.shingle = b.shingle "
-    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
+)
+
+ORACLE_NGRAM_JACCARD = (
+    f"WITH {_JACCARD_CTES} "
     "SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM ov "
     "WHERE inter / (n_a + n_b - inter) >= 0.4"
+)
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the union of
+    exact-dup edges (keeper→member star per content hash — linear, never
+    the n² clique) and n-gram-Jaccard ≥ 0.4 near-dup pairs.  Components
+    computed by distributed min-label propagation with pointer doubling
+    (operators/dedup.py::connected_components); the oracle replays the
+    same edge set through a recursive-CTE transitive closure in DuckDB —
+    an O(n·m) formulation that is only viable at oracle scale, which is
+    exactly why the engine side uses label propagation instead.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    exact_edges = docs.select(
+        F.min("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).where(F.col("id_a") < F.col("id_b"))
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3).select("id_a", "id_b")
+    edges = exact_edges.union(jac)
+    return dedup.dup_components(docs.select("doc_id"), edges)
+
+
+ORACLE_DUP_COMPONENTS = (
+    f"WITH RECURSIVE {_JACCARD_CTES}, "
+    "exd AS (SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS id_a, "
+    "doc_id AS id_b FROM documents), "
+    "jac AS (SELECT id_a, id_b FROM ov WHERE inter / (n_a + n_b - inter) >= 0.4), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM exd WHERE id_a < id_b "
+    "UNION SELECT id_a, id_b FROM jac), "
+    "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+    "reach(a, b) AS (SELECT a, b FROM sym "
+    "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), "
+    "comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a), "
+    "lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node) "
+    "SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size, "
+    "doc_id = component AS is_keeper FROM lab"
 )
 
 
@@ -2766,6 +2845,8 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "asof_join": q_asof_join,
+    "dup_components": q_dup_components,
     "gml_to_temporal": q_gml_to_temporal,
     "media_frames": q_media_frames,
     "ann_topk": q_ann_topk,
@@ -2843,6 +2924,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join": ORACLE_ASOF_JOIN,
+    "dup_components": ORACLE_DUP_COMPONENTS,
     "tile_assign": ORACLE_TILE_ASSIGN,
     "pip_convex": ORACLE_PIP_CONVEX,
     "interleaved_tile_pip": ORACLE_INTERLEAVED,
