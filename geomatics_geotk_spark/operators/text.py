@@ -117,3 +117,94 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + h(t), F.lit(FP_MOD)),
     )
     return df.withColumn("fingerprint", fp)
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination & corpus boilerplate detection
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per training document, how much of it appears in an eval set:
+    ``(id_col, n_shingles, n_contaminated, contamination)`` where
+    contamination = fraction of the doc's distinct word n-grams that occur
+    anywhere in ``eval_docs`` (the standard benchmark-decontamination
+    check; production pipelines use 8-13-grams, the n is a knob).
+
+    Shape for 100 TB: the eval side is benchmark-sized (thousands of
+    docs), so its distinct shingle set is broadcast; the corpus side
+    explodes shingles map-side and aggregates ONCE on ``id_col`` — one
+    exchange total, no corpus self-join.  Every doc appears in the output
+    (zero-hit docs report contamination 0.0), so a `WHERE contamination
+    > t` on the result is the decontamination filter.
+    """
+    from .dedup import with_shingles
+
+    ev = (
+        with_shingles(eval_docs, text_col, shingle_n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = with_shingles(docs, text_col, shingle_n).select(
+        id_col,
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    rep = (
+        ex.join(F.broadcast(ev), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    return rep.withColumn(
+        "contamination", F.col("n_contaminated") / F.col("n_shingles")
+    )
+
+
+def heavy_hitter_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_df: int | None = None,
+    rel_df: float | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate detector: word n-grams whose DOCUMENT
+    frequency is >= min_df (absolute) or >= rel_df * corpus size
+    (relative — scale-invariant; exactly one of the two must be given).
+    Returns ``(shingle, df)``.
+
+    ``with_shingles`` already distincts grams per doc, so a plain
+    ``count(*)`` after the explode IS the document frequency — no
+    count-distinct exchange.  Shape: map-side partial count → one
+    exchange on the shingle key.  A super-frequent gram is one hot KEY
+    whose partial counts combine map-side, so frequency skew does not
+    skew the shuffle.  The relative threshold needs corpus N — a
+    metadata-cheap scalar count crossed in via broadcast, not a collect
+    of data rows.
+    """
+    if (min_df is None) == (rel_df is None):
+        raise ValueError("exactly one of min_df / rel_df required")
+    from .dedup import with_shingles
+
+    ex = with_shingles(docs, text_col, shingle_n).select(
+        F.explode("shingles").alias("shingle")
+    )
+    counts = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    if min_df is not None:
+        return counts.where(F.col("df") >= F.lit(min_df))
+    n = docs.agg(F.count("*").alias("_n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .where(F.col("df") >= F.col("_n_docs") * F.lit(rel_df))
+        .drop("_n_docs")
+    )

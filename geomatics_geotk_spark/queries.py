@@ -1106,6 +1106,52 @@ ORACLE_DUP_COMPONENTS = (
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    3-gram shingles that appear in a held-out eval set (here the
+    deterministic ``doc_id % 97 == 0`` slice of the same table — no
+    external data).  Eval shingles broadcast; corpus aggregates once on
+    doc_id.  Every train doc is reported, zero-hit docs included.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    rep = text.contamination_report(tr, ev, shingle_n=3)
+    return rep.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_contaminated",
+        "contamination",
+    )
+
+
+ORACLE_DECONTAMINATE = (
+    f"WITH {_JACCARD_CTES.split(', ov AS')[0]}, "
+    "ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0), "
+    "tr AS (SELECT * FROM ex WHERE doc_id % 97 <> 0) "
+    "SELECT tr.doc_id AS doc_id, max(tr.n_sh) AS n_shingles, "
+    "count(ev.shingle) AS n_contaminated, "
+    "count(ev.shingle) / max(tr.n_sh) AS contamination "
+    "FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id"
+)
+
+
+def q_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles present in >= 1% of the
+    corpus (relative threshold — scale-invariant; corpus N crossed in as
+    a broadcast scalar, never collected)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.heavy_hitter_shingles(docs, shingle_n=3, rel_df=0.01)
+
+
+ORACLE_HEAVY_SHINGLES = (
+    f"WITH {_JACCARD_CTES.split(', ov AS')[0]}, "
+    "cnt AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents) "
+    "SELECT shingle, df FROM cnt, n WHERE df >= n_docs * 0.01"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.with_token_counts(docs)
@@ -2845,6 +2891,8 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "decontaminate": q_decontaminate,
+    "heavy_shingles": q_heavy_shingles,
     "asof_join": q_asof_join,
     "dup_components": q_dup_components,
     "gml_to_temporal": q_gml_to_temporal,
@@ -2924,6 +2972,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "heavy_shingles": ORACLE_HEAVY_SHINGLES,
     "asof_join": ORACLE_ASOF_JOIN,
     "dup_components": ORACLE_DUP_COMPONENTS,
     "tile_assign": ORACLE_TILE_ASSIGN,
