@@ -120,6 +120,136 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Splits, repetition, PII, URL domains
+# ---------------------------------------------------------------------------
+
+# Shared PII regexes — RE2-safe subsets (no \b, \d, lookaround) so the
+# SAME literal pattern runs under Spark's Java regex and DuckDB's RE2.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+URL_PATTERN = "https?://[^ ]+"
+URL_DOMAIN = "^https?://([^/ ]+)"
+
+
+def with_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    buckets: int = 10_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the id into one of
+    ``buckets`` buckets, then map cumulative-weight cutoffs to split
+    labels.  Adds ``split_bucket`` and ``split``.
+
+    Pure per-row Column map — no shuffle, no RNG: the same row lands in
+    the same split on every run, at every scale, on any cluster layout
+    (the property random `df.sample` cannot give across re-runs).
+    hash_fn 'xxhash64' is the production path; 'md5' is the
+    DuckDB-mirrorable twin (``('0x'||substr(md5(id),1,15))::BIGINT``).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    sid = F.col(id_col).cast("string")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(sid)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    bucket = F.pmod(h, F.lit(buckets))
+    expr, cum = None, 0.0
+    labels = list(weights)
+    for name in labels[:-1]:
+        cum += weights[name]
+        cut = int(round(cum * buckets))
+        branch = (bucket < F.lit(cut), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    split = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Intra-document repetition features: ``dup_token_ratio`` (1 −
+    distinct/total tokens) and ``dup_gram_ratio`` over NON-distinct word
+    n-grams (the within-doc twin of the corpus-level boilerplate
+    detector — high values flag template/spam pages).  Pure Column
+    (split + transform + array_distinct), zero shuffles.
+    """
+    out = df.withColumn("_toks", _tokens(F.col(text_col)))
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    out = out.withColumn("_grams", grams)
+    n_tok = F.size(toks).cast("double")
+    n_gr = F.size("_grams").cast("double")
+    return (
+        out.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "dup_token_ratio",
+            F.when(n_tok > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok)
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_gram_ratio",
+            F.when(n_gr > 0, F.lit(1.0) - F.size(F.array_distinct("_grams")) / n_gr)
+            .otherwise(F.lit(0.0)),
+        )
+        .drop("_toks", "_grams")
+    )
+
+
+def with_pii(df: DataFrame, text_col: str = "text", redact: bool = True) -> DataFrame:
+    """PII detection (+ optional redaction): per-row counts of email /
+    phone / IPv4 matches (``n_email``, ``n_phone``, ``n_ipv4``,
+    ``n_pii``) and, when ``redact``, a ``redacted`` column with matches
+    replaced by ``<EMAIL>`` / ``<PHONE>`` / ``<IPV4>`` — email first so
+    digit-bearing hostnames can't be re-matched as numbers.  All JVM
+    regex Column ops; the patterns are RE2-safe so a DuckDB oracle can
+    run the identical literals.
+    """
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_email", F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)))
+        .withColumn("n_phone", F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)))
+        .withColumn("n_ipv4", F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)))
+    )
+    out = out.withColumn(
+        "n_pii", F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")
+    )
+    if redact:
+        red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+        red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+        red = F.regexp_replace(red, PII_IPV4, "<IPV4>")
+        out = out.withColumn("redacted", red)
+    return out
+
+
+def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus URL-domain frequency: extract every URL, reduce to its
+    host, count per domain — ``(domain, n_urls)``.  Map-side explode →
+    one partial-aggregated exchange on the domain key (same shuffle
+    shape as heavy_hitter_shingles: hot domains combine map-side).
+    """
+    urls = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    ).alias("url")
+    return (
+        df.select(urls)
+        .select(F.regexp_extract("url", URL_DOMAIN, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Eval-set decontamination & corpus boilerplate detection
 # ---------------------------------------------------------------------------
 

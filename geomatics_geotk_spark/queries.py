@@ -1152,6 +1152,169 @@ ORACLE_HEAVY_SHINGLES = (
 )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (md5-bucket twin
+    of the xxhash64 production path), reported as per-(split, lang)
+    counts.  Pure per-row Column map + one small groupBy — re-runnable
+    and layout-independent, unlike random sampling."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = text.with_split_assign(docs, hash_fn="md5")
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select("split", "lang", "n_docs")
+    )
+
+
+ORACLE_SPLIT_ASSIGN = (
+    "WITH b AS (SELECT lang, "
+    "('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket "
+    "FROM documents) "
+    "SELECT CASE WHEN bucket < 8000 THEN 'train' "
+    "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split, "
+    "lang, count(*) AS n_docs FROM b GROUP BY 1, 2"
+)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: per doc, 1 − distinct/total over tokens
+    and over NON-distinct 3-grams (template/spam signal).  Pure Column,
+    zero shuffles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_repetition(docs, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_ratio",
+        "dup_gram_ratio",
+    )
+
+
+ORACLE_REPETITION = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk "
+    "FROM documents), "
+    "g AS (SELECT doc_id, tk, list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS grams FROM toks) "
+    "SELECT doc_id, len(tk) AS n_tokens, "
+    "1 - len(list_distinct(tk)) / len(tk) AS dup_token_ratio, "
+    "1 - len(list_distinct(grams)) / len(grams) AS dup_gram_ratio FROM g"
+)
+
+
+def _pii_augmented_text(spark_side: bool):
+    """The deterministic PII augmentation (the corpus is synthetic word
+    soup with no natural PII): docs with doc_id % 7 in {0, 3, 5} get an
+    email / phone / IPv4 appended, derived from doc_id with identical
+    string arithmetic on both engines."""
+    if spark_side:
+        d = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        return (
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" mail user"), s(d), F.lit("@host"),
+                    s(F.pmod(d, F.lit(5))), F.lit(".example.com now"),
+                ),
+            )
+            .when(
+                d % 7 == 3,
+                F.concat(
+                    F.col("text"), F.lit(" call +99-555-"),
+                    F.lpad(s(F.pmod(d, F.lit(10000))), 4, "0"), F.lit(" now"),
+                ),
+            )
+            .when(
+                d % 7 == 5,
+                F.concat(
+                    F.col("text"), F.lit(" from 10."), s(F.pmod(d, F.lit(256))),
+                    F.lit("."), s(F.pmod(d, F.lit(250))), F.lit("."),
+                    s(F.pmod(d, F.lit(17))), F.lit(" logged"),
+                ),
+            )
+            .otherwise(F.col("text"))
+        )
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' mail user' || cast(doc_id AS VARCHAR)"
+        " || '@host' || cast(doc_id % 5 AS VARCHAR) || '.example.com now' "
+        "WHEN doc_id % 7 = 3 THEN text || ' call +99-555-'"
+        " || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' "
+        "WHEN doc_id % 7 = 5 THEN text || ' from 10.' || cast(doc_id % 256 AS VARCHAR)"
+        " || '.' || cast(doc_id % 250 AS VARCHAR) || '.' || cast(doc_id % 17 AS VARCHAR)"
+        " || ' logged' ELSE text END"
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the deterministically augmented corpus:
+    per-doc email/phone/IPv4 match counts and the redacted-text length
+    (verifies the replacement logic, not just the counts).  All JVM
+    regex Column ops; the patterns are RE2-safe so the oracle runs the
+    identical literals."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn("text", _pii_augmented_text(spark_side=True))
+    out = text.with_pii(aug, redact=True)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+ORACLE_PII_SCAN = (
+    f"WITH aug AS (SELECT doc_id, {_pii_augmented_text(spark_side=False)} AS t "
+    "FROM documents) "
+    f"SELECT doc_id, len(regexp_extract_all(t, '{text.PII_EMAIL}')) AS n_email, "
+    f"len(regexp_extract_all(t, '{text.PII_PHONE}')) AS n_phone, "
+    f"len(regexp_extract_all(t, '{text.PII_IPV4}')) AS n_ipv4, "
+    f"len(regexp_extract_all(t, '{text.PII_EMAIL}')) "
+    f"+ len(regexp_extract_all(t, '{text.PII_PHONE}')) "
+    f"+ len(regexp_extract_all(t, '{text.PII_IPV4}')) AS n_pii, "
+    "length(regexp_replace(regexp_replace(regexp_replace(t, "
+    f"'{text.PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{text.PII_PHONE}', '<PHONE>', 'g'), "
+    f"'{text.PII_IPV4}', '<IPV4>', 'g')) AS redacted_len FROM aug"
+)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus URL-domain frequency over the deterministically augmented
+    corpus (every doc_id % 5 == 0 doc carries two synthetic URLs):
+    extract → host → count per domain.  Map-side explode, one
+    partial-aggregated exchange on the domain key."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" https://cdn-"), s(F.pmod(d, F.lit(13))),
+                F.lit(".example.org/p/"), s(d), F.lit(" http://site-"),
+                s(F.pmod(d, F.lit(3))), F.lit(".io/x"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = text.url_domain_counts(aug)
+    return out.select("domain", F.col("n_urls").cast("long").alias("n_urls"))
+
+
+ORACLE_URL_DOMAINS = (
+    "WITH aug AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text"
+    " || ' https://cdn-' || cast(doc_id % 13 AS VARCHAR) || '.example.org/p/'"
+    " || cast(doc_id AS VARCHAR) || ' http://site-' || cast(doc_id % 3 AS VARCHAR)"
+    " || '.io/x' ELSE text END AS t FROM documents), "
+    f"u AS (SELECT unnest(regexp_extract_all(t, '{text.URL_PATTERN}')) AS url FROM aug) "
+    f"SELECT regexp_extract(url, '{text.URL_DOMAIN}', 1) AS domain, "
+    "count(*) AS n_urls FROM u GROUP BY 1"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.with_token_counts(docs)
@@ -2891,6 +3054,10 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "split_assign": q_split_assign,
+    "repetition": q_repetition,
+    "pii_scan": q_pii_scan,
+    "url_domains": q_url_domains,
     "decontaminate": q_decontaminate,
     "heavy_shingles": q_heavy_shingles,
     "asof_join": q_asof_join,
@@ -2972,6 +3139,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "split_assign": ORACLE_SPLIT_ASSIGN,
+    "repetition": ORACLE_REPETITION,
+    "pii_scan": ORACLE_PII_SCAN,
+    "url_domains": ORACLE_URL_DOMAINS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "heavy_shingles": ORACLE_HEAVY_SHINGLES,
     "asof_join": ORACLE_ASOF_JOIN,

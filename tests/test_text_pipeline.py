@@ -81,3 +81,83 @@ def test_heavy_hitter_requires_exactly_one_threshold(spark):
         text.heavy_hitter_shingles(docs)
     with pytest.raises(ValueError):
         text.heavy_hitter_shingles(docs, min_df=2, rel_df=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Splits, repetition, PII, URL domains
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_deterministic_and_partitioning(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = text.with_split_assign(docs, hash_fn="xxhash64")
+    rows = out.collect()
+    # exhaustive label cover, buckets respect the cumulative cutoffs
+    for r in rows:
+        expected = (
+            "train" if r["split_bucket"] < 8000
+            else "val" if r["split_bucket"] < 9000 else "test"
+        )
+        assert r["split"] == expected
+    # deterministic across re-evaluation
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    # roughly proportional (hash uniformity; generous tolerance)
+    n_train = sum(r["split"] == "train" for r in rows)
+    assert 0.7 * 2000 < n_train < 0.9 * 2000
+
+
+def test_split_assign_weights_must_sum_to_one(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        text.with_split_assign(docs, weights={"a": 0.5, "b": 0.2})
+
+
+def test_with_repetition_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens, all distinct; 4 grams, all distinct
+            (1, "a b c d e f"),
+            # "x y z" repeated: 6 tokens / 3 distinct -> 0.5;
+            # grams: [xyz, yzx, zxy, xyz] -> 4 total / 3 distinct -> 0.25
+            (2, "x y z x y z"),
+            # shorter than n: single partial gram, no crash
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.with_repetition(docs, n=3).collect()}
+    assert rows[1]["dup_token_ratio"] == 0.0 and rows[1]["dup_gram_ratio"] == 0.0
+    assert rows[2]["dup_token_ratio"] == pytest.approx(0.5)
+    assert rows[2]["dup_gram_ratio"] == pytest.approx(0.25)
+    assert rows[3]["n_tokens"] == 1 and rows[3]["dup_gram_ratio"] == 0.0
+
+
+def test_with_pii_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@sub.example.org or +12-345-6789 ok"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.with_pii(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    assert rows[1]["redacted"] == "reach me at <EMAIL> or <PHONE> ok"
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_pii"] == 2
+    assert rows[2]["redacted"] == "server <IPV4> and <IPV4> up"
+    assert rows[3]["n_pii"] == 0 and rows[3]["redacted"] == rows[3]["text"]
+
+
+def test_url_domain_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x and http://b.io/y?q=1"),
+            (2, "again https://a.example.com/other plain text"),
+            (3, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: r["n_urls"] for r in text.url_domain_counts(docs).collect()}
+    assert out == {"a.example.com": 2, "b.io": 1}
