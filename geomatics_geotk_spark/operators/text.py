@@ -8,7 +8,7 @@ BPE-ish regex), and rolling-hash document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker sets (deterministic heuristic; the goal is a
@@ -152,14 +152,7 @@ def with_split_assign(
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1")
-    sid = F.col(id_col).cast("string")
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(sid)
-    elif hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn}")
-    bucket = F.pmod(h, F.lit(buckets))
+    bucket = _id_bucket(id_col, buckets, hash_fn)
     expr, cum = None, 0.0
     labels = list(weights)
     for name in labels[:-1]:
@@ -169,6 +162,59 @@ def with_split_assign(
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     split = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def _id_bucket(id_col: str, buckets: int, hash_fn: str) -> Column:
+    """Deterministic bucket in [0, buckets) from the string form of an id
+    ('xxhash64' production path / 'md5' DuckDB-mirrorable twin)."""
+    sid = F.col(id_col).cast("string")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(sid)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return F.pmod(h, F.lit(buckets))
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    salts: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``k`` rows with the smallest
+    ``(hash_bucket, id)`` per stratum (adds ``sample_bucket`` and
+    ``sample_rank``).  Re-runnable and layout-independent, unlike
+    ``sampleBy``.
+
+    Two-phase top-k: a first window over ``(stratum, salt)`` keeps k
+    rows per salt — every member of the true per-stratum top-k survives
+    its own salt's cut, so phase 2's exact window sees at most
+    ``k * salts`` rows per stratum instead of the whole stratum.  With a
+    handful of strata over 100 TB a single per-stratum window would
+    funnel the entire corpus through a few partitions; the salted phase
+    bounds each window partition, and the result is provably identical
+    for ANY salts >= 1 (salts is purely a parallelism knob).
+    """
+    bucket = _id_bucket(id_col, buckets, hash_fn)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)), F.lit(salts))
+    staged = df.withColumn("sample_bucket", bucket).withColumn("_salt", salt)
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy("sample_bucket", id_col)
+    survivors = (
+        staged.withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .drop("_rk1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy("sample_bucket", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .drop("_salt")
+    )
 
 
 def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -1315,6 +1315,109 @@ ORACLE_URL_DOMAINS = (
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample: the 20 docs with the smallest
+    (md5-bucket, doc_id) per lang.  Salted two-phase top-k — the salt
+    bounds every window partition to <= k rows per salt regardless of
+    stratum size, and the row set is provably salt-invariant (the oracle
+    computes the direct single-window top-k)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = text.stratified_topk(docs, "lang", k=20, hash_fn="md5", salts=8)
+    return out.select(
+        "lang", "doc_id", "sample_bucket",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = (
+    "WITH b AS (SELECT lang, doc_id, "
+    "('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS sample_bucket "
+    "FROM documents), "
+    "r AS (SELECT lang, doc_id, sample_bucket, "
+    "row_number() OVER (PARTITION BY lang ORDER BY sample_bucket, doc_id) AS sample_rank "
+    "FROM b) "
+    "SELECT lang, doc_id, sample_bucket, sample_rank FROM r WHERE sample_rank <= 20"
+)
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the count of docs surviving each
+    stage of a real training-data pipeline, composed from the engine's
+    own operators in one program:
+
+      all → quality_score >= 0.5 → lang = 'en' → exact-dedup keeper
+      (min doc_id per md5(text)) → contamination < 0.5 vs the
+      doc_id % 97 eval slice.
+
+    Plan shape: quality is pure Column on the scan; the keeper is one
+    window exchange on md5(text); contamination is the decontaminate
+    pipeline (eval shingles broadcast, one agg exchange) left-joined
+    back on doc_id; the funnel itself is a single-row conditional agg
+    unpivoted with stack — counts only, no per-doc materialization.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    enriched = text.with_quality_score(docs).withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    cont = text.contamination_report(docs, ev).select("doc_id", "contamination")
+    j = enriched.join(cont, "doc_id", "left").na.fill({"contamination": 0.0})
+    s1 = F.col("quality_score") >= 0.5
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & (F.col("doc_id") == F.col("keeper_id"))
+    s4 = s3 & (F.col("contamination") < 0.5)
+    agg = j.agg(
+        F.count("*").alias("n_all"),
+        F.sum(s1.cast("long")).alias("n_quality"),
+        F.sum(s2.cast("long")).alias("n_lang"),
+        F.sum(s3.cast("long")).alias("n_dedup"),
+        F.sum(s4.cast("long")).alias("n_decontam"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'all', n_all, 'quality', n_quality, 'lang', n_lang, "
+        "'dedup', n_dedup, 'decontam', n_decontam) AS (stage, n_docs)"
+    )
+
+
+ORACLE_CURATION_FUNNEL = (
+    # quality mirror (same tree as ORACLE_QUALITY_SCORE), keeper window,
+    # contamination mirror (same tree as ORACLE_DECONTAMINATE over ALL
+    # docs — eval-slice docs score 1.0 and fall out at the last stage)
+    "WITH f AS (SELECT doc_id, "
+    "CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_tokens, "
+    "CAST(length(text) AS DOUBLE) AS n_chars, "
+    "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE) AS n_stop "
+    "FROM documents), "
+    "q AS (SELECT doc_id, 0.4 * least(n_tokens / 64.0, 1.0) "
+    "+ 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) "
+    "+ 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0)) "
+    "AS quality_score FROM f), "
+    "k AS (SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id "
+    "FROM documents), "
+    f"{_JACCARD_CTES.split(', ov AS')[0]}, "
+    "ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0), "
+    "c AS (SELECT ex.doc_id, count(ev.shingle) / max(ex.n_sh) AS contamination "
+    "FROM ex LEFT JOIN ev ON ex.shingle = ev.shingle GROUP BY ex.doc_id), "
+    "j AS (SELECT k.doc_id, k.lang, k.keeper_id, q.quality_score, "
+    "coalesce(c.contamination, 0.0) AS contamination "
+    "FROM k JOIN q ON k.doc_id = q.doc_id LEFT JOIN c ON k.doc_id = c.doc_id), "
+    "s AS (SELECT count(*) AS n_all, "
+    "sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS n_quality, "
+    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS n_lang, "
+    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
+    "THEN 1 ELSE 0 END) AS n_dedup, "
+    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
+    "AND contamination < 0.5 THEN 1 ELSE 0 END) AS n_decontam FROM j) "
+    "SELECT 'all' AS stage, n_all AS n_docs FROM s "
+    "UNION ALL SELECT 'quality', n_quality FROM s "
+    "UNION ALL SELECT 'lang', n_lang FROM s "
+    "UNION ALL SELECT 'dedup', n_dedup FROM s "
+    "UNION ALL SELECT 'decontam', n_decontam FROM s"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.with_token_counts(docs)
@@ -3054,6 +3157,8 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "stratified_sample": q_stratified_sample,
+    "curation_funnel": q_curation_funnel,
     "split_assign": q_split_assign,
     "repetition": q_repetition,
     "pii_scan": q_pii_scan,
@@ -3139,6 +3244,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "curation_funnel": ORACLE_CURATION_FUNNEL,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "repetition": ORACLE_REPETITION,
     "pii_scan": ORACLE_PII_SCAN,

@@ -161,3 +161,38 @@ def test_url_domain_counts(spark):
     )
     out = {r["domain"]: r["n_urls"] for r in text.url_domain_counts(docs).collect()}
     assert out == {"a.example.com": 2, "b.io": 1}
+
+
+def test_stratified_topk_salt_invariant_and_exact(spark):
+    import hashlib
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10000
+
+    expected = {}
+    for lang in ("en", "de"):
+        members = sorted(
+            (i for i, l in rows if l == lang), key=lambda i: (bucket(i), i)
+        )[:5]
+        expected.update({(lang, m): r + 1 for r, m in enumerate(members)})
+
+    for salts in (1, 8):
+        out = text.stratified_topk(
+            docs, "lang", k=5, hash_fn="md5", salts=salts
+        ).collect()
+        got = {(r["lang"], r["doc_id"]): r["sample_rank"] for r in out}
+        assert got == expected, f"salts={salts}"
+
+
+def test_curation_funnel_monotone(spark):
+    from geomatics_geotk_spark.queries import q_curation_funnel
+
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in q_curation_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert list(rows) and rows["all"] >= rows["quality"] >= rows["lang"] >= rows["dedup"] >= rows["decontam"]
+    assert rows["decontam"] > 0
