@@ -56,6 +56,15 @@ BENCH_QUERIES = [
     # (distributed zone prep + batch-vectorized DE-9IM refine)
     "geometry_join_lines",
     "dwithin_zones",
+    # round-3 additions: training-data pipeline family (suite EXTENSION —
+    # earlier queries keep their positions, so per-query diffs vs
+    # BENCH_r01/r02 stay valid; the suite total is not comparable across
+    # rounds and never was the headline metric)
+    "decontaminate",
+    "heavy_shingles",
+    "repetition",
+    "pii_scan",
+    "curation_funnel",
 ]
 
 

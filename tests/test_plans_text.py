@@ -1,0 +1,68 @@
+"""Plan-hygiene asserts for the training-data pipeline family: the text
+operators must stay pure-JVM Column programs with the minimal exchange
+count their shape requires.
+"""
+
+from __future__ import annotations
+
+import re
+
+from geomatics_geotk_spark import plans, queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _no_python(plan: str) -> bool:
+    return "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count DISTINCT plan nodes (formatted explain prints each node in
+    the tree AND a detail section, so a plain substring count doubles)."""
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+class TestTextPlans:
+    def test_repetition_is_single_stage_jvm(self, spark):
+        """Per-row ratios: no exchange, no Python — one codegen stage
+        over the scan."""
+        plan = plans.formatted_plan(queries.q_repetition(spark, SF))
+        assert "Exchange" not in plan and _no_python(plan)
+
+    def test_pii_scan_is_single_stage_jvm(self, spark):
+        plan = plans.formatted_plan(queries.q_pii_scan(spark, SF))
+        assert "Exchange" not in plan and _no_python(plan)
+
+    def test_split_assign_single_exchange_mapside_partial(self, spark):
+        """Hash-bucket split + per-(split,lang) counts: exactly the one
+        groupBy exchange, partial agg map-side."""
+        plan = plans.formatted_plan(queries.q_split_assign(spark, SF))
+        assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
+        assert _nodes(plan, "HashAggregate") == 2
+
+    def test_heavy_shingles_threshold_is_broadcast(self, spark):
+        """The relative-threshold corpus count must cross in as a
+        broadcast scalar, never a shuffle of the counts side."""
+        plan = plans.formatted_plan(queries.q_heavy_shingles(spark, SF))
+        assert "Broadcast" in plan and _no_python(plan)
+
+    def test_decontaminate_broadcasts_eval_side(self, spark):
+        """Eval shingles are benchmark-sized: the join must be a
+        BroadcastHashJoin (corpus side never shuffles for the join)."""
+        df = queries.q_decontaminate(spark, SF)
+        assert plans.plan_has_broadcast(df)
+        plan = plans.formatted_plan(df)
+        assert "SortMergeJoin" not in plan and _no_python(plan)
+
+    def test_url_domains_column_pruning(self, spark):
+        """Domain counting reads only what it needs from the scan."""
+        cols = plans.scan_read_schema(queries.q_url_domains(spark, SF))
+        assert "text" in cols and "source" not in cols
+
+    def test_stratified_sample_bounded_windows(self, spark):
+        """Two window exchanges (salted partial + final) and nothing
+        Python; the first window partitions on (lang, salt) so no
+        stratum-sized partition exists."""
+        plan = plans.formatted_plan(queries.q_stratified_sample(spark, SF))
+        assert _no_python(plan)
+        assert plan.count("Window") >= 2
