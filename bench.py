@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "repetition",
     "pii_scan",
     "curation_funnel",
+    # the streaming-signature index build: arrow twin (the bulk path);
+    # the pure-Column twin shares its oracle and is correctness-only
+    "lsh_band_index_arrow",
+    "vocab_topk",
 ]
 
 

@@ -59,6 +59,28 @@ class TestTextPlans:
         cols = plans.scan_read_schema(queries.q_url_domains(spark, SF))
         assert "text" in cols and "source" not in cols
 
+    def test_lsh_band_index_is_pure_map(self, spark):
+        """The streaming signature path in batch: zero exchanges, zero
+        Python, zero aggregation — the shape that makes it legal in a
+        stateless append stream."""
+        plan = plans.formatted_plan(queries.q_lsh_band_index(spark, SF))
+        assert _nodes(plan, "Exchange") == 0 and _no_python(plan)
+        assert _nodes(plan, "HashAggregate") == 0
+
+    def test_vocab_topk_group_limit_pushdown(self, spark):
+        """Top-k per lang must push the limit below the final window
+        (WindowGroupLimit), so the rank shuffle carries at most k rows
+        per (lang, partition), not the whole count table."""
+        plan = plans.formatted_plan(queries.q_vocab_topk(spark, SF))
+        assert _nodes(plan, "WindowGroupLimit") >= 1 and _no_python(plan)
+        assert _nodes(plan, "HashAggregate") == 2  # partial+final count
+
+    def test_length_percentiles_single_exchange(self, spark):
+        """row_number window, count window, and the final groupBy all
+        co-partition on lang — exactly ONE exchange end to end."""
+        plan = plans.formatted_plan(queries.q_length_percentiles(spark, SF))
+        assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
+
     def test_stratified_sample_bounded_windows(self, spark):
         """Two window exchanges (salted partial + final) and nothing
         Python; the first window partitions on (lang, salt) so no

@@ -54,6 +54,28 @@ class TestColumnSignatureParity:
         assert got == want
 
 
+class TestArrowTwinParity:
+    def test_arrow_bands_bit_identical(self, spark, corpus):
+        """minhash_bands_arrow must reproduce the Column path's
+        (doc_id, band, band_hash) rows exactly — including whitespace
+        tokenization edge cases (leading/trailing/multiple spaces,
+        short docs) and null-text filtering."""
+        edge = spark.createDataFrame(
+            [(100, "  leading space"), (101, "trailing space  "),
+             (102, "a  b"), (103, "one"), (104, "two tok"),
+             (105, None), (106, "")],
+            "doc_id long, text string",
+        )
+        both = corpus.unionByName(edge)
+        col_rows = {
+            tuple(r) for r in neardup_stream.minhash_bands(both, hash_fn="md5").collect()
+        }
+        arrow_rows = {
+            tuple(r) for r in neardup_stream.minhash_bands_arrow(both).collect()
+        }
+        assert arrow_rows == col_rows
+
+
 class TestStreamingNearDup:
     def test_planted_neardups_flagged(self, spark, corpus, tmp_path):
         rows = _corpus_rows()

@@ -102,6 +102,71 @@ class TestStreamingTileAssign:
         ).collect()
         assert rows[0]["total"] == 500
 
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """Real watermark semantics across micro-batches: an event that
+        arrives AFTER the watermark has passed its window must be
+        dropped, and append mode must finalize each window exactly once
+        with the on-time count only."""
+        import datetime as dt
+        import os as _os
+        import time as _time
+
+        indir = tmp_path / "late_in"
+        indir.mkdir()
+        ts = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+
+        def write_batch(name, rows, mtime):
+            p = str(indir / name)
+            spark.createDataFrame(
+                rows, "cell_id long, event_time timestamp"
+            ).coalesce(1).write.mode("overwrite").parquet(p)
+            # file source orders micro-batches by mtime — pin it
+            for root, _dirs, files in _os.walk(p):
+                for f in files:
+                    _os.utime(_os.path.join(root, f), (mtime, mtime))
+            return p
+
+        t0 = _time.time()
+        # batch 1: two on-time events in [10:00,10:10) + one at 10:35
+        # (sets max event time; watermark after batch = 10:15)
+        write_batch("b1", [(1, ts(10, 2)), (1, ts(10, 7)), (2, ts(10, 35))], t0)
+        # batch 2: advances the watermark to 10:40 — the 10:00 window is
+        # EMITTED at the end of this batch (append finalization)
+        write_batch("b2", [(3, ts(11, 0))], t0 + 10)
+        # batch 3: a straggler for the already-emitted 10:00 window (the
+        # guaranteed-drop case — a straggler arriving in the very batch
+        # that evicts its window may still merge, by Spark's documented
+        # best-effort semantics) + a watermark advancer
+        write_batch("b3", [(1, ts(10, 5)), (4, ts(12, 0))], t0 + 20)
+
+        stream = (
+            spark.readStream.schema("cell_id long, event_time timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir) + "/*")
+        )
+        counts = tile_stream.streaming_cell_counts(
+            stream, window="10 minutes", watermark="20 minutes"
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("t_late")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["cell_id"], r["window"].start.minute, r["n_docs"])
+            for r in spark.sql("SELECT * FROM t_late").collect()
+        }
+        # the 10:00 window finalized ONCE with the 2 on-time events; the
+        # post-emission straggler at 10:05 was dropped — no merged count
+        # and no duplicate late finalization of the same window
+        assert (1, 0, 2) in got
+        assert (1, 0, 3) not in got and (1, 0, 1) not in got
+
 
 class TestCheckpointedSink:
     def test_write_then_resume_skips(self, spark, tmp_path):
