@@ -133,6 +133,65 @@ def main() -> None:
         ), 30),
     ))
 
+    sections.append((
+        "Stream-signature band index (lsh_band_index)",
+        "Zero exchanges, zero Python, zero aggregation — chained Projects "
+        "over the scan.  With no aggregate above it the same program is "
+        "legal in a stateless append stream, so the streaming index and "
+        "the batch index are ONE plan.  The 32 lane minima fold in a "
+        "single F.aggregate pass (32 separate array_min(transform(...)) "
+        "columns would inline the base-hash transform 32x after "
+        "projection collapse — measured 15x slower).  Caveat: lambda "
+        "Column expressions evaluate INTERPRETED, so the bulk build has "
+        "an Arrow twin (lsh_band_index_arrow, bit-identical, same "
+        "oracle, 8x faster at sf0.1): one mapInPandas stage, C md5 once "
+        "per shingle, all 32 affine minima in one numpy matrix op.",
+        _trim(plans.formatted_plan(queries.q_lsh_band_index(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Exact per-stratum percentiles (length_percentiles)",
+        "row_number window, count window, and the final per-lang agg all "
+        "co-partition on lang — ONE exchange end to end; the percentile "
+        "picks are integer order-statistic indexes (no float "
+        "interpolation), which is what lets DuckDB replay them bit-exact.",
+        _trim(plans.formatted_plan(queries.q_length_percentiles(spark, SF)), 25),
+    ))
+
+    TEXT_FAMILY_NOTES = """
+## Training-data pipeline family (round 3)
+
+Asserted in `tests/test_plans_text.py` (distinct-node counts, not
+substring greps):
+
+- `repetition`, `pii_scan`: scan → one Project — **zero exchanges, zero
+  Python**; every ratio/regex/redaction is a Column expression inside
+  whole-stage codegen.  At 100 TB these are pure map passes that scale
+  with input splits.
+- `split_assign`: per-row hash-bucket Column map, then exactly **one
+  exchange** with partial+final HashAggregate around it (the
+  per-(split,lang) report).  The assignment itself is shuffle-free —
+  filtering a split out of the corpus is a scan-level predicate.
+- `heavy_shingles`: explode → partial count map-side → one exchange on
+  the shingle key; the relative threshold's corpus count crosses in as a
+  **broadcast scalar** (BroadcastNestedLoopJoin over 1 row), never a
+  shuffle.  A hot boilerplate gram is one hot KEY whose partials combine
+  map-side — frequency skew does not skew the shuffle.
+- `decontaminate` / `curation_funnel`'s contamination stage: eval-side
+  distinct shingles are benchmark-sized → **BroadcastHashJoin**; the
+  corpus aggregates once on doc_id.  No SortMergeJoin anywhere.
+- `stratified_sample`: two Window nodes — the first partitions on
+  (stratum, salt) so no window partition exceeds the salt shard, the
+  second ranks the ≤ k·salts survivors per stratum.  Salt count is a
+  parallelism knob only; the row set is provably invariant (tested at
+  salts ∈ {1, 8} and oracle-checked against the direct single-window
+  top-k).
+- `vocab_topk`: partial+final count around one exchange, then
+  **WindowGroupLimit** above and below the rank exchange — Catalyst
+  pushes the k=20 limit into the shuffle, so the rank exchange carries
+  ≤ k rows per (lang, input partition), not the whole count table.
+"""
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
@@ -140,6 +199,7 @@ def main() -> None:
         )
         for title, note, plan in sections:
             f.write(f"\n## {title}\n\n{note}\n\n```\n{plan}\n```\n")
+        f.write(TEXT_FAMILY_NOTES)
     print("PLANS.md written")
 
 
