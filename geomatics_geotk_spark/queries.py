@@ -1637,6 +1637,81 @@ _DOT = (
 )
 _NRM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus k-means over the embedding column (k=4, 3 Lloyd
+    iterations, deterministic vec_id<k seeding): the corpus-clustering
+    primitive behind topic balancing / diversity sampling and the
+    full-data twin of the IVF coarse quantizer.  Per-dim centroid sums
+    run in DECIMAL(38,18) — exact decimal arithmetic is order-
+    independent, so the run is reproducible at any parallelism AND the
+    DuckDB oracle replays all three iterations bit-for-bit (assignment
+    folds are left-to-right like list_reduce; argmin ties break to the
+    lowest cluster id in both).  Output: final cluster sizes + the
+    post-update centroid norms."""
+    from .operators import clustering
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, cents = clustering.kmeans(emb, k=4, iters=3)
+    norms = [(j, clustering.centroid_norm(c)) for j, c in enumerate(cents)]
+    norm_col = F.element_at(
+        F.array(*[F.lit(n) for _, n in norms]), F.col("cluster") + 1
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"))
+        .select("cluster", "n_vecs", norm_col.alias("centroid_norm"))
+    )
+
+
+def _oracle_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations: c0 → (assign, decimal-sum update) ×
+    iters → final assignment.  Mirrors operators/clustering.py exactly:
+    same seeding, same fold order, same tie-break, same empty-cluster
+    COALESCE fallback."""
+    dist = (
+        "list_reduce(list_transform(list_zip({v}, {c}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {k})",
+        f"ks AS (SELECT unnest(generate_series(0, {k - 1})) AS cluster)",
+    ]
+    for i in range(1, iters + 2):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, {prev}.cluster "
+            f"FROM e CROSS JOIN {prev} "
+            f"QUALIFY row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {dist.format(v='e.v', c=prev + '.c')} ASC, {prev}.cluster ASC) = 1)"
+        )
+        if i == iters + 1:
+            break  # final assignment only — no further update
+        sums = ", ".join(
+            f"SUM(CAST(v[{d + 1}] AS DECIMAL(38,18))) AS s{d}" for d in range(dim)
+        )
+        ctes.append(
+            f"g{i} AS (SELECT cluster, count(*) AS n, {sums} FROM a{i} GROUP BY cluster)"
+        )
+        mean_list = ", ".join(f"CAST(g.s{d} AS DOUBLE) / g.n" for d in range(dim))
+        ctes.append(
+            f"c{i} AS (SELECT ks.cluster, "
+            f"CASE WHEN g.n IS NULL THEN p.c ELSE list_value({mean_list}) END AS c "
+            f"FROM ks LEFT JOIN g{i} g USING (cluster) "
+            f"JOIN {prev} p USING (cluster))"
+        )
+    norm = "sqrt(list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y))"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT a.cluster, count(*) AS n_vecs, max({norm}) AS centroid_norm "
+        f"FROM a{iters + 1} a JOIN c{iters} USING (cluster) GROUP BY a.cluster"
+    )
+
+
+ORACLE_KMEANS_CLUSTERS = _oracle_kmeans()
+
+
 ORACLE_COSINE_TOPK = (
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings), "
@@ -3286,6 +3361,7 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
     "lsh_band_index": q_lsh_band_index,
     "lsh_band_index_arrow": q_lsh_band_index_arrow,
     "vocab_topk": q_vocab_topk,
@@ -3377,6 +3453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "lsh_band_index": ORACLE_LSH_BAND_INDEX,
     "lsh_band_index_arrow": ORACLE_LSH_BAND_INDEX,
     "vocab_topk": ORACLE_VOCAB_TOPK,
