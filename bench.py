@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # the pure-Column twin shares its oracle and is correctness-only
     "lsh_band_index_arrow",
     "vocab_topk",
+    "tfidf_topk",
+    "kmeans_clusters",
 ]
 
 

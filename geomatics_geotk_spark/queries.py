@@ -1186,6 +1186,63 @@ def q_lsh_band_index_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_stream.minhash_bands_arrow(docs)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    relevance primitive.  score = tf · ln(N/df): tf and df are exact
+    integers, N crosses in as a broadcast scalar, and the score is ONE
+    scalar double op per (doc, token) — no unordered float sums
+    anywhere, so the oracle replays it bit-for-bit.  Shuffle profile at
+    100 TB: explode → partial-agg tf on (doc_id, token) (one exchange),
+    df from tf by dropping the doc key (map-side combine on the already
+    co-partitioned token key), broadcast-join df back, one
+    WindowGroupLimit top-k per doc."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            # rounded to 9 dp BEFORE ranking: JVM Math.log and DuckDB ln
+            # disagree by 1 ulp on some inputs (measured ~3% of rows), so
+            # the raw double is not cross-engine stable — the rounded
+            # score is, and ranking on it keeps the row SET stable too
+            "score_r",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_r"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score_r")
+    )
+
+
+ORACLE_TFIDF_TOPK = (
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' "
+    "GROUP BY 1, 2), "
+    "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+    "round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 9) "
+    "AS score_r FROM tf JOIN df USING (token) CROSS JOIN n) "
+    "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score_r DESC, token ASC) AS INT) AS rank, token, tf, df, score_r "
+    "FROM s QUALIFY rank <= 3"
+)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters per language stratum: top-20 tokens by
     document-corpus frequency with a deterministic (count DESC, token
@@ -1663,11 +1720,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 4, iters: int = 3, dim: int = 64) -> tuple[list, str]:
     """Unrolled Lloyd iterations: c0 → (assign, decimal-sum update) ×
     iters → final assignment.  Mirrors operators/clustering.py exactly:
     same seeding, same fold order, same tie-break, same empty-cluster
-    COALESCE fallback."""
+    COALESCE fallback.  Returns (cte_list, final_assignment_name) so
+    downstream oracles (cluster-balanced sampling) can extend the chain."""
     dist = (
         "list_reduce(list_transform(list_zip({v}, {c}), "
         "p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"
@@ -1701,15 +1759,59 @@ def _oracle_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
             f"FROM ks LEFT JOIN g{i} g USING (cluster) "
             f"JOIN {prev} p USING (cluster))"
         )
+    return ctes, f"a{iters + 1}"
+
+
+def _oracle_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    ctes, final = _kmeans_ctes(k, iters, dim)
     norm = "sqrt(list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y))"
     return (
         "WITH " + ", ".join(ctes) + " "
         f"SELECT a.cluster, count(*) AS n_vecs, max({norm}) AS centroid_norm "
-        f"FROM a{iters + 1} a JOIN c{iters} USING (cluster) GROUP BY a.cluster"
+        f"FROM {final} a JOIN c{iters} USING (cluster) GROUP BY a.cluster"
     )
 
 
 ORACLE_KMEANS_CLUSTERS = _oracle_kmeans()
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling — the reason a curation pipeline runs k-means:
+    a deterministic, layout-independent 10-vector sample from EVERY
+    k-means cluster (uniform over clusters, not over the corpus, so
+    dominant topics can't crowd out the tail).  Composes the two
+    oracle-checked operators verbatim: the kmeans assignment feeds
+    ``stratified_topk`` with cluster as the stratum."""
+    from .operators import clustering
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, _ = clustering.kmeans(emb, k=4, iters=3)
+    out = text.stratified_topk(
+        assigned.select("vec_id", "cluster"), "cluster", k=10,
+        id_col="vec_id", hash_fn="md5", salts=8,
+    )
+    return out.select(
+        "cluster", "vec_id", "sample_bucket",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+def _oracle_cluster_balanced_sample() -> str:
+    ctes, final = _kmeans_ctes()
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"b AS (SELECT cluster, vec_id, "
+        "('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT % 10000 "
+        f"AS sample_bucket FROM {final}), "
+        "r AS (SELECT cluster, vec_id, sample_bucket, "
+        "row_number() OVER (PARTITION BY cluster ORDER BY sample_bucket, vec_id) "
+        "AS sample_rank FROM b) "
+        "SELECT cluster, vec_id, sample_bucket, sample_rank FROM r "
+        "WHERE sample_rank <= 10"
+    )
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = _oracle_cluster_balanced_sample()
 
 
 ORACLE_COSINE_TOPK = (
@@ -3362,6 +3464,8 @@ ORACLE_GML_TO_TEMPORAL = (
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "tfidf_topk": q_tfidf_topk,
     "lsh_band_index": q_lsh_band_index,
     "lsh_band_index_arrow": q_lsh_band_index_arrow,
     "vocab_topk": q_vocab_topk,
@@ -3454,6 +3558,8 @@ QUERIES = {
 
 ORACLES = {
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
+    "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
     "lsh_band_index": ORACLE_LSH_BAND_INDEX,
     "lsh_band_index_arrow": ORACLE_LSH_BAND_INDEX,
     "vocab_topk": ORACLE_VOCAB_TOPK,

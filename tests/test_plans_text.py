@@ -81,6 +81,14 @@ class TestTextPlans:
         plan = plans.formatted_plan(queries.q_length_percentiles(spark, SF))
         assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
 
+    def test_tfidf_broadcasts_df_and_limits_window(self, spark):
+        """df and N join back by BROADCAST (the tf side — the big one —
+        never reshuffles for them) and the per-doc top-3 pushes a
+        WindowGroupLimit below the rank exchange."""
+        plan = plans.formatted_plan(queries.q_tfidf_topk(spark, SF))
+        assert "SortMergeJoin" not in plan and _no_python(plan)
+        assert _nodes(plan, "WindowGroupLimit") >= 1
+
     def test_stratified_sample_bounded_windows(self, spark):
         """Two window exchanges (salted partial + final) and nothing
         Python; the first window partitions on (lang, salt) so no
