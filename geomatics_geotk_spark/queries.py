@@ -1308,6 +1308,66 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``length_percentiles``: equi-width histogram
+    sketch (bucket = n_toks DIV 16) + percentile estimates read off the
+    cumulative histogram — the first bucket whose cumulative count
+    reaches ceil(p·n), reported as the bucket's lower edge.  One
+    map-side-combined exchange on (lang, bucket); the window ranks
+    BUCKETS (bounded by value range / width), never documents, so the
+    sort that makes the exact path expensive at scale disappears.
+    Estimates are within one bucket width of the exact order statistics
+    (cross-checked in tests).  Pure integer math — bit-safe oracle."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.floor(F.size(F.split("text", r"\s+")) / 16).alias("bucket"),
+        )
+    )
+    h = docs.groupBy("lang", "bucket").agg(F.count("*").alias("n"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang")
+    h = h.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "ntot", F.sum("n").over(wall)
+    )
+    pick = lambda num, den: F.min(  # noqa: E731 — first bucket covering ceil(n·p)
+        F.when(
+            F.col("cum") >= F.expr(f"(ntot * {num} + {den - 1}) DIV {den}"),
+            F.col("bucket") * 16,
+        )
+    )
+    return h.groupBy("lang").agg(
+        pick(1, 2).alias("p50_est"),
+        pick(9, 10).alias("p90_est"),
+        pick(99, 100).alias("p99_est"),
+        F.max("ntot").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = (
+    "WITH t AS (SELECT lang, "
+    "len(string_split_regex(text, '\\s+')) // 16 AS bucket "
+    "FROM documents WHERE text IS NOT NULL), "
+    "h AS (SELECT lang, bucket, count(*) AS n FROM t GROUP BY 1, 2), "
+    "c AS (SELECT lang, bucket, n, "
+    "CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+    "CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS ntot FROM h) "
+    "SELECT lang, "
+    "min(CASE WHEN cum >= (ntot * 1 + 1) // 2 THEN bucket * 16 END) AS p50_est, "
+    "min(CASE WHEN cum >= (ntot * 9 + 9) // 10 THEN bucket * 16 END) AS p90_est, "
+    "min(CASE WHEN cum >= (ntot * 99 + 99) // 100 THEN bucket * 16 END) AS p99_est, "
+    "max(ntot) AS n_docs, count(*) AS n_buckets FROM c GROUP BY lang"
+)
+
+
 ORACLE_LENGTH_PERCENTILES = (
     "WITH t AS (SELECT lang, doc_id, len(string_split_regex(text, '\\s+')) AS n_toks "
     "FROM documents WHERE text IS NOT NULL), "
@@ -3470,6 +3530,7 @@ QUERIES = {
     "lsh_band_index_arrow": q_lsh_band_index_arrow,
     "vocab_topk": q_vocab_topk,
     "length_percentiles": q_length_percentiles,
+    "length_histogram": q_length_histogram,
     "stratified_sample": q_stratified_sample,
     "curation_funnel": q_curation_funnel,
     "split_assign": q_split_assign,
@@ -3564,6 +3625,7 @@ ORACLES = {
     "lsh_band_index_arrow": ORACLE_LSH_BAND_INDEX,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "length_percentiles": ORACLE_LENGTH_PERCENTILES,
+    "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -81,6 +81,31 @@ class TestTextPlans:
         plan = plans.formatted_plan(queries.q_length_percentiles(spark, SF))
         assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
 
+    def test_length_histogram_brackets_exact_percentiles(self, spark):
+        """The sketch estimate is the lower edge of the covering bucket:
+        est <= exact < est + width for every stratum and percentile."""
+        exact = {r["lang"]: r for r in
+                 queries.q_length_percentiles(spark, SF).collect()}
+        est = {r["lang"]: r for r in
+               queries.q_length_histogram(spark, SF).collect()}
+        assert set(exact) == set(est)
+        for lang, e in exact.items():
+            s = est[lang]
+            for p in ("p50", "p90", "p99"):
+                assert s[f"{p}_est"] <= e[p] < s[f"{p}_est"] + 16, (lang, p)
+            assert s["n_docs"] == e["n_docs"]
+
+    def test_length_histogram_windows_rank_buckets_not_rows(self, spark):
+        """The cumsum windows run over the (lang, bucket) HISTOGRAM —
+        after the aggregation, never over raw documents."""
+        plan = plans.formatted_plan(queries.q_length_histogram(spark, SF))
+        assert _no_python(plan)
+        # the histogram-build aggregate (bottom-most HashAggregate) must
+        # sit BELOW the cumsum Window; the final per-lang agg sits above
+        # (formatted plan prints top-down)
+        win_pos = plan.find("Window")
+        assert 0 <= win_pos < plan.rfind("HashAggregate")
+
     def test_tfidf_broadcasts_df_and_limits_window(self, spark):
         """df and N join back by BROADCAST (the tf side — the big one —
         never reshuffles for them) and the per-doc top-3 pushes a
