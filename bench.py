@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "vocab_topk",
     "tfidf_topk",
     "kmeans_clusters",
+    # sketch family (suite extension, same position-preserving rule)
+    "hll_distinct",
+    "cms_vocab",
+    "inverted_index",
 ]
 
 

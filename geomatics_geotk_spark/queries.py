@@ -37,7 +37,16 @@ from .functions import (
     round_down_2dp,
     srs_name_to_urn_col,
 )
-from .operators import dedup, knn, similarity, spatial_join, temporal, text, zonal
+from .operators import (
+    dedup,
+    knn,
+    similarity,
+    sketches,
+    spatial_join,
+    temporal,
+    text,
+    zonal,
+)
 from .operators.envelope import envelope_agg
 
 RES = 12
@@ -3514,6 +3523,172 @@ ORACLE_GML_TO_TEMPORAL = (
 )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token count via HyperLogLog registers — the
+    100 TB twin of ``count_distinct(token)``.  The exact path shuffles
+    every distinct value; this shuffles at most m=256 integer registers
+    per language (max-merged, map-side combined, partition-order
+    independent).  Output is the integer register summary (the sketch
+    STATE, bit-exact in the oracle); the float estimator is driver-side
+    (`sketches.hll_estimate`) and test-asserted within 15% of the exact
+    distinct count (`tests/test_sketches.py`)."""
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    regs = sketches.hll_registers(toks, ["lang"], "token", m=256)
+    return regs.groupBy("lang").agg(
+        F.count("*").alias("n_regs"),
+        F.sum("rho").alias("sum_rho"),
+        F.max("rho").alias("max_rho"),
+    )
+
+
+ORACLE_HLL_DISTINCT = (
+    "WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token "
+    "FROM documents), "
+    "h AS (SELECT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv "
+    "FROM t WHERE token <> ''), "
+    "b AS (SELECT lang, hv % 256 AS bucket, hv // 256 AS v FROM h), "
+    "r AS (SELECT lang, bucket, "
+    "CASE WHEN v > 0 THEN 53 - len(bin(v)) ELSE 53 END AS rho FROM b), "
+    "g AS (SELECT lang, bucket, max(rho) AS rho FROM r GROUP BY 1, 2) "
+    "SELECT lang, count(*) AS n_regs, CAST(sum(rho) AS BIGINT) AS sum_rho, "
+    "max(rho) AS max_rho FROM g GROUP BY lang"
+)
+
+
+def q_cms_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the per-language top-20
+    tokens, reported against the exact counts — the scale twin of
+    ``vocab_topk``.  The counter table is 4×1024 integers per language
+    (broadcast side of the probe join); a hot token is a hot KEY absorbed
+    by map-side partials, never a hot partition.  Structural guarantee
+    replayed by the oracle: cms_est >= n for every row (counters only
+    over-count on hash collisions)."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("lang", "rank", "token", "n")
+    )
+    counters = sketches.cms_build(toks, ["lang"], "token", depth=4, width=1024)
+    probed = sketches.cms_probe(counters, top, ["lang"], "token", depth=4, width=1024)
+    return probed.select("lang", "rank", "token", "n", "cms_est")
+
+
+ORACLE_CMS_VOCAB = (
+    "WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token "
+    "FROM documents), "
+    "tk AS (SELECT lang, token FROM t WHERE token <> ''), "
+    "c AS (SELECT lang, token, count(*) AS n FROM tk GROUP BY 1, 2), "
+    "r AS (SELECT lang, token, n, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n DESC, token ASC) AS rank FROM c), "
+    "top AS (SELECT lang, rank, token, n FROM r WHERE rank <= 20), "
+    "lanes AS (SELECT unnest([0, 1, 2, 3]) AS i), "
+    "cms AS (SELECT lang, i AS row, "
+    "('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT % 1024 AS col, "
+    "count(*) AS cnt FROM tk, lanes GROUP BY 1, 2, 3), "
+    "pr AS (SELECT top.lang, top.rank, top.token, top.n, lanes.i, "
+    "('0x' || substr(md5(lanes.i || ':' || top.token), 1, 15))::BIGINT % 1024 "
+    "AS pcol FROM top, lanes) "
+    "SELECT pr.lang, pr.rank, pr.token, pr.n, "
+    "CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est "
+    "FROM pr LEFT JOIN cms ON pr.lang = cms.lang AND pr.i = cms.row "
+    "AND pr.pcol = cms.col "
+    "GROUP BY pr.lang, pr.rank, pr.token, pr.n"
+)
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup via Bloom filter — dedup an incoming
+    batch against a historical corpus WITHOUT joining the corpus: only
+    its m-bit filter ships (broadcast; m=4096, k=4 here, sized to the
+    sf0.01 corpus and fixed so the oracle replays the identical filter —
+    at 100 TB m scales ~10 bits/doc and the bit table stays
+    broadcast-sized because it is capped at m rows regardless of corpus
+    size).  Probe keys: even doc_ids re-use their corpus text (planted
+    re-crawls — the no-false-negative guarantee makes flagged=true
+    structural), odd doc_ids probe reversed text (non-members — any
+    flagged=true row is a deterministic hash-collision false positive,
+    identically replayed by the oracle)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_keys = docs.select(F.md5("text").alias("key"))
+    bits = sketches.bloom_bits(corpus_keys, "key", m=4096, k=4)
+    probes = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("truth_member"),
+        F.when(F.col("doc_id") % 2 == 0, F.md5("text"))
+        .otherwise(F.md5(F.reverse("text")))
+        .alias("key"),
+    )
+    out = sketches.bloom_probe(bits, probes, "key", m=4096, k=4)
+    return out.select("doc_id", "truth_member", F.col("bloom_hit").alias("flagged"))
+
+
+ORACLE_BLOOM_DEDUP = (
+    "WITH ck AS (SELECT md5(text) AS key FROM documents), "
+    "lanes AS (SELECT unnest([0, 1, 2, 3]) AS i), "
+    "bits AS (SELECT DISTINCT "
+    "('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % 4096 AS bit "
+    "FROM ck, lanes), "
+    "pr AS (SELECT doc_id, doc_id % 2 = 0 AS truth_member, "
+    "CASE WHEN doc_id % 2 = 0 THEN md5(text) ELSE md5(reverse(text)) END AS key "
+    "FROM documents), "
+    "pb AS (SELECT doc_id, truth_member, "
+    "('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % 4096 AS pbit "
+    "FROM pr, lanes), "
+    "hits AS (SELECT doc_id, truth_member, "
+    "sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS h "
+    "FROM pb LEFT JOIN bits ON pb.pbit = bits.bit GROUP BY 1, 2) "
+    "SELECT doc_id, truth_member, h = 4 AS flagged FROM hits"
+)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over 3-gram shingle terms: term -> document
+    frequency + sorted posting list (comma-joined, deterministic).  One
+    exchange on the term after a map-side-distinct explode; the df-range
+    slice [2, 40] bounds the emitted lists (at 100 TB, high-df terms are
+    exactly the boilerplate `heavy_shingles` drops, and posting lists
+    above the cap would be chunked into fixed-size segments)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dedup.with_shingles(docs, "text", n=3).select(
+        "doc_id", F.explode("shingles").alias("term")
+    )
+    idx = sh.select("term", "doc_id").distinct()
+    agg = idx.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.where((F.col("df") >= 2) & (F.col("df") <= 40))
+
+
+ORACLE_INVERTED_INDEX = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS term FROM toks), "
+    "d AS (SELECT DISTINCT term, doc_id FROM sh), "
+    "a AS (SELECT term, count(*) AS df, "
+    "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+    "FROM d GROUP BY term) "
+    "SELECT term, df, postings FROM a WHERE df BETWEEN 2 AND 40"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -3523,6 +3698,10 @@ ORACLE_GML_TO_TEMPORAL = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "hll_distinct": q_hll_distinct,
+    "cms_vocab": q_cms_vocab,
+    "bloom_dedup": q_bloom_dedup,
+    "inverted_index": q_inverted_index,
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "tfidf_topk": q_tfidf_topk,
@@ -3618,6 +3797,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hll_distinct": ORACLE_HLL_DISTINCT,
+    "cms_vocab": ORACLE_CMS_VOCAB,
+    "bloom_dedup": ORACLE_BLOOM_DEDUP,
+    "inverted_index": ORACLE_INVERTED_INDEX,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
