@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_vocab",
     "inverted_index",
+    # graph / mixing family
+    "pagerank",
+    "budget_pack",
 ]
 
 
@@ -144,9 +147,12 @@ def main() -> None:
         _force(fn(spark, sf_dir))  # warm-up (untimed)
         best = float("inf")
         for _ in range(timed_passes):
-            df = fn(spark, sf_dir)
+            # time fn() + force together: iterative operators (pagerank,
+            # kmeans) materialize eagerly via localCheckpoint INSIDE fn(),
+            # so timing only the force would skip their real work; for
+            # lazy queries fn() is plan construction (~ms, within noise)
             t0 = time.time()
-            _force(df)
+            _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

@@ -3689,6 +3689,206 @@ ORACLE_INVERTED_INDEX = (
 )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier PageRank over a deterministic 3-out link graph
+    (dst = (doc_id·7919 + j·104729 + 13) mod N), 3 iterations in
+    FIXED-POINT integer arithmetic (rank = BIGINT multiples of 1e-12,
+    d = 17/20, integer division throughout — see
+    `operators/graph.py::pagerank_fixed`).  Integer sums are associative,
+    so the result is bit-identical at any parallelism and the oracle
+    replays all three iterations exactly.  Each iteration = one rank⋈edge
+    equi-join + one map-side-combined sum exchange on dst."""
+    from .operators import graph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id",
+            "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 7919 + j * 104729 + 13) % _n").alias("dst"),
+        )
+    )
+    r = graph.pagerank_fixed(
+        docs.select(F.col("doc_id").alias("node")), edges, iters=3, out_deg=3
+    )
+    return r.select(F.col("node").alias("doc_id"), "rank")
+
+
+def _oracle_pagerank(iters: int = 3) -> str:
+    scale, dnum, dden = 10**12, 17, 20
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        "nd AS (SELECT doc_id FROM documents)",
+        "lanes AS (SELECT unnest([0, 1, 2]) AS j)",
+        "ed AS (SELECT doc_id AS src, "
+        "(doc_id * 7919 + j * 104729 + 13) % n AS dst FROM nd CROSS JOIN nn "
+        "CROSS JOIN lanes)",
+        f"r0 AS (SELECT doc_id AS node, CAST({scale} // n AS BIGINT) AS rank "
+        "FROM nd CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"s{t + 1} AS (SELECT dst AS node, sum(rank // 3) AS m "
+            f"FROM ed JOIN r{t} ON ed.src = r{t}.node GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{t + 1} AS (SELECT nd.doc_id AS node, "
+            f"CAST(({dden - dnum} * {scale}) // ({dden} * n) "
+            f"+ ({dnum} * coalesce(m, 0)) // {dden} AS BIGINT) AS rank "
+            f"FROM nd CROSS JOIN nn LEFT JOIN s{t + 1} ON nd.doc_id = s{t + 1}.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node AS doc_id, rank FROM r{iters}"
+    )
+
+
+# quality-feature CTEs shared by budget_pack (same expression tree as
+# ORACLE_QUALITY_SCORE, proven bit-exact there)
+_QUALITY_Q_CTES = (
+    "f AS (SELECT doc_id, "
+    "CAST(length(text) AS DOUBLE) AS n_chars, "
+    "CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_tokens, "
+    "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE) AS n_stop, "
+    "len(string_split_regex(text, '\\s+')) AS n_toks "
+    "FROM documents), "
+    "q AS (SELECT doc_id, n_toks, 0.4 * least(n_tokens / 64.0, 1.0) "
+    "+ 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) "
+    "+ 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0)) "
+    "AS quality FROM f)"
+)
+
+
+def q_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: fill a token budget (⅓ of the corpus total)
+    with the highest-quality documents — the data-mixing primitive for
+    "train on the best B tokens".  Selection order is (quality_bucket
+    DESC, doc_id ASC), bucket = floor(20·quality).
+
+    Scale shape: the naive form is a GLOBAL cumulative-sum window —
+    single-partition at 100 TB.  This runs the two-phase equivalent:
+    (1) per-bucket token totals (tiny agg) + running totals across
+    buckets (a ~21-row window), (2) whole buckets below the cut are
+    taken without any row-level work, and ONLY the boundary bucket gets
+    a row-level cumulative window (1/n_buckets of the data; recurse on a
+    finer bucket key if still hot).  The oracle runs the naive global
+    window — row sets must agree exactly."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.with_quality_score(docs).select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_toks"),
+        F.floor(F.col("quality_score") * 20).alias("qb"),
+    )
+    b_df = scored.agg(F.expr("CAST(sum(n_toks) DIV 3 AS BIGINT)").alias("_budget"))
+    bt = scored.groupBy("qb").agg(F.sum("n_toks").alias("t"))
+    wb = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bt = bt.withColumn("cum_after", F.sum("t").over(wb)).withColumn(
+        "cum_before", F.col("cum_after") - F.col("t")
+    )
+    d = scored.join(F.broadcast(bt), "qb").crossJoin(F.broadcast(b_df))
+    wi = (
+        Window.partitionBy("qb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_intra", F.sum("n_toks").over(wi))
+    selected = (
+        F.when(F.col("cum_after") <= F.col("_budget"), F.lit(True))
+        .when(F.col("cum_before") >= F.col("_budget"), F.lit(False))
+        .otherwise(F.col("cum_before") + F.col("_intra") <= F.col("_budget"))
+    )
+    return d.where(selected).select("doc_id", "qb", "n_toks")
+
+
+ORACLE_BUDGET_PACK = (
+    f"WITH {_QUALITY_Q_CTES}, "
+    "s AS (SELECT doc_id, n_toks, CAST(floor(quality * 20) AS BIGINT) AS qb FROM q), "
+    "b AS (SELECT CAST(sum(n_toks) // 3 AS BIGINT) AS budget FROM s), "
+    "w AS (SELECT doc_id, qb, n_toks, "
+    "CAST(sum(n_toks) OVER (ORDER BY qb DESC, doc_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s) "
+    "SELECT doc_id, qb, n_toks FROM w CROSS JOIN b WHERE cum <= budget"
+)
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: deterministic hash-thinning of each
+    ``source`` stratum toward a UNIFORM target mix at half the corpus
+    size — the data-mixing step that rebalances an over-crawled domain.
+    keep-rate cutoff_i = min(10000, (K·10000) DIV (n_sources·n_i)) in
+    basis points, keep iff md5-hash(doc_id) % 10000 < cutoff_i — pure
+    integer math, layout-independent, replayed by the oracle.  Per-source
+    counts are a tiny agg broadcast back onto the scan; the filter is
+    map-side (no shuffle of the corpus)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    tot = docs.agg(
+        F.count("*").alias("_total"),
+        F.countDistinct("source").alias("_nsrc"),
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_orig"))
+    cut = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_orig",
+            F.expr(
+                "CAST(least(10000, ((_total DIV 2) * 10000) DIV (_nsrc * n_orig)) "
+                "AS BIGINT)"
+            ).alias("cutoff"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(cut), "source")
+        .where(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(10000),
+            )
+            < F.col("cutoff")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        cut.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_orig",
+            "cutoff",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+ORACLE_MIX_RESAMPLE = (
+    "WITH tot AS (SELECT count(*) AS total, count(DISTINCT source) AS nsrc "
+    "FROM documents), "
+    "c AS (SELECT source, count(*) AS n_orig FROM documents GROUP BY source), "
+    "cut AS (SELECT source, n_orig, "
+    "CAST(least(10000, ((total // 2) * 10000) // (nsrc * n_orig)) AS BIGINT) "
+    "AS cutoff FROM c CROSS JOIN tot), "
+    "k AS (SELECT d.source, count(*) AS n_kept FROM documents d "
+    "JOIN cut ON d.source = cut.source "
+    "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 10000 < cut.cutoff GROUP BY d.source) "
+    "SELECT cut.source, cut.n_orig, cut.cutoff, "
+    "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept "
+    "FROM cut LEFT JOIN k ON cut.source = k.source"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -3698,6 +3898,9 @@ ORACLE_INVERTED_INDEX = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "pagerank": q_pagerank,
+    "budget_pack": q_budget_pack,
+    "mix_resample": q_mix_resample,
     "hll_distinct": q_hll_distinct,
     "cms_vocab": q_cms_vocab,
     "bloom_dedup": q_bloom_dedup,
@@ -3797,6 +4000,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pagerank": _oracle_pagerank(),
+    "budget_pack": ORACLE_BUDGET_PACK,
+    "mix_resample": ORACLE_MIX_RESAMPLE,
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "cms_vocab": ORACLE_CMS_VOCAB,
     "bloom_dedup": ORACLE_BLOOM_DEDUP,

@@ -158,6 +158,41 @@ def main() -> None:
         _trim(plans.formatted_plan(queries.q_length_percentiles(spark, SF)), 25),
     ))
 
+    sections.append((
+        "HLL distinct registers (hll_distinct)",
+        "Explode tokens → hash/bucket/rho Column math (integer-only: rho "
+        "via length(bin(v)), no float log) → partial max map-side → ONE "
+        "exchange of at most m=256 registers per lang → final max + the "
+        "summary agg.  The shuffle carries SKETCH STATE, never values — "
+        "the count-distinct twin whose exchange is O(m), not O(distinct).",
+        _trim(plans.formatted_plan(queries.q_hll_distinct(spark, SF)), 25),
+    ))
+
+    TEXT_FAMILY_NOTES_R3 = """
+## Sketch / graph family (round 3)
+
+- `cms_vocab`: counter build = explode ×4 lanes → partial count →
+  one exchange bounded by depth×width keys per lang; the probe side
+  joins the counter table as a **broadcast** and min-reduces over
+  lanes.  Hot tokens are hot KEYS absorbed by map-side partials.
+- `bloom_dedup`: the corpus crosses stages only as its ≤ m bit rows
+  (broadcast); probes compute k Column hashes and count hits — the
+  incremental-dedup shape where the historical corpus is never joined.
+- `pagerank`: per iteration ONE rank⋈edges equi-join + one
+  map-side-combined sum exchange on dst; fixed-point BIGINT ranks make
+  partial-agg order irrelevant (bit-identical at any parallelism,
+  tested) and localCheckpoint truncates lineage between iterations.
+  At scale the edge table is bucketed by src so the join co-partitions.
+- `budget_pack`: the naive packer is a GLOBAL cumsum window
+  (single-partition).  The plan here is the two-phase equivalent:
+  per-bucket totals (tiny agg) + a ~21-row bucket window, row-level
+  window ONLY inside the boundary bucket — equivalence to the naive
+  selection is tested and oracle-checked.
+- `mix_resample`: per-source counts (tiny agg) broadcast back; the
+  keep/drop decision is a per-row integer hash compare — the corpus
+  itself never shuffles.
+"""
+
     TEXT_FAMILY_NOTES = """
 ## Training-data pipeline family (round 3)
 
@@ -200,6 +235,7 @@ substring greps):
         for title, note, plan in sections:
             f.write(f"\n## {title}\n\n{note}\n\n```\n{plan}\n```\n")
         f.write(TEXT_FAMILY_NOTES)
+        f.write(TEXT_FAMILY_NOTES_R3)
     print("PLANS.md written")
 
 
