@@ -3862,7 +3862,7 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
     )
     return (
-        cut.join(kept, "source", "left")
+        cut.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "n_orig",
