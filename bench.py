@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     # graph / mixing family
     "pagerank",
     "budget_pack",
+    # line-level dedup + context packing (suite extension)
+    "line_dedup",
+    "chunk_sliding",
 ]
 
 

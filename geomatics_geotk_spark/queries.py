@@ -1161,6 +1161,56 @@ ORACLE_HEAVY_SHINGLES = (
 )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: fixed 8-token lines, drop lines seen
+    in >= 2 distinct docs, reassemble per doc (every doc reported, even
+    fully-boilerplate ones).  One distinct-agg exchange on the line key
+    + a broadcast anti-marking join + one doc_id exchange — see
+    ``text.dedup_lines`` for the 100 TB shape."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.dedup_lines(docs, line_tokens=8, min_docs=2)
+
+
+ORACLE_LINE_DEDUP = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk "
+    "FROM documents), "
+    "ln AS (SELECT doc_id, i AS line_no, "
+    "array_to_string(tk[i*8+1 : i*8+8], ' ') AS line "
+    "FROM toks, unnest(generate_series(0, (len(tk)-1)//8)) AS t(i)), "
+    "dfq AS (SELECT line, count(DISTINCT doc_id) AS df_line FROM ln GROUP BY 1), "
+    "dup AS (SELECT line FROM dfq WHERE df_line >= 2), "
+    "mk AS (SELECT l.doc_id, l.line_no, l.line, (d.line IS NOT NULL) AS is_dup "
+    "FROM ln l LEFT JOIN dup d USING (line)) "
+    "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+    "count(CASE WHEN NOT is_dup THEN 1 END)::BIGINT AS n_kept, "
+    "md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, ' ' "
+    "ORDER BY line_no), '')) AS kept_md5 "
+    "FROM mk GROUP BY doc_id"
+)
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (window 32, stride 24 — 8-token
+    overlap): the context-packing stage of a training pipeline.  ZERO
+    shuffles — per-row integer chunk math + a narrow explode; chunk
+    payloads are md5-hashed so the result stays compact.  See
+    ``text.chunk_sliding``."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_sliding(docs, window=32, stride=24)
+
+
+ORACLE_CHUNK_SLIDING = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk, "
+    "len(string_split_regex(lower(text), '\\s+')) AS n FROM documents), "
+    "c AS (SELECT doc_id, tk, CASE WHEN n <= 32 THEN 1 "
+    "ELSE ((n - 32 + 23) // 24) + 1 END AS n_chunks FROM toks) "
+    "SELECT doc_id, i AS chunk_id, (i*24 + 1)::BIGINT AS start_tok, "
+    "len(tk[i*24+1 : i*24+32])::BIGINT AS n_chunk_tokens, "
+    "md5(array_to_string(tk[i*24+1 : i*24+32], ' ')) AS chunk_md5 "
+    "FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)"
+)
+
+
 def q_lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-static near-dup SIGNATURE path run in batch: per-row
     Column minhash band hashes (``streaming/neardup_stream.py`` — one
@@ -3898,6 +3948,8 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "line_dedup": q_line_dedup,
+    "chunk_sliding": q_chunk_sliding,
     "pagerank": q_pagerank,
     "budget_pack": q_budget_pack,
     "mix_resample": q_mix_resample,
@@ -4000,6 +4052,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "line_dedup": ORACLE_LINE_DEDUP,
+    "chunk_sliding": ORACLE_CHUNK_SLIDING,
     "pagerank": _oracle_pagerank(),
     "budget_pack": ORACLE_BUDGET_PACK,
     "mix_resample": ORACLE_MIX_RESAMPLE,

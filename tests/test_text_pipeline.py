@@ -196,3 +196,62 @@ def test_curation_funnel_monotone(spark):
     }
     assert list(rows) and rows["all"] >= rows["quality"] >= rows["lang"] >= rows["dedup"] >= rows["decontam"]
     assert rows["decontam"] > 0
+
+
+def test_dedup_lines_planted(spark):
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),       # shares line "a b c" with doc 2
+            (2, "a b c q r s"),
+            (3, "u v w"),             # unique
+            (4, "a b c"),             # fully boilerplate -> 0 kept
+            (5, "m n o m n o"),       # same line twice WITHIN one doc: df=1, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.dedup_lines(docs, line_tokens=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}, "every doc reported, even fully dropped"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["kept_md5"] == md5("x y z")
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["kept_md5"] == md5("q r s")
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (1, 0)
+    assert out[4]["kept_md5"] == md5("")
+    # intra-doc repeats are ONE distinct doc -> not boilerplate; order kept
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (2, 2)
+    assert out[5]["kept_md5"] == md5("m n o m n o")
+
+
+def test_chunk_sliding_planted(spark):
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    toks = [f"t{i}" for i in range(1, 11)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "only two")],
+        "doc_id long, text string",
+    )
+    out = text.chunk_sliding(docs, window=4, stride=3).collect()
+    d1 = sorted((r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_id"])
+    # n=10, W=4, S=3 -> ceil((10-4)/3)+1 = 3 chunks at starts 1, 4, 7
+    assert [(r["chunk_id"], r["start_tok"], r["n_chunk_tokens"]) for r in d1] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4),
+    ]
+    assert d1[0]["chunk_md5"] == md5("t1 t2 t3 t4")
+    assert d1[2]["chunk_md5"] == md5("t7 t8 t9 t10")
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 2
+    assert d2[0]["chunk_md5"] == md5("only two")
+
+
+def test_chunk_sliding_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_sliding(docs, window=4, stride=5)
