@@ -225,6 +225,15 @@ substring greps):
   **WindowGroupLimit** above and below the rank exchange — Catalyst
   pushes the k=20 limit into the shuffle, so the rank exchange carries
   ≤ k rows per (lang, input partition), not the whole count table.
+- `chunk_sliding`: scan → per-row chunk-count math → narrow Generate —
+  **zero exchanges, zero Python**; fan-out bounded by
+  ceil(tokens/stride).  ReadSchema pruned to (doc_id, text).
+- `line_dedup`: line building is a narrow Generate (token array bound
+  as a column so the interpreted transform never re-splits); the
+  duplicate-line set joins back as a **BroadcastHashJoin** (the corpus
+  line stream never shuffles for the marking join); remaining
+  exchanges: the distinct-df count on the line key + the doc_id
+  reassembly.  No SortMergeJoin.
 """
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -121,3 +121,22 @@ class TestTextPlans:
         plan = plans.formatted_plan(queries.q_stratified_sample(spark, SF))
         assert _no_python(plan)
         assert plan.count("Window") >= 2
+
+    def test_chunk_sliding_zero_shuffle_jvm(self, spark):
+        """Context packing is per-row math + a narrow explode: no
+        exchange, no Python, and the scan reads only (doc_id, text)."""
+        df = queries.q_chunk_sliding(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert "Exchange" not in plan and _no_python(plan)
+        cols = plans.scan_read_schema(df)
+        assert "text" in cols and "source" not in cols
+
+    def test_line_dedup_broadcast_dup_set(self, spark):
+        """The duplicate-line set is boilerplate-small: it must come
+        back as a BroadcastHashJoin (the corpus line stream never
+        shuffles for the marking join), leaving only the df-count
+        exchanges and the doc_id reassembly exchange."""
+        df = queries.q_line_dedup(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert plans.plan_has_broadcast(df)
+        assert "SortMergeJoin" not in plan and _no_python(plan)
