@@ -1097,8 +1097,11 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(docs.select("doc_id"), edges)
 
 
-ORACLE_DUP_COMPONENTS = (
-    f"WITH RECURSIVE {_JACCARD_CTES}, "
+# Shared CC CTE chain (exact-dup star edges + Jaccard near-dup pairs →
+# recursive transitive closure → per-doc component label) — reused by
+# ORACLE_DUP_COMPONENTS and ORACLE_KEEPER_ELECTION.
+_CC_CTES = (
+    f"{_JACCARD_CTES}, "
     "exd AS (SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS id_a, "
     "doc_id AS id_b FROM documents), "
     "jac AS (SELECT id_a, id_b FROM ov WHERE inter / (n_a + n_b - inter) >= 0.4), "
@@ -1109,9 +1112,79 @@ ORACLE_DUP_COMPONENTS = (
     "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), "
     "comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a), "
     "lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
-    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node) "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"
+)
+
+ORACLE_DUP_COMPONENTS = (
+    f"WITH RECURSIVE {_CC_CTES} "
     "SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size, "
     "doc_id = component AS is_keeper FROM lab"
+)
+
+
+def q_keeper_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-keeper election: for every duplicate CLUSTER (the same
+    exact+near-dup components as ``dup_components``), keep the highest
+    quality_score member, ties to the smallest doc_id — the "which copy
+    survives" policy stage that follows near-dup clustering in a real
+    curation pipeline (vs the funnel's min-id-per-md5 exact keeper).
+
+    Scale shape: the election is ONE ``max_by`` aggregation keyed on
+    component — partial aggregates combine map-side (each mapper emits
+    one candidate per component it sees), so a mega-cluster is one hot
+    KEY, never a window over the corpus.  quality_score is the
+    oracle-green bit-exact Column tree, so ranking on it is
+    cross-engine safe; the doc_id tiebreak makes the argmax total.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    exact_edges = docs.select(
+        F.min("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).where(F.col("id_a") < F.col("id_b"))
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3).select("id_a", "id_b")
+    comps = dedup.dup_components(
+        docs.select("doc_id"), exact_edges.union(jac)
+    ).select("doc_id", "component")
+    qual = text.with_quality_score(docs).select("doc_id", "quality_score")
+    j = comps.join(qual, "doc_id")
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("quality_score")),
+        F.struct(F.col("quality_score").alias("q"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    g = j.groupBy("component").agg(
+        F.count("*").alias("cluster_size"), best.alias("_b")
+    )
+    return g.select(
+        "component",
+        "cluster_size",
+        F.col("_b.doc_id").alias("keeper_id"),
+        F.col("_b.quality_score").alias("keeper_quality"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+ORACLE_KEEPER_ELECTION = (
+    f"WITH RECURSIVE {_CC_CTES}, "
+    "qf AS (SELECT doc_id, "
+    "CAST(length(text) AS DOUBLE) AS n_chars, "
+    "CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_tokens, "
+    "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct, "
+    "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE) AS n_stop "
+    "FROM documents), "
+    "q AS (SELECT doc_id, 0.4 * least(n_tokens / 64.0, 1.0) "
+    "+ 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) "
+    "+ 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0)) "
+    "AS quality_score FROM qf), "
+    "jq AS (SELECT l.doc_id, l.component, q.quality_score "
+    "FROM lab l JOIN q ON l.doc_id = q.doc_id), "
+    "r AS (SELECT component, doc_id, quality_score, "
+    "row_number() OVER (PARTITION BY component "
+    "ORDER BY quality_score DESC, doc_id ASC) AS rk, "
+    "count(*) OVER (PARTITION BY component) AS cluster_size FROM jq) "
+    "SELECT component, cluster_size::BIGINT AS cluster_size, doc_id AS keeper_id, "
+    "quality_score AS keeper_quality, (cluster_size - 1)::BIGINT AS n_dropped "
+    "FROM r WHERE rk = 1"
 )
 
 
@@ -3948,6 +4021,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "keeper_election": q_keeper_election,
     "line_dedup": q_line_dedup,
     "chunk_sliding": q_chunk_sliding,
     "pagerank": q_pagerank,
@@ -4052,6 +4126,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "keeper_election": ORACLE_KEEPER_ELECTION,
     "line_dedup": ORACLE_LINE_DEDUP,
     "chunk_sliding": ORACLE_CHUNK_SLIDING,
     "pagerank": _oracle_pagerank(),

@@ -71,3 +71,38 @@ def test_dup_components_singletons_and_sizes(spark):
     assert rows[5]["component"] == 5 and rows[6]["cluster_size"] == 2
     assert rows[3]["component"] == 3 and rows[3]["cluster_size"] == 1
     assert rows[3]["is_keeper"] and rows[0]["is_keeper"] and not rows[6]["is_keeper"]
+
+
+def test_keeper_election_prefers_quality_over_min_id(spark):
+    """The elected keeper is the argmax-quality member (doc_id only
+    breaks ties) — NOT the min-id component label."""
+    from pyspark.sql import functions as F
+
+    from geomatics_geotk_spark.operators import dedup, text
+
+    # doc 1 (low quality: punct soup) duplicates doc 2 (clean prose,
+    # higher quality); doc 3 is a singleton.
+    docs = spark.createDataFrame(
+        [
+            (1, "the of to !!! ??? ;;; !!!"),
+            (2, "the quick brown fox and the lazy dog of the north is here"),
+            (3, "unrelated single document text"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    comps = dedup.dup_components(docs.select("doc_id"), edges).select(
+        "doc_id", "component"
+    )
+    qual = text.with_quality_score(docs).select("doc_id", "quality_score")
+    j = comps.join(qual, "doc_id")
+    best = F.max_by(
+        F.struct("doc_id", "quality_score"),
+        F.struct(F.col("quality_score").alias("q"), (-F.col("doc_id")).alias("n")),
+    )
+    out = {
+        r["component"]: r["_b"]["doc_id"]
+        for r in j.groupBy("component").agg(best.alias("_b")).collect()
+    }
+    assert out[1] == 2, "component label is 1 (min id) but keeper must be doc 2"
+    assert out[3] == 3
