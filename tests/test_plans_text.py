@@ -140,3 +140,25 @@ class TestTextPlans:
         plan = plans.formatted_plan(df)
         assert plans.plan_has_broadcast(df)
         assert "SortMergeJoin" not in plan and _no_python(plan)
+
+    def test_shingle_explode_has_no_inferred_generator_filter(self, spark):
+        """InferFiltersFromGenerate clones the gram-building lambda into
+        a scan Filter where split(text) is re-inlined per element (12x).
+        The session must exclude the rule: no Filter node may carry the
+        lambda, and the conf must name it (regression guard for
+        session.py)."""
+        from pyspark.sql import functions as F
+
+        from geomatics_geotk_spark.operators.dedup import with_shingles
+
+        assert "InferFiltersFromGenerate" in spark.conf.get(
+            "spark.sql.optimizer.excludedRules", ""
+        )
+        docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        df = with_shingles(docs).select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            if line.strip().startswith(("Filter", "+- Filter")):
+                assert "lambdafunction" not in line
