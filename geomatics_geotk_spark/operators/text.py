@@ -406,6 +406,80 @@ def chunk_sliding(
     )
 
 
+def selfsim_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus self-similarity (the exact-substring-dedup signal): per
+    doc, the fraction of its ``window``-token windows (stride 1, full
+    windows only) whose text occurs in >= ``min_docs`` DISTINCT docs.
+    Returns ``(id_col, n_windows, n_dup_windows, dup_fraction)`` — every
+    doc reported; docs shorter than one window emit 0 / 0 / 0.0.
+
+    This is the within-corpus twin of ``contamination_report`` (which
+    compares against an eval set) at substring granularity — the
+    suffix-array dedup papers' duplicated-span fraction, computed with
+    hashes instead of suffix arrays.
+
+    Shape for 100 TB: windows are built with the codegen-only pattern
+    (index explode + top-level concat_ws — no lambda anywhere) and
+    immediately reduced to a 64-bit hash, so the frequency exchange
+    carries (id, long) rows, never window text; the duplicated-window
+    set is boilerplate-small and broadcasts back; the per-doc rollup is
+    one exchange on ``id_col``.  hash_fn 'md5' is the DuckDB-mirrorable
+    twin of the xxhash64 production default.
+    """
+    W = window
+    staged = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    # full windows only: starts 1..n-W+1 (empty sequence when n < W)
+    ex = staged.where(n >= W).select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - (W - 1))).alias("_s"),
+    )
+    win_text = F.concat_ws(
+        " ", *[F.try_element_at("_toks", (F.col("_s") + j).cast("int")) for j in range(W)]
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(win_text)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(win_text), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    wins = ex.select(id_col, h.alias("_h"))
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_h")
+        .withColumn("_dup", F.lit(1))
+    )
+    per_doc = (
+        wins.join(F.broadcast(dup), "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").na.fill(
+        {"n_windows": 0, "n_dup_windows": 0}
+    )
+    return out.select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        F.when(
+            F.col("n_windows") > 0, F.col("n_dup_windows") / F.col("n_windows")
+        ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Eval-set decontamination & corpus boilerplate detection
 # ---------------------------------------------------------------------------

@@ -1284,6 +1284,37 @@ ORACLE_CHUNK_SLIDING = (
 )
 
 
+def q_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-similarity at substring granularity: per doc, the
+    fraction of its 16-token stride-1 windows whose text occurs in >= 2
+    distinct docs — the duplicated-span fraction of the exact-substring
+    dedup literature, computed with window hashes instead of suffix
+    arrays.  md5 window hashes here so DuckDB replays the pipeline
+    bit-for-bit; ``text.selfsim_report`` defaults to xxhash64 in
+    production (identical plan)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.selfsim_report(docs, window=16, min_docs=2, hash_fn="md5")
+
+
+ORACLE_SELFSIM = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk "
+    "FROM documents), "
+    "w AS (SELECT doc_id, ('0x' || substr(md5("
+    "array_to_string(tk[s : s+15], ' ')), 1, 15))::BIGINT AS h "
+    "FROM toks, unnest(generate_series(1, len(tk) - 15)) AS t(s) "
+    "WHERE len(tk) >= 16), "
+    "dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfq "
+    "FROM w GROUP BY 1) WHERE dfq >= 2), "
+    "pd AS (SELECT w.doc_id, count(*) AS n_windows, count(dup.h) AS n_dup_windows "
+    "FROM w LEFT JOIN dup ON w.h = dup.h GROUP BY w.doc_id) "
+    "SELECT d.doc_id, coalesce(pd.n_windows, 0)::BIGINT AS n_windows, "
+    "coalesce(pd.n_dup_windows, 0)::BIGINT AS n_dup_windows, "
+    "CASE WHEN coalesce(pd.n_windows, 0) > 0 "
+    "THEN pd.n_dup_windows / pd.n_windows ELSE 0.0 END AS dup_fraction "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+)
+
+
 def q_lsh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-static near-dup SIGNATURE path run in batch: per-row
     Column minhash band hashes (``streaming/neardup_stream.py`` — one
@@ -4021,6 +4052,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "selfsim": q_selfsim,
     "keeper_election": q_keeper_election,
     "line_dedup": q_line_dedup,
     "chunk_sliding": q_chunk_sliding,
@@ -4126,6 +4158,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "selfsim": ORACLE_SELFSIM,
     "keeper_election": ORACLE_KEEPER_ELECTION,
     "line_dedup": ORACLE_LINE_DEDUP,
     "chunk_sliding": ORACLE_CHUNK_SLIDING,

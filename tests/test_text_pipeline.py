@@ -255,3 +255,31 @@ def test_chunk_sliding_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.chunk_sliding(docs, window=4, stride=5)
+
+
+def test_selfsim_report_planted(spark):
+    # W=4 windows, stride 1.  doc 1 and doc 2 share the 4-token run
+    # "a b c d" (one window each); doc 3 is too short for any window;
+    # doc 4 repeats doc 1 exactly (all windows duplicated).
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),    # windows: "a b c d", "b c d e"
+            (2, "z a b c d"),    # windows: "z a b c", "a b c d"
+            (3, "x y z"),        # shorter than one window
+            (4, "a b c d e"),    # exact dup of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.selfsim_report(docs, window=4, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: both windows duplicated ("a b c d" in 2&4, "b c d e" in 4)
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (2, 2)
+    assert out[1]["dup_fraction"] == 1.0
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (2, 1)
+    assert out[2]["dup_fraction"] == 0.5
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (0, 0)
+    assert out[3]["dup_fraction"] == 0.0
+    assert out[4]["dup_fraction"] == 1.0
