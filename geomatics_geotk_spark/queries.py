@@ -1284,6 +1284,80 @@ ORACLE_CHUNK_SLIDING = (
 )
 
 
+def q_span_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span compaction over the interleaved payload: merge runs of
+    adjacent TEXT spans into one (payloads joined by ' '), media spans
+    keep their positions and relative order.  Spans are synthesized
+    string-encoded ('kind:payload') from doc_id + text so DuckDB can
+    rebuild them bit-exactly; three interleaving patterns (doc_id % 3)
+    plant runs of 2 and 3 adjacent text spans at different positions.
+
+    Scale shape: the compaction is a narrow per-row Column fold
+    (``sources.documents.compact_adjacent_text_spans``) — ZERO shuffles;
+    the oracle replays it as gaps-and-islands SQL (boundary flags →
+    cumulative run ids → per-run string_agg), proving the fold against
+    an independent formulation, not a re-implementation.
+    """
+    from .sources.documents import compact_adjacent_text_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.withColumn("_toks", F.split(F.lower("text"), r"\s+"))
+    chunk = lambda a: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at("_toks", F.lit(a + j)) for j in range(5)]
+    )
+    t1 = F.concat(F.lit("text:"), chunk(1))
+    t2 = F.concat(F.lit("text:"), chunk(6))
+    t3 = F.concat(F.lit("text:"), chunk(11))
+    m1 = F.format_string("media:media://blob/%d", F.col("doc_id"))
+    spans = (
+        F.when(F.col("doc_id") % 3 == 0, F.array(t1, t2, m1, t3))
+        .when(F.col("doc_id") % 3 == 1, F.array(t1, m1, t2, t3))
+        .otherwise(F.array(m1, t1, t2, t3))
+    )
+    staged = staged.withColumn("_spans", spans)
+    comp = compact_adjacent_text_spans(F.col("_spans"))
+    return staged.select(
+        "doc_id",
+        F.size("_spans").cast("long").alias("n_spans"),
+        F.size(comp).cast("long").alias("n_spans_compact"),
+        F.md5(F.concat_ws("|", comp)).alias("span_sig"),
+    )
+
+
+ORACLE_SPAN_COMPACT = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk "
+    "FROM documents), "
+    "sp AS (SELECT doc_id, CASE doc_id % 3 "
+    "WHEN 0 THEN ['text:' || coalesce(array_to_string(tk[1:5], ' '), ''), "
+    "'text:' || coalesce(array_to_string(tk[6:10], ' '), ''), "
+    "'media:media://blob/' || doc_id::VARCHAR, "
+    "'text:' || coalesce(array_to_string(tk[11:15], ' '), '')] "
+    "WHEN 1 THEN ['text:' || coalesce(array_to_string(tk[1:5], ' '), ''), "
+    "'media:media://blob/' || doc_id::VARCHAR, "
+    "'text:' || coalesce(array_to_string(tk[6:10], ' '), ''), "
+    "'text:' || coalesce(array_to_string(tk[11:15], ' '), '')] "
+    "ELSE ['media:media://blob/' || doc_id::VARCHAR, "
+    "'text:' || coalesce(array_to_string(tk[1:5], ' '), ''), "
+    "'text:' || coalesce(array_to_string(tk[6:10], ' '), ''), "
+    "'text:' || coalesce(array_to_string(tk[11:15], ' '), '')] END AS spans FROM toks), "
+    "u AS (SELECT doc_id, spans[ord] AS s, ord, "
+    "CASE WHEN spans[ord] LIKE 'text:%' THEN 1 ELSE 0 END AS is_t "
+    "FROM sp, unnest(generate_series(1, len(spans))) AS t(ord)), "
+    "b AS (SELECT *, CASE WHEN is_t = 1 AND lag(is_t) "
+    "OVER (PARTITION BY doc_id ORDER BY ord) = 1 THEN 0 ELSE 1 END AS brk FROM u), "
+    "g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY ord) AS grp FROM b), "
+    "m AS (SELECT doc_id, grp, min(ord) AS ord0, "
+    "CASE WHEN max(is_t) = 1 "
+    "THEN 'text:' || string_agg(substr(s, 6), ' ' ORDER BY ord) "
+    "ELSE min(s) END AS ms FROM g GROUP BY doc_id, grp) "
+    "SELECT sp.doc_id, len(sp.spans)::BIGINT AS n_spans, "
+    "pd.n_after::BIGINT AS n_spans_compact, pd.sig AS span_sig "
+    "FROM sp JOIN (SELECT doc_id, count(*) AS n_after, "
+    "md5(string_agg(ms, '|' ORDER BY ord0)) AS sig FROM m GROUP BY doc_id) pd "
+    "ON sp.doc_id = pd.doc_id"
+)
+
+
 def q_selfsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self-similarity at substring granularity: per doc, the
     fraction of its 16-token stride-1 windows whose text occurs in >= 2
@@ -4052,6 +4126,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "span_compact": q_span_compact,
     "selfsim": q_selfsim,
     "keeper_election": q_keeper_election,
     "line_dedup": q_line_dedup,
@@ -4158,6 +4233,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "span_compact": ORACLE_SPAN_COMPACT,
     "selfsim": ORACLE_SELFSIM,
     "keeper_election": ORACLE_KEEPER_ELECTION,
     "line_dedup": ORACLE_LINE_DEDUP,

@@ -19,7 +19,7 @@ JVM job with no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # 3 hot spots inside the Vancouver box (skew exercise, FIXTURES.md §1.1)
@@ -136,6 +136,28 @@ def assert_spans_preserved(before: DataFrame, after: DataFrame) -> None:
     )
     if bad:
         raise AssertionError(f"span-sequence invariant violated, e.g. {bad[0]}")
+
+
+def compact_adjacent_text_spans(spans: Column) -> Column:
+    """Merge runs of consecutive ``text:``-prefixed spans in a
+    string-encoded span array (``'kind:payload'`` per element) into one
+    span whose payload is the run's payloads joined by ' '; every other
+    span keeps its position and relative order.  A narrow per-row Column
+    fold — no shuffle, no Python; the array is small (input_hint docs
+    carry 2-8 spans), so the interpreted lambda is bounded per row.
+    """
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        mergeable = (
+            s.startswith("text:") & (F.size(acc) > 0) & last.startswith("text:")
+        )
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat(last, F.lit(" "), F.substring(s, 6, 1 << 24))),
+        )
+        return F.when(mergeable, merged).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(spans, F.array().cast("array<string>"), step)
 
 
 # ---------------------------------------------------------------------------

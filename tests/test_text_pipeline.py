@@ -283,3 +283,31 @@ def test_selfsim_report_planted(spark):
     assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (0, 0)
     assert out[3]["dup_fraction"] == 0.0
     assert out[4]["dup_fraction"] == 1.0
+
+
+def test_compact_adjacent_text_spans_planted(spark):
+    from pyspark.sql import functions as F
+
+    from geomatics_geotk_spark.sources.documents import (
+        compact_adjacent_text_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ["text:a", "text:b", "media:m1", "text:c"]),
+            (2, ["media:m1", "text:a", "text:b", "text:c"]),
+            (3, ["media:m1", "media:m2"]),
+            (4, ["text:solo"]),
+        ],
+        "doc_id long, spans array<string>",
+    )
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", compact_adjacent_text_spans(F.col("spans")).alias("c")
+        ).collect()
+    }
+    assert out[1] == ["text:a b", "media:m1", "text:c"]
+    assert out[2] == ["media:m1", "text:a b c"]
+    assert out[3] == ["media:m1", "media:m2"], "non-text spans never merge"
+    assert out[4] == ["text:solo"]
