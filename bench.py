@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     # line-level dedup + context packing (suite extension)
     "line_dedup",
     "chunk_sliding",
+    # substring self-similarity + interleaved span compaction
+    "selfsim",
+    "span_compact",
 ]
 
 

@@ -150,11 +150,24 @@ _POIS_SQL = "(VALUES " + ", ".join(
 ) + ") AS pois(poi_id, poi_lon, poi_lat)"
 
 
+_INFER_FILTERS_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # every query funnels through here: pin UTC so timestamp<->micros
     # conversions match the DuckDB oracle even under a driver-created
     # session with a different timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # merge (never clobber) the InferFiltersFromGenerate exclusion so the
+    # shingle explodes keep their 12x under ANY caller session, not just
+    # ours (see session.py for the root cause); results are unaffected —
+    # the rule only prunes empty-array rows early
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _INFER_FILTERS_RULE not in excluded:
+        merged = f"{excluded},{_INFER_FILTERS_RULE}" if excluded else _INFER_FILTERS_RULE
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
