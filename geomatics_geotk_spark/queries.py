@@ -2217,6 +2217,49 @@ ORACLE_LSH_BAND_INDEX = (
 )
 
 
+def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimated Jaccard for every LSH candidate pair: the
+    fraction of equal minhash lanes (the textbook unbiased estimator) —
+    the score a 100 TB pipeline ranks candidates by WITHOUT touching
+    shingle sets again.  Pure Column zip_with/aggregate over the two
+    32-lane arrays per pair; pairs and signatures reuse the oracle-green
+    md5 minhash pipeline."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, hash_fn="md5")
+    sig = dedup.minhash_signature(docs, n_hashes=32, hash_fn="md5")
+    j = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("_sa")),
+            "id_a",
+        ).join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("_sb")),
+            "id_b",
+        )
+    )
+    eq = F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0))
+    k = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+    return j.select(
+        "id_a", "id_b", "n_bands_shared", (k / F.lit(32.0)).alias("est_jaccard")
+    )
+
+
+def _oracle_minhash_est_jaccard(n_hashes: int = 32, bands: int = 8) -> str:
+    eq_terms = " + ".join(
+        f"(CASE WHEN la.mh{i} = lb.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return (
+        f"WITH {_oracle_band_ctes(n_hashes, bands)}, "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS n_bands_shared "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT p.id_a, p.id_b, p.n_bands_shared, "
+        f"({eq_terms}) / 32.0 AS est_jaccard "
+        "FROM pairs p JOIN lanes la ON p.id_a = la.doc_id "
+        "JOIN lanes lb ON p.id_b = lb.doc_id"
+    )
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with md5-derived lane bits so DuckDB replays the
     ENTIRE pipeline (token bits → 64 ±1 lane sums → signature → 16-bit
@@ -4139,6 +4182,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "minhash_est_jaccard": q_minhash_est_jaccard,
     "span_compact": q_span_compact,
     "selfsim": q_selfsim,
     "keeper_election": q_keeper_election,
@@ -4246,6 +4290,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
     "span_compact": ORACLE_SPAN_COMPACT,
     "selfsim": ORACLE_SELFSIM,
     "keeper_election": ORACLE_KEEPER_ELECTION,
