@@ -1493,6 +1493,54 @@ ORACLE_TFIDF_TOPK = (
 )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against a CORPUS-DERIVED top-16
+    token vocabulary (count DESC, token ASC tie-break) — the coverage
+    check run before committing to a tokenizer vocab.  Shape for 100 TB:
+    the vocab is one map-side-combined count exchange reduced to k rows
+    (broadcast back); the per-doc rollup is one exchange on doc_id; the
+    corpus token stream never self-joins."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(16)
+        .select("token")
+        .withColumn("_in", F.lit(1))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.count("*") - F.count("_in")).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+    )
+
+
+ORACLE_OOV_RATE = (
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+    "AS token FROM documents), "
+    "tk AS (SELECT doc_id, token FROM t WHERE token <> ''), "
+    "v AS (SELECT token FROM (SELECT token, count(*) AS n FROM tk GROUP BY 1 "
+    "ORDER BY n DESC, token ASC LIMIT 16)) "
+    "SELECT tk.doc_id, count(*)::BIGINT AS n_tokens, "
+    "(count(*) - count(v.token))::BIGINT AS n_oov, "
+    "(count(*) - count(v.token)) / count(*) AS oov_rate "
+    "FROM tk LEFT JOIN v ON tk.token = v.token GROUP BY tk.doc_id"
+)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters per language stratum: top-20 tokens by
     document-corpus frequency with a deterministic (count DESC, token
@@ -4182,6 +4230,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
     "span_compact": q_span_compact,
     "selfsim": q_selfsim,
@@ -4290,6 +4339,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
     "span_compact": ORACLE_SPAN_COMPACT,
     "selfsim": ORACLE_SELFSIM,
