@@ -234,6 +234,23 @@ substring greps):
   line stream never shuffles for the marking join); remaining
   exchanges: the distinct-df count on the line key + the doc_id
   reassembly.  No SortMergeJoin.
+- `selfsim`: 16-token stride-1 windows via the codegen-only
+  index-explode pattern, reduced to 64-bit hashes BEFORE the frequency
+  exchange — the shuffle carries (id, long), never window text; the
+  duplicated-window set broadcasts back.
+- `span_compact`: a narrow per-row Column fold over the span array —
+  zero exchanges; the oracle is an independent gaps-and-islands SQL
+  formulation.
+- `keeper_election`: one `max_by` aggregation keyed on component —
+  partial aggregates combine map-side, so a mega-cluster is a hot KEY,
+  never a corpus-wide window.
+- `oov_rate` / `minhash_est_jaccard`: vocab / signatures reduce to
+  k-row or per-doc state that broadcasts or equi-joins back; the corpus
+  token/pair stream never self-joins on data rows.
+- Session-wide: `InferFiltersFromGenerate` is excluded (session.py,
+  merged into caller sessions by `queries._read`) — the rule clones
+  explode generators into scan Filters that re-run the tokenizer regex
+  per array element (12x on every shingle explode; see BENCH.md).
 """
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
