@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,6 +72,16 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def md5_long15(col) -> Column:
+    """The DuckDB-mirrorable 60-bit hash: first 15 md5 hex chars as a
+    long — SQL twin ``('0x' || substr(md5(x), 1, 15))::BIGINT``.  The
+    ONE definition every oracle-checked md5 hash path must share (lane
+    hashes, base hashes, fingerprints, bucket ids, window hashes): the
+    15-char width and base-16 conversion must match the oracle literal
+    everywhere, so don't inline this idiom."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _lane_hash(shingle, seed: int, hash_fn: str):
     """Seeded 64-bit hash (used for BAND bucket hashing).  'xxhash64' is
     the production default (fastest JVM path); 'md5' derives a 60-bit
@@ -81,9 +91,7 @@ def _lane_hash(shingle, seed: int, hash_fn: str):
     if hash_fn == "xxhash64":
         return F.xxhash64(shingle, F.lit(seed))
     if hash_fn == "md5":
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle)), 1, 15), 16, 10
-        ).cast("long")
+        return md5_long15(F.concat(F.lit(f"{seed}:"), shingle))
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
@@ -111,10 +119,7 @@ def _base_hash(shingle, hash_fn: str):
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(shingle), F.lit(MINHASH_P))
     if hash_fn == "md5":
-        return F.pmod(
-            F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long"),
-            F.lit(MINHASH_P),
-        )
+        return F.pmod(md5_long15(shingle), F.lit(MINHASH_P))
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
@@ -136,8 +141,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
 
     Contract: returns exactly (id_col, minhash) — one row per DISTINCT
     input id, including docs whose text is NULL/shingle-free (their
-    ``minhash`` lanes are NULL; LSH banding must skip them).  Non-id
-    input columns are not carried — join them back on id_col if needed.
+    ``minhash`` lanes are NULL; LSH banding must skip them).  Empty
+    grams ('' — the NULL/empty-text case) are FILTERED before hashing
+    so content-free docs genuinely carry NULL lanes: without the
+    filter, k empty docs would share one signature and band into an
+    O(k²) spurious candidate clique.  The md5 oracle chain applies the
+    same ``shingle <> ''`` filter.  Non-id input columns are not
+    carried — join them back on id_col if needed.
     """
     # Gram building stays entirely inside whole-stage codegen: explode
     # the INDEX sequence (a cheap JVM Generate) and assemble each gram
@@ -158,7 +168,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 32,
             for j in range(shingle_n)
         ],
     )
-    sh = ex.select(id_col, _base_hash(gram, hash_fn).alias("_b"))
+    sh = (
+        ex.select(id_col, gram.alias("_g"))
+        .where(F.trim(F.col("_g")) != "")
+        .select(id_col, _base_hash(F.col("_g"), hash_fn).alias("_b"))
+    )
     lanes = []
     for i in range(n_hashes):
         a, b = minhash_lane_params(i)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import md5_long15
+
 # Tiny per-language marker sets (deterministic heuristic; the goal is a
 # reproducible operator shape, not linguistic accuracy).
 LANG_MARKERS = {
@@ -106,9 +108,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     if hash_fn == "xxhash64":
         h = lambda t: F.pmod(F.xxhash64(t), F.lit(FP_MOD))  # noqa: E731
     elif hash_fn == "md5":
-        h = lambda t: F.pmod(  # noqa: E731
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(FP_MOD)
-        )
+        h = lambda t: F.pmod(md5_long15(t), F.lit(FP_MOD))  # noqa: E731
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
     fp = F.aggregate(
@@ -171,7 +171,7 @@ def _id_bucket(id_col: str, buckets: int, hash_fn: str) -> Column:
     if hash_fn == "xxhash64":
         h = F.xxhash64(sid)
     elif hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+        h = md5_long15(sid)
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
     return F.pmod(h, F.lit(buckets))
@@ -326,21 +326,23 @@ def dedup_lines(
     semantics.
     """
     L = line_tokens
-    # Bind the token array as a real column BEFORE the transform: a raw
-    # split() expression referenced inside an interpreted lambda is
-    # re-evaluated per line element (measured 40x slower at sf0.01).
+    # Codegen-only line building (the minhash_signature pattern): explode
+    # the line INDEX sequence, then assemble each line with top-level
+    # concat_ws/try_element_at — no interpreted lambda anywhere.
+    # concat_ws skips the NULLs try_element_at yields past the doc end,
+    # which clamps the final partial line for free.
     staged = df.withColumn("_toks", _tokens(F.col(text_col)))
     tk = F.col("_toks")
     idx = F.sequence(F.lit(0), ((F.size(tk) - 1) / L).cast("int"))
-    # concat_ws skips the NULLs try_element_at yields past the doc end,
-    # which clamps the final partial line for free.
-    lines = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(tk, (i * L + j + 1).cast("int")) for j in range(L)]
-        ),
+    ex = staged.select(id_col, "_toks", F.explode(idx).alias("line_no"))
+    line = F.concat_ws(
+        " ",
+        *[
+            F.try_element_at("_toks", (F.col("line_no") * L + j + 1).cast("int"))
+            for j in range(L)
+        ],
     )
-    ex = staged.select(id_col, F.posexplode(lines).alias("line_no", "line"))
+    ex = ex.select(id_col, "line_no", line.alias("line"))
     dup = (
         ex.groupBy("line")
         .agg(F.count_distinct(id_col).alias("df_line"))
@@ -448,7 +450,7 @@ def selfsim_report(
     if hash_fn == "xxhash64":
         h = F.xxhash64(win_text)
     elif hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(win_text), 1, 15), 16, 10).cast("long")
+        h = md5_long15(win_text)
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
     wins = ex.select(id_col, h.alias("_h"))

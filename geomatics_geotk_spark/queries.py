@@ -1090,24 +1090,33 @@ ORACLE_NGRAM_JACCARD = (
 )
 
 
-def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the union of
-    exact-dup edges (keeper→member star per content hash — linear, never
-    the n² clique) and n-gram-Jaccard ≥ 0.4 near-dup pairs.  Components
-    computed by distributed min-label propagation with pointer doubling
-    (operators/dedup.py::connected_components); the oracle replays the
-    same edge set through a recursive-CTE transitive closure in DuckDB —
-    an O(n·m) formulation that is only viable at oracle scale, which is
-    exactly why the engine side uses label propagation instead.
+def _dup_edges(docs: DataFrame) -> DataFrame:
+    """The SHARED duplicate-edge set of ``dup_components`` and
+    ``keeper_election``: exact-dup star edges (keeper→member per content
+    hash — linear, never the n² clique) unioned with n-gram-Jaccard
+    ≥ 0.4 near-dup pairs.  One definition on the Spark side mirroring
+    the one ``_CC_CTES`` chain on the SQL side — a threshold or edge
+    change desynchronizing the two queries is structurally impossible.
     """
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy(F.md5(F.col("text")))
     exact_edges = docs.select(
         F.min("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
     ).where(F.col("id_a") < F.col("id_b"))
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3).select("id_a", "id_b")
-    edges = exact_edges.union(jac)
-    return dedup.dup_components(docs.select("doc_id"), edges)
+    return exact_edges.union(jac)
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over ``_dup_edges``.
+    Components computed by distributed min-label propagation with
+    pointer doubling (operators/dedup.py::connected_components); the
+    oracle replays the same edge set through a recursive-CTE transitive
+    closure in DuckDB — an O(n·m) formulation that is only viable at
+    oracle scale, which is exactly why the engine side uses label
+    propagation instead.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_components(docs.select("doc_id"), _dup_edges(docs))
 
 
 # Shared CC CTE chain (exact-dup star edges + Jaccard near-dup pairs →
@@ -1150,14 +1159,9 @@ def q_keeper_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine safe; the doc_id tiebreak makes the argmax total.
     """
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.partitionBy(F.md5(F.col("text")))
-    exact_edges = docs.select(
-        F.min("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
-    ).where(F.col("id_a") < F.col("id_b"))
-    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.4, shingle_n=3).select("id_a", "id_b")
-    comps = dedup.dup_components(
-        docs.select("doc_id"), exact_edges.union(jac)
-    ).select("doc_id", "component")
+    comps = dedup.dup_components(docs.select("doc_id"), _dup_edges(docs)).select(
+        "doc_id", "component"
+    )
     qual = text.with_quality_score(docs).select("doc_id", "quality_score")
     j = comps.join(qual, "doc_id")
     best = F.max_by(
@@ -2242,8 +2246,11 @@ def _oracle_band_ctes(n_hashes: int = 32, bands: int = 8) -> str:
         "sh AS (SELECT doc_id, list_distinct(list_transform("
         "generate_series(1, greatest(len(tk) - 2, 1)), "
         "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM toks), "
+        # empty grams filtered on BOTH engines: content-free docs carry
+        # NULL lanes and never band (minhash_signature contract)
         "ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
-        f"lanes AS (SELECT doc_id, {lanes_sql} FROM ex GROUP BY doc_id), "
+        f"lanes AS (SELECT doc_id, {lanes_sql} FROM ex "
+        "WHERE trim(shingle) <> '' GROUP BY doc_id), "
         "bands AS (SELECT doc_id, band, CASE band "
         + " ".join(band_exprs)
         + " END AS band_hash FROM lanes CROSS JOIN "
@@ -2284,10 +2291,14 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    n_hashes = 32
     eq = F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0))
     k = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
     return j.select(
-        "id_a", "id_b", "n_bands_shared", (k / F.lit(32.0)).alias("est_jaccard")
+        "id_a",
+        "id_b",
+        "n_bands_shared",
+        (k / F.lit(float(n_hashes))).alias("est_jaccard"),
     )
 
 
@@ -2302,7 +2313,7 @@ def _oracle_minhash_est_jaccard(n_hashes: int = 32, bands: int = 8) -> str:
         "FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash "
         "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
         "SELECT p.id_a, p.id_b, p.n_bands_shared, "
-        f"({eq_terms}) / 32.0 AS est_jaccard "
+        f"({eq_terms}) / {float(n_hashes)} AS est_jaccard "
         "FROM pairs p JOIN lanes la ON p.id_a = la.doc_id "
         "JOIN lanes lb ON p.id_b = lb.doc_id"
     )

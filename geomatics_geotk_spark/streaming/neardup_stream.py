@@ -48,11 +48,11 @@ def minhash_bands(
 ) -> DataFrame:
     """(id_col, band, band_hash) via per-row Column folds — NO
     aggregation, so it runs identically on static and streaming
-    DataFrames (and shuffle-free in batch).  NULL text reduces to the
-    single empty shingle "" (exactly what the batch pipeline and its
-    DuckDB oracle compute — concat_ws over missing tokens); the
-    isNotNull guard below is a safety net only.  The degenerate
-    empty-gram bucket this creates is absorbed by ``cap_buckets``.
+    DataFrames (and shuffle-free in batch).  Empty shingles ('' — the
+    NULL/empty-text case) are filtered BEFORE the fold, matching the
+    batch ``minhash_signature`` contract and its DuckDB oracle:
+    content-free docs emit no band rows at all, so they can never form
+    the O(k²) spurious empty-doc candidate clique.
     """
     rows_per_band = n_hashes // bands
     # ALL 32 lane minima in ONE F.aggregate pass over the shingle array.
@@ -74,7 +74,14 @@ def minhash_bands(
 
     out = (
         df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
-        .withColumn("_sh", _shingles_of_tokens(F.col("_toks"), shingle_n))
+        .withColumn(
+            "_sh",
+            F.filter(
+                _shingles_of_tokens(F.col("_toks"), shingle_n),
+                lambda s: F.trim(s) != "",
+            ),
+        )
+        .where(F.size("_sh") > 0)
         .withColumn(
             "_mh",
             F.aggregate(
@@ -83,7 +90,6 @@ def minhash_bands(
                 _merge,
             ),
         )
-        .where(F.element_at("_mh", 1).isNotNull())
     )
     band_structs = []
     for b in range(bands):
@@ -150,15 +156,18 @@ def minhash_bands_arrow(
         for pdf in batches:
             ids, outb, outh = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:
-                    # the Column path (and the DuckDB oracle) reduce a
-                    # NULL text to the single empty shingle "" — mirror,
-                    # don't filter (engines agree; cap_buckets absorbs
-                    # the degenerate empty-gram bucket at scale)
-                    text = ""
-                toks = ws.split(text)
+                toks = ws.split(text or "")
                 hi = max(len(toks) - shingle_n, 0)
-                grams = {" ".join(toks[i : i + shingle_n]) for i in range(hi + 1)}
+                # empty grams filtered, matching the Column path and the
+                # oracle's shingle <> '' — content-free docs emit no
+                # band rows (minhash_signature contract)
+                grams = {
+                    g
+                    for i in range(hi + 1)
+                    if (g := " ".join(toks[i : i + shingle_n])).strip()
+                }
+                if not grams:
+                    continue
                 bases = np.fromiter(
                     (_md5_60(g) % MINHASH_P for g in grams), dtype=np.int64,
                     count=len(grams),

@@ -156,3 +156,35 @@ def test_minhash_planted_near_dup_recall(spark):
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in jac.collect()}
     assert got == want
+
+
+def test_minhash_contentfree_docs_null_lanes_no_pairs(spark):
+    """Content-free docs (NULL / empty / whitespace text) carry NULL
+    lanes (one row per id contract) and NEVER band — k empty docs must
+    not form the O(k^2) spurious candidate clique."""
+    from pyspark.sql import functions as F
+
+    from geomatics_geotk_spark.operators import dedup
+    from geomatics_geotk_spark.streaming import neardup_stream
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here okay"),
+         (5, "real text here okay")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["minhash"] for r in
+           dedup.minhash_signature(docs, hash_fn="md5").collect()}
+    assert set(sig) == {1, 2, 3, 4, 5}, "one row per input id"
+    for d in (1, 2, 3):
+        assert sig[d] is None or sig[d][0] is None, f"doc {d} must be NULL-lane"
+    assert sig[4] is not None and sig[4][0] is not None
+
+    pairs = dedup.minhash_lsh_pairs(docs, hash_fn="md5").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}, \
+        "only the real near-dup pair; no empty-doc clique"
+
+    for fn in (neardup_stream.minhash_bands,
+               neardup_stream.minhash_bands_arrow):
+        kw = {} if fn is neardup_stream.minhash_bands_arrow else {"hash_fn": "md5"}
+        bands = fn(docs, **kw).select("doc_id").distinct()
+        assert {r["doc_id"] for r in bands.collect()} == {4, 5}, fn.__name__
