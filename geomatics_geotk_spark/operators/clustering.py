@@ -79,24 +79,31 @@ def kmeans(
     # projected features so each pass reads memory/disk blocks instead of
     # re-scanning + re-casting the source (the standard MLlib pattern)
     df.persist()
-    seeds = df.where(F.col(id_col) < k).orderBy(id_col).collect()
-    cents = [list(r["_v"]) for r in seeds]
-    dim = len(cents[0])
-    sums = [
-        F.sum(F.element_at("_v", d + 1).cast("decimal(38,18)")).alias(f"s{d}")
-        for d in range(dim)
-    ]
-    for _ in range(iters):
-        assigned = assign_clusters(df, cents)
-        rows = assigned.groupBy("cluster").agg(F.count("*").alias("n"), *sums).collect()
-        # float(Decimal) is round-to-nearest — identical to SQL's
-        # CAST(DECIMAL AS DOUBLE); the division is then a scalar double op
-        new = {
-            r["cluster"]: [float(r[f"s{d}"]) / r["n"] for d in range(dim)]
-            for r in rows
-        }
-        cents = [new.get(j, cents[j]) for j in range(k)]
-    return assign_clusters(df, cents), cents
+    try:
+        seeds = df.where(F.col(id_col) < k).orderBy(id_col).collect()
+        cents = [list(r["_v"]) for r in seeds]
+        dim = len(cents[0])
+        sums = [
+            F.sum(F.element_at("_v", d + 1).cast("decimal(38,18)")).alias(f"s{d}")
+            for d in range(dim)
+        ]
+        for _ in range(iters):
+            assigned = assign_clusters(df, cents)
+            rows = assigned.groupBy("cluster").agg(F.count("*").alias("n"), *sums).collect()
+            # float(Decimal) is round-to-nearest — identical to SQL's
+            # CAST(DECIMAL AS DOUBLE); the division is then a scalar double op
+            new = {
+                r["cluster"]: [float(r[f"s{d}"]) / r["n"] for d in range(dim)]
+                for r in rows
+            }
+            cents = [new.get(j, cents[j]) for j in range(k)]
+        return assign_clusters(df, cents), cents
+    finally:
+        # drop the cached blocks once the iteration actions are done:
+        # repeated calls in one session would otherwise accumulate
+        # orphaned cache entries.  The returned assignment re-scans the
+        # source once when evaluated — one scan vs a session-lifetime leak.
+        df.unpersist()
 
 
 def centroid_norm(centroid: list[float]) -> float:

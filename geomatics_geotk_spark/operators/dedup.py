@@ -559,8 +559,15 @@ def dup_components(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id",
                    max_iter: int = 25) -> DataFrame:
     """Cluster docs by near-dup edges; every doc gets a component
     (singletons map to themselves), a cluster size, and the keep flag
-    (keeper = min id of the cluster) — the keep-one-per-cluster shape a
-    training-data dedup stage emits."""
+    (keeper = min PRESENT id of the cluster) — the keep-one-per-cluster
+    shape a training-data dedup stage emits.
+
+    The component label is the min node id over the EDGE graph, which
+    may reference a doc filtered out upstream; testing ``doc_id ==
+    component`` would then leave such a cluster with NO keeper (every
+    copy dropped).  The keeper is therefore the min id among docs
+    actually present, so every non-empty cluster keeps exactly one.
+    """
     comp = connected_components(edges, max_iter=max_iter)
     out = (
         docs.select(id_col)
@@ -575,5 +582,5 @@ def dup_components(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id",
         id_col,
         "component",
         F.count("*").over(w).alias("cluster_size"),
-        (F.col(id_col) == F.col("component")).alias("is_keeper"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_keeper"),
     )

@@ -130,6 +130,7 @@ def geometry_join(
     id_col: str = "doc_id",
     strategy: str = "broadcast",
     refine_impl: str = "batch",
+    _valid_env: DataFrame | None = None,
 ) -> DataFrame:
     """docs(any WKT geometry) ⋈ zones(polygons) under ``predicate``.
 
@@ -145,19 +146,28 @@ def geometry_join(
     'perpair' (force the fallback loop; benchmarking/cross-check only,
     results identical by the geometry_batch property tests).
     """
-    env = docs.withColumn("_env", _wkt_envelope(F.col(wkt_col)))
-    # malformed WKT yields a NaN envelope (which Arrow surfaces as NULL
-    # after the pandas round-trip) — route those rows out up front: NaN
-    # would clamp covering_cells_col to a bogus max-corner cell, and the
-    # reference THROWS on unparseable geometry, so under 'disjoint' the
-    # anti-join base must also exclude them or a parse failure would be
-    # misreported as disjoint-from-every-zone (ADVICE r2).
-    valid = env.where(
-        F.col("_env.xmin").isNotNull() & ~F.isnan(F.col("_env.xmin"))
-    )
+    if _valid_env is not None:
+        valid = _valid_env
+    else:
+        env = docs.withColumn("_env", _wkt_envelope(F.col(wkt_col)))
+        # malformed WKT yields a NaN envelope (which Arrow surfaces as
+        # NULL after the pandas round-trip) — route those rows out up
+        # front: NaN would clamp covering_cells_col to a bogus max-corner
+        # cell, and the reference THROWS on unparseable geometry, so
+        # under 'disjoint' the anti-join base must also exclude them or a
+        # parse failure would be misreported as disjoint-from-every-zone
+        # (ADVICE r2).
+        valid = env.where(
+            F.col("_env.xmin").isNotNull() & ~F.isnan(F.col("_env.xmin"))
+        )
 
     if predicate == "disjoint":
-        matched = geometry_join(docs, zones, "intersects", res, wkt_col, id_col, strategy)
+        # share the enveloped subtree with the intersects pass instead of
+        # re-deriving the WKT-envelope Arrow stage a second time
+        matched = geometry_join(
+            docs, zones, "intersects", res, wkt_col, id_col, strategy,
+            refine_impl, _valid_env=valid,
+        )
         return valid.drop("_env").join(
             matched.select(id_col).distinct(), id_col, "left_anti"
         )

@@ -37,12 +37,7 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _h60(col: Column) -> Column:
-    """60-bit non-negative hash: first 15 hex digits of md5, base-16.
-
-    Mirrors DuckDB ``('0x' || substr(md5(x), 1, 15))::BIGINT`` exactly.
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+from .dedup import md5_long15 as _h60  # the ONE md5-hex-to-long definition
 
 
 # ---------------------------------------------------------------------------

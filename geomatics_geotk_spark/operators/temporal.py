@@ -136,15 +136,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     )
     u = l_tag.unionByName(r_tag)
 
+    # deterministic tiebreak for duplicate (key, ts) right rows: without
+    # it, which duplicate wins depends on shuffle-internal order
+    tie = (
+        F.xxhash64(F.struct(*[F.col(c) for c in payload], F.col("__rts")))
+        if payload
+        else F.xxhash64(F.col("__rts"))
+    )
+    u = u.withColumn("__tie", tie)
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = [F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload]
-    matched.append(F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"))
-    out = u.select("*", *matched).where(F.col("__side") == 1)
+    # the match is ONE struct (ts + payload) taken atomically from the
+    # most recent right row — per-column last(ignorenulls) would instead
+    # forward-fill a genuinely-NULL payload field from an OLDER right
+    # row, pairing values from different rows
+    row_struct = F.struct(
+        F.col("__rts").alias("__rts"), *[F.col(c).alias(c) for c in payload]
+    )
+    m = F.last(
+        F.when(F.col("__side") == 0, row_struct), ignorenulls=True
+    ).over(w)
+    out = u.select("*", m.alias("__m")).where(F.col("__side") == 1)
+    out = out.select(
+        "*",
+        *[F.col(f"__m.{c}").alias(f"__m_{c}") for c in payload],
+        F.col("__m.__rts").alias("__m_ts"),
+    )
 
     ok = F.col("__m_ts").isNotNull()
     if tolerance_us is not None:

@@ -331,7 +331,9 @@ def dedup_lines(
     # concat_ws/try_element_at — no interpreted lambda anywhere.
     # concat_ws skips the NULLs try_element_at yields past the doc end,
     # which clamps the final partial line for free.
-    staged = df.withColumn("_toks", _tokens(F.col(text_col)))
+    staged = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_toks", _tokens(F.col(text_col))
+    )
     tk = F.col("_toks")
     idx = F.sequence(F.lit(0), ((F.size(tk) - 1) / L).cast("int"))
     ex = staged.select(id_col, "_toks", F.explode(idx).alias("line_no"))
@@ -355,13 +357,24 @@ def dedup_lines(
         F.sort_array(F.collect_list(F.struct("line_no", "_dup", "line"))).alias("_ls")
     )
     kept = F.filter(F.col("_ls"), lambda s: s.getField("_dup").isNull())
-    return per_doc.select(
+    rep = per_doc.select(
         id_col,
         F.size("_ls").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s.getField("line")))).alias(
             "kept_md5"
         ),
+    )
+    # NULL-text docs produce no line rows (NULL token array → empty
+    # explode) — restore them as 0-line docs so the every-doc contract
+    # holds on BOTH engines (the oracle mirrors with its own outer join)
+    return (
+        df.select(id_col)
+        .join(rep, id_col, "left")
+        .na.fill({"n_lines": 0, "n_kept": 0})
+        .withColumn(
+            "kept_md5", F.coalesce(F.col("kept_md5"), F.md5(F.lit("")))
+        )
     )
 
 
@@ -527,9 +540,14 @@ def contamination_report(
             F.max("n_shingles").alias("n_shingles"),
             F.count("_hit").alias("n_contaminated"),
         )
+        .withColumn("contamination", F.col("n_contaminated") / F.col("n_shingles"))
     )
-    return rep.withColumn(
-        "contamination", F.col("n_contaminated") / F.col("n_shingles")
+    # NULL-text docs have no exploded shingle rows — restore them so the
+    # every-doc contract holds (they report 0 shingles / 0.0)
+    return (
+        docs.select(id_col)
+        .join(rep, id_col, "left")
+        .na.fill({"n_shingles": 0, "n_contaminated": 0, "contamination": 0.0})
     )
 
 

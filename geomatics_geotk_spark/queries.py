@@ -1225,13 +1225,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DECONTAMINATE = (
+    # outer LEFT JOIN from the doc base: NULL-text docs have no exploded
+    # shingle rows but must still report 0 shingles / 0.0 contamination
+    # (the contamination_report every-doc contract)
     f"WITH {_JACCARD_CTES.split(', ov AS')[0]}, "
     "ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0), "
-    "tr AS (SELECT * FROM ex WHERE doc_id % 97 <> 0) "
-    "SELECT tr.doc_id AS doc_id, max(tr.n_sh) AS n_shingles, "
+    "tr AS (SELECT * FROM ex WHERE doc_id % 97 <> 0), "
+    "agg AS (SELECT tr.doc_id AS doc_id, max(tr.n_sh) AS n_shingles, "
     "count(ev.shingle) AS n_contaminated, "
     "count(ev.shingle) / max(tr.n_sh) AS contamination "
-    "FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id"
+    "FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id) "
+    "SELECT d.doc_id, coalesce(agg.n_shingles, 0) AS n_shingles, "
+    "coalesce(agg.n_contaminated, 0) AS n_contaminated, "
+    "coalesce(agg.contamination, 0.0) AS contamination "
+    "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id "
+    "WHERE d.doc_id % 97 <> 0"
 )
 
 
@@ -1271,11 +1279,16 @@ ORACLE_LINE_DEDUP = (
     "dup AS (SELECT line FROM dfq WHERE df_line >= 2), "
     "mk AS (SELECT l.doc_id, l.line_no, l.line, (d.line IS NOT NULL) AS is_dup "
     "FROM ln l LEFT JOIN dup d USING (line)) "
-    "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+    ", pd AS (SELECT doc_id, count(*)::BIGINT AS n_lines, "
     "count(CASE WHEN NOT is_dup THEN 1 END)::BIGINT AS n_kept, "
     "md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, ' ' "
-    "ORDER BY line_no), '')) AS kept_md5 "
-    "FROM mk GROUP BY doc_id"
+    "ORDER BY line_no), '')) AS kept_md5 FROM mk GROUP BY doc_id) "
+    # NULL-text docs emit no line rows — restored as 0-line docs (the
+    # dedup_lines every-doc contract)
+    "SELECT d.doc_id, coalesce(pd.n_lines, 0)::BIGINT AS n_lines, "
+    "coalesce(pd.n_kept, 0)::BIGINT AS n_kept, "
+    "coalesce(pd.kept_md5, md5('')) AS kept_md5 "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
 )
 
 
@@ -4193,12 +4206,7 @@ def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.join(F.broadcast(cut), "source")
         .where(
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-                ).cast("long"),
-                F.lit(10000),
-            )
+            F.pmod(dedup.md5_long15(F.col("doc_id").cast("string")), F.lit(10000))
             < F.col("cutoff")
         )
         .groupBy("source")

@@ -33,6 +33,7 @@ from ..operators.dedup import (
     _base_hash,
     _shingles_of_tokens,
     cap_buckets,
+    md5_long15,
     minhash_lane_params,
 )
 
@@ -101,9 +102,7 @@ def minhash_bands(
             ],
         )
         if hash_fn == "md5":
-            bh = F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{b}:"), joined)), 1, 15), 16, 10
-            ).cast("long")
+            bh = md5_long15(F.concat(F.lit(f"{b}:"), joined))
         else:
             bh = F.xxhash64(joined)
         band_structs.append(

@@ -117,3 +117,31 @@ def test_matches_pandas_merge_asof(spark):
         .sort_values("event_id", ignore_index=True)[["event_id", "rv"]]
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_null_payload_not_forward_filled(spark):
+    """A genuinely NULL payload field in the matched right row must stay
+    NULL — not be forward-filled from an older right row."""
+    from geomatics_geotk_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, None)], "uid long, ts long, v long"
+    )
+    left = spark.createDataFrame([(1, 25)], "uid long, ts long")
+    row = asof_join(left, right, on=["uid"]).collect()[0]
+    assert row["asof_ts"] == 20, "match is the ts=20 row"
+    assert row["v"] is None, "payload must come from the MATCHED row"
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    from geomatics_geotk_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, "A"), (1, 10, "B")], "uid long, ts long, v string"
+    )
+    left = spark.createDataFrame([(1, 15)], "uid long, ts long")
+    got = {
+        asof_join(left, right, on=["uid"]).collect()[0]["v"]
+        for _ in range(3)
+    }
+    assert len(got) == 1, f"must be deterministic across runs, got {got}"

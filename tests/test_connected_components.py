@@ -106,3 +106,17 @@ def test_keeper_election_prefers_quality_over_min_id(spark):
     }
     assert out[1] == 2, "component label is 1 (min id) but keeper must be doc 2"
     assert out[3] == 3
+
+
+def test_dup_components_keeper_when_label_node_absent(spark):
+    """Component labels come from the EDGE graph; if the min-id node was
+    filtered out of docs upstream, the cluster must still elect a keeper
+    from the PRESENT docs."""
+    from geomatics_geotk_spark.operators import dedup
+
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")  # doc 1 absent
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup.dup_components(docs, edges).collect()}
+    assert rows[2]["component"] == rows[3]["component"] == 1
+    assert rows[2]["is_keeper"] is True, "min PRESENT id keeps"
+    assert rows[3]["is_keeper"] is False

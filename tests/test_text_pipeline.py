@@ -311,3 +311,25 @@ def test_compact_adjacent_text_spans_planted(spark):
     assert out[2] == ["media:m1", "text:a b c"]
     assert out[3] == ["media:m1", "media:m2"], "non-text spans never merge"
     assert out[4] == ["text:solo"]
+
+
+def test_null_text_docs_still_reported(spark):
+    """dedup_lines and contamination_report must report NULL-text docs
+    (0 lines / 0.0 contamination), not drop them or hash phantom lines."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    ld = {r["doc_id"]: r for r in text.dedup_lines(docs, line_tokens=3).collect()}
+    assert set(ld) == {1, 2}
+    assert (ld[2]["n_lines"], ld[2]["n_kept"]) == (0, 0)
+    assert ld[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+    ev = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in text.contamination_report(docs, ev).collect()}
+    assert set(rep) == {1, 2}, "every doc appears, NULL text included"
+    # NULL text flows through the shingle pipeline as the single ''
+    # gram on BOTH engines (the established oracle-mirrored semantic);
+    # the restore join guards the contract under either size(NULL) mode
+    assert rep[2]["n_shingles"] == 1 and rep[2]["contamination"] == 0.0
