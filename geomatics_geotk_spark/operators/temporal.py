@@ -187,6 +187,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     return out
 
 
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    begin_col: str = "begin",
+    end_col: str = "end",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge overlapping-or-touching [begin, end] intervals per key —
+    the coverage/sweep primitive (gaps-and-islands): a new run starts
+    where ``begin`` exceeds the running max ``end`` of everything
+    before it.  Returns one row per merged run: ``(*keys, run_begin,
+    run_end, n_merged)``.
+
+    Shape for 100 TB: ONE exchange on the keys — the previous-max
+    window, the run-id cumulative sum, and the per-run aggregation all
+    share the same (keys) partitioning; per-key data is sorted once
+    in-partition.  ``tiebreak`` (an extra deterministic order column,
+    e.g. the row id) makes run assignment reproducible when several
+    intervals share (begin, end).
+    """
+    order = [F.col(begin_col).asc(), F.col(end_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_brk",
+        F.when(prev_max.isNull() | (F.col(begin_col) > prev_max), 1).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "_grp",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy(*keys, "_grp").agg(
+        F.min(begin_col).alias("run_begin"),
+        F.max(end_col).alias("run_end"),
+        F.count("*").alias("n_merged"),
+    ).drop("_grp")
+
+
 def temporal_sort(df: DataFrame, begin_col: str = "begin", end_col: str = "end") -> DataFrame:
     """Total order per TemporalComparator (begin, then end) —
     time/TemporalComparator.java:13-40 (the DURING→0 discard quirk is a

@@ -677,6 +677,44 @@ _PER_SQL = (
 )
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: merge overlapping-or-touching event periods and
+    report merged-run count, total covered seconds, and raw period
+    count — the coverage/sweep rollup (``temporal.merge_intervals``).
+    One exchange on event_type; the two islands windows and both aggs
+    share it.  Oracle replays the identical islands formulation."""
+    per = _event_periods(spark, sf_dir)
+    runs = temporal.merge_intervals(
+        per, ["event_type"], "begin", "end", tiebreak="event_id"
+    )
+    return runs.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(
+            F.unix_timestamp("run_end") - F.unix_timestamp("run_begin")
+        ).alias("covered_seconds"),
+        F.sum("n_merged").alias("n_periods"),
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = (
+    f"WITH per AS ({_PER_SQL}), "
+    "o AS (SELECT event_type, event_id, begin, \"end\", "
+    "max(\"end\") OVER (PARTITION BY event_type "
+    "ORDER BY begin, \"end\", event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM per), "
+    "f AS (SELECT *, CASE WHEN pmax IS NULL OR begin > pmax "
+    "THEN 1 ELSE 0 END AS brk FROM o), "
+    "g AS (SELECT *, sum(brk) OVER (PARTITION BY event_type "
+    "ORDER BY begin, \"end\", event_id "
+    "ROWS UNBOUNDED PRECEDING) AS grp FROM f), "
+    "m AS (SELECT event_type, grp, min(begin) AS b, max(\"end\") AS e, "
+    "count(*) AS cnt FROM g GROUP BY 1, 2) "
+    "SELECT event_type, count(*)::BIGINT AS n_intervals, "
+    "sum(date_diff('second', b, e))::BIGINT AS covered_seconds, "
+    "sum(cnt)::BIGINT AS n_periods FROM m GROUP BY event_type"
+)
+
+
 def q_temporal_during(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _event_periods(spark, sf_dir).select("event_id", "begin", "end")
     anchors = spark.range(8).select(
@@ -4249,6 +4287,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
     "span_compact": q_span_compact,
@@ -4358,6 +4397,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
     "span_compact": ORACLE_SPAN_COMPACT,

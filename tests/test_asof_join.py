@@ -145,3 +145,32 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         for _ in range(3)
     }
     assert len(got) == 1, f"must be deterministic across runs, got {got}"
+
+
+def test_merge_intervals_planted(spark):
+    """Overlap and touch merge; a gap starts a new run."""
+    from geomatics_geotk_spark.operators.temporal import merge_intervals
+
+    rows = [
+        ("a", 1, 0, 10), ("a", 2, 5, 20),   # overlap -> one run [0,20]
+        ("a", 3, 20, 25),                   # touch (begin == prev end) merges
+        ("a", 4, 30, 40),                   # gap -> new run
+        ("b", 5, 0, 1),                     # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, begin long, end long")
+    runs = sorted(
+        (r["k"], r["run_begin"], r["run_end"], r["n_merged"])
+        for r in merge_intervals(df, ["k"], tiebreak="i").collect()
+    )
+    assert runs == [("a", 0, 25, 3), ("a", 30, 40, 1), ("b", 0, 1, 1)]
+
+
+def test_merge_intervals_contained_interval(spark):
+    """An interval fully inside an earlier one must not split the run
+    (the running-max-end formulation, not lag(end))."""
+    from geomatics_geotk_spark.operators.temporal import merge_intervals
+
+    rows = [("a", 1, 0, 100), ("a", 2, 10, 20), ("a", 3, 50, 150)]
+    df = spark.createDataFrame(rows, "k string, i long, begin long, end long")
+    out = merge_intervals(df, ["k"], tiebreak="i").collect()
+    assert len(out) == 1 and out[0]["run_end"] == 150 and out[0]["n_merged"] == 3
