@@ -677,6 +677,81 @@ _PER_SQL = (
 )
 
 
+def q_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geodesic trajectory length: order each user's events by
+    (ts, event_id), derive the per-event position from event_id (the
+    _pts_sql twin), and Vincenty-sum the consecutive legs.  Legs are
+    rounded to 2 dp (cm — far above the ~1e-8 m numpy-vs-SQL mirror
+    noise, so no leg sits on a rounding boundary) then DECIMAL-summed —
+    order-independent and bit-stable across engines.
+
+    Shape for 100 TB: ONE exchange on user_id (the lag window); the
+    Vincenty refine is a single Arrow stage over leg rows
+    (asNondeterministic barrier — evaluated once); the rollup reuses
+    the window's partitioning.
+    """
+    from pyspark.sql import types as T
+
+    from .kernels import geodesic
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    k = F.col("event_id")
+    staged = ev.select(
+        "event_id", "user_id", "ts",
+        (F.lit(-123.5) + ((k % 996 + 1) / F.lit(997.0))).alias("lon"),
+        (F.lit(49.0) + (((k * 7919 + 13) % 990 + 1) / F.lit(991.0))).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = staged.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+
+    @F.pandas_udf(T.DoubleType())
+    def geo_dist(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:
+        return pd.Series(
+            geodesic.inverse(
+                lat1.to_numpy(), lon1.to_numpy(), lat2.to_numpy(), lon2.to_numpy()
+            )
+        )
+
+    geo_dist = geo_dist.asNondeterministic()
+    legd = legs.withColumn(
+        "_leg", F.round(geo_dist("plat", "plon", "lat", "lon"), 2)
+    )
+    return legd.groupBy("user_id").agg(
+        F.count("*").alias("n_legs"),
+        F.sum(F.col("_leg").cast("decimal(18,6)")).cast("double").alias("dist_m"),
+    )
+
+
+def _oracle_trajectory_length() -> str:
+    from .oracle_math import nest_levels, vincenty_inverse_levels
+
+    src = (
+        "WITH pts AS (SELECT event_id, user_id, ts, "
+        "-123.5 + (event_id % 996 + 1) / 997.0 AS lon, "
+        "49.0 + ((event_id * 7919 + 13) % 990 + 1) / 991.0 AS lat FROM events), "
+        "lg AS (SELECT user_id, lat, lon, "
+        "lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat, "
+        "lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon "
+        "FROM pts) "
+        "SELECT user_id, lat, lon, plat, plon FROM lg WHERE plat IS NOT NULL"
+    )
+    nested = nest_levels(
+        src,
+        vincenty_inverse_levels("plat", "plon", "lat", "lon", "_vd"),
+        ["user_id", "_vd"],
+    )
+    return (
+        f"WITH v AS ({nested}) "
+        "SELECT user_id, count(*)::BIGINT AS n_legs, "
+        "CAST(sum(CAST(round(_vd, 2) AS DECIMAL(18,6))) AS DOUBLE) AS dist_m "
+        "FROM v GROUP BY user_id"
+    )
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: merge overlapping-or-touching event periods and
     report merged-run count, total covered seconds, and raw period
@@ -4287,6 +4362,7 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "trajectory_length": q_trajectory_length,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -4397,6 +4473,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "trajectory_length": _oracle_trajectory_length(),
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
