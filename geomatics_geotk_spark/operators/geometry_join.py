@@ -146,6 +146,8 @@ def geometry_join(
     'perpair' (force the fallback loop; benchmarking/cross-check only,
     results identical by the geometry_batch property tests).
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"geometry_join: unknown strategy {strategy!r}")
     if _valid_env is not None:
         valid = _valid_env
     else:

@@ -68,7 +68,16 @@ def knn_join(
     """
     from .spatial_join import expand_poi_cells
 
-    n_pois = max(1, pois.count())  # aggregate only — rows stay distributed
+    if strategy not in ("auto", "brute", "cellring"):
+        raise ValueError(f"knn_join: unknown strategy {strategy!r}")
+    # both paths project to the same schema (docs columns + poi_id/dist_m/
+    # rank) so strategy='auto' can never silently change the output shape
+    out_cols = [*docs.drop("cell_id").columns, "poi_id", "dist_m", "rank"]
+    # poi count is an aggregate-only job (rows stay distributed) — and is
+    # skipped entirely when the caller pins both strategy and res
+    n_pois = None
+    if strategy == "auto" or res is None:
+        n_pois = max(1, pois.count())
     geo_dist = _geo_dist_udf()
     w = Window.partitionBy(id_col).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
     if strategy == "auto":
@@ -85,6 +94,7 @@ def knn_join(
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            .select(*out_cols)
         )
     if res is None:
         # aim for ~4k candidate pois per disk: finer grid when pois dense
@@ -114,16 +124,22 @@ def knn_join(
     # within (rings-0.5)*edge of the doc point (conservative: doc anywhere
     # in its cell). kth distance beyond that ⇒ poi outside the disk could
     # be closer ⇒ doc needs the exact fallback.
+    #
+    # Completeness is derived INLINE with window aggregates over the same
+    # partition key as the rank window (one exchange, reused) — never by
+    # re-joining a broadcast doc-cardinality id set, which at 10^12 docs
+    # is an OOM by construction.
     guarantee_m = max(0.0, (rings - 0.5)) * edge_m
-    per_doc = topk.groupBy(id_col).agg(
-        F.max("dist_m").alias("_kth"), F.count("*").alias("_n")
+    wc = Window.partitionBy(id_col)
+    topk_f = topk.withColumn("_kth", F.max("dist_m").over(wc)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
     )
-    complete_ids = per_doc.where(
-        (F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee_m))
-    ).select(id_col)
-
-    resolved = topk.join(F.broadcast(complete_ids), id_col, "left_semi")
-    unresolved_docs = pts.join(F.broadcast(complete_ids), id_col, "left_anti")
+    is_complete = (F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee_m))
+    resolved = topk_f.where(is_complete).drop("_kth", "_n")
+    complete_ids = topk_f.where(is_complete).select(id_col).distinct()
+    # plain anti-join, NO broadcast hint: complete_ids is doc-cardinality;
+    # AQE broadcasts only if runtime stats say it truly fits
+    unresolved_docs = pts.join(complete_ids, id_col, "left_anti")
 
     # exact fallback: brute-force against the broadcast poi table
     # (the poi DataFrame itself — never collected to the driver)
@@ -139,4 +155,4 @@ def knn_join(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    return resolved.unionByName(brute.select(*resolved.columns))
+    return resolved.select(*out_cols).unionByName(brute.select(*out_cols))

@@ -479,6 +479,8 @@ def dwithin_zone_join(
     hash-partitions both joins on their keys for zone sides too large to
     broadcast.
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"dwithin_zone_join: unknown strategy {strategy!r}")
     if res is None:
         res = cells.res_for_meters(max(distance_m, 500.0) * 4)
 

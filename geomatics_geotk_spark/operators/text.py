@@ -352,7 +352,10 @@ def dedup_lines(
         .select("line")
         .withColumn("_dup", F.lit(1))
     )
-    marked = ex.join(F.broadcast(dup), "line", "left")
+    # no broadcast hint: the ≥2-doc dup-line set scales with corpus
+    # boilerplate (billions of rows at 100 TB) — AQE broadcasts at
+    # runtime only if the built set truly fits
+    marked = ex.join(dup, "line", "left")
     per_doc = marked.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("line_no", "_dup", "line"))).alias("_ls")
     )
@@ -475,7 +478,8 @@ def selfsim_report(
         .withColumn("_dup", F.lit(1))
     )
     per_doc = (
-        wins.join(F.broadcast(dup), "_h", "left")
+        # no broadcast hint (corpus-derived dup-window set — AQE decides)
+        wins.join(dup, "_h", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),

@@ -20,14 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import covering_cells_col, envelope_intersects_polygon_col
-from .spatial_join import prepare_zones
+from .spatial_join import prepare_zones_distributed
 
 DEFAULT_RES = 10
 
 
 def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
-    """(tile columns…, zone_id) pairs where tile envelope ∩ zone ≠ ∅."""
-    zone_cells, _ = prepare_zones(zones, res)
+    """(tile columns…, zone_id) pairs where tile envelope ∩ zone ≠ ∅.
+
+    Zone prep is ZONE-PARALLEL (prepare_zones_distributed) — the driver
+    never collects a ring, so 10^6-zone inputs classify on executors.
+    """
+    zone_cells = prepare_zones_distributed(zones, res)
 
     tile_cells = tiles.withColumn(
         "cell_id",

@@ -2061,13 +2061,16 @@ ORACLE_CURATION_FUNNEL = (
     "j AS (SELECT k.doc_id, k.lang, k.keeper_id, q.quality_score, "
     "coalesce(c.contamination, 0.0) AS contamination "
     "FROM k JOIN q ON k.doc_id = q.doc_id LEFT JOIN c ON k.doc_id = c.doc_id), "
+    # every counter CAST to BIGINT: DuckDB sum() yields HUGEINT, which
+    # .df() converts to float64 and breaks the driver's hash compare even
+    # when the values equal Spark's bigint (the one red row in r3)
     "s AS (SELECT count(*) AS n_all, "
-    "sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS n_quality, "
-    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS n_lang, "
-    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
-    "THEN 1 ELSE 0 END) AS n_dedup, "
-    "sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
-    "AND contamination < 0.5 THEN 1 ELSE 0 END) AS n_decontam FROM j) "
+    "CAST(sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, "
+    "CAST(sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, "
+    "CAST(sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup, "
+    "CAST(sum(CASE WHEN quality_score >= 0.5 AND lang = 'en' AND doc_id = keeper_id "
+    "AND contamination < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam FROM j) "
     "SELECT 'all' AS stage, n_all AS n_docs FROM s "
     "UNION ALL SELECT 'quality', n_quality FROM s "
     "UNION ALL SELECT 'lang', n_lang FROM s "
@@ -2201,10 +2204,13 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_col = F.element_at(
         F.array(*[F.lit(n) for _, n in norms]), F.col("cluster") + 1
     )
+    # round-9dp at emission: the per-dim centroid mean is float(DECIMAL)/n
+    # in Python but CAST(DECIMAL AS DOUBLE)/n in DuckDB, which disagree by
+    # 1 ulp on some inputs (seen at sf0.001) — same rule as the ln oracles
     return (
         assigned.groupBy("cluster")
         .agg(F.count("*").alias("n_vecs"))
-        .select("cluster", "n_vecs", norm_col.alias("centroid_norm"))
+        .select("cluster", "n_vecs", F.round(norm_col, 9).alias("centroid_norm"))
     )
 
 
@@ -2255,7 +2261,7 @@ def _oracle_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     norm = "sqrt(list_reduce(list_transform(c, x -> x * x), (x, y) -> x + y))"
     return (
         "WITH " + ", ".join(ctes) + " "
-        f"SELECT a.cluster, count(*) AS n_vecs, max({norm}) AS centroid_norm "
+        f"SELECT a.cluster, count(*) AS n_vecs, round(max({norm}), 9) AS centroid_norm "
         f"FROM {final} a JOIN c{iters} USING (cluster) GROUP BY a.cluster"
     )
 
@@ -2459,6 +2465,75 @@ def q_simhash_neardups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; the md5 twin carries the oracle proof for the shared plan)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.simhash_near_dups(docs, max_hamming=8, hash_fn="xxhash64")
+
+
+_PLANTED_TWIN_OFFSET = 1_000_000
+
+
+def _planted_twin_docs(spark: SparkSession, sf_dir: str, n_base: int = 40,
+                       n_tokens: int = 10) -> DataFrame:
+    """Planted-ground-truth corpus for the xxhash64 production hash paths
+    (r3 verdict item 7): every base doc gets an EXACT-copy twin at
+    ``doc_id + offset``, and token text is namespaced per doc
+    (``d{id}w{j}``) so distinct docs share ZERO shingles/tokens.  Thus
+    under ANY hash family the output pair set is exactly the planted
+    twins: identical text ⇒ identical signature ⇒ all bands/blocks
+    collide; disjoint token sets ⇒ cross-doc collisions need a full
+    64-bit hash coincidence (deterministic per SF; verified absent at the
+    driver's SFs by parity runs).  All Column ops — no Python in the
+    construction."""
+    base = _read(spark, sf_dir, "documents").where(F.col("doc_id") < n_base)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda j: F.concat(
+                F.lit("d"), F.col("doc_id").cast("string"),
+                F.lit("w"), j.cast("string"),
+            ),
+        ),
+    )
+    planted = base.select("doc_id", text.alias("text"))
+    twins = planted.select(
+        (F.col("doc_id") + F.lit(_PLANTED_TWIN_OFFSET)).alias("doc_id"), "text"
+    )
+    return planted.unionByName(twins)
+
+
+def q_minhash_fast_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable oracle row for the DEPLOYED minhash hash path
+    (xxhash64 lanes): on the planted-twin corpus the xxhash64 LSH pipeline
+    must emit exactly the planted pairs, each sharing all 8 bands."""
+    docs = _planted_twin_docs(spark, sf_dir)
+    out = dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8, hash_fn="xxhash64")
+    return out.select(
+        "id_a", "id_b", F.col("n_bands_shared").cast("long").alias("n_bands_shared")
+    )
+
+
+ORACLE_MINHASH_FAST_PLANTED = (
+    "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
+    "CAST(8 AS BIGINT) AS n_bands_shared "
+    "FROM documents WHERE doc_id < 40"
+)
+
+
+def q_simhash_fast_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable oracle row for the DEPLOYED simhash hash path
+    (xxhash64 lane bits): planted twins must come back at Hamming 0 and
+    nothing else survives the ≤3 filter (cross docs share no tokens)."""
+    docs = _planted_twin_docs(spark, sf_dir)
+    out = dedup.simhash_near_dups(docs, max_hamming=3, hash_fn="xxhash64")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_SIMHASH_FAST_PLANTED = (
+    "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming "
+    "FROM documents WHERE doc_id < 40"
+)
 
 
 def _oracle_simhash_neardups(max_hamming: int = 8) -> str:
@@ -4470,6 +4545,9 @@ QUERIES = {
     # pytest-asserted equal to its md5-lane oracle twin on planted pairs)
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_neardups_fast": q_simhash_neardups_fast,
+    # planted-ground-truth driver rows for the xxhash64 production paths
+    "minhash_fast_planted": q_minhash_fast_planted,
+    "simhash_fast_planted": q_simhash_fast_planted,
 }
 
 ORACLES = {
@@ -4576,4 +4654,42 @@ ORACLES = {
     "gml_to_temporal": ORACLE_GML_TO_TEMPORAL,
     "media_frames": ORACLE_MEDIA_FRAMES,
     "span_invariant": ORACLE_SPAN_INVARIANT,
+    "minhash_fast_planted": ORACLE_MINHASH_FAST_PLANTED,
+    "simhash_fast_planted": ORACLE_SIMHASH_FAST_PLANTED,
+}
+
+# Driver-rotation ordering (r3 verdict item 8): the driver's correctness
+# pass walks QUERIES in order and stops at ~50, so the front block is
+# (a) queries NEW or CHANGED this round, (b) the two r1-stale entries,
+# (c) the rows-only _fast twins (their planted ground-truth siblings are
+# in (a)), then (d) everything last checked in r2, oldest coverage first;
+# the 50 r3-green-and-unchanged queries close the list.
+_R4_FRONT = [
+    "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
+    "curation_funnel",                                 # r3 red → oracle CAST fix
+    "knn_cellring", "knn",                             # knn_join rework
+    "zonal_pairs", "zonal_stats",                      # distributed zone prep
+    "line_dedup", "selfsim",                           # broadcast hints dropped
+    "lsh_band_index_arrow", "lsh_band_index",          # arrow id-schema fix
+    "kmeans_clusters",                                 # norm rounded 9dp
+    "pip_salted_shuffle", "span_invariant",            # last checked r1
+    "minhash_lsh_fast", "simhash_neardups_fast",       # rows-only twins
+    # last checked in r2 (50-query driver cutoff left these out in r3)
+    "dwithin_zones", "beyond_zones", "tile_assign", "pip_convex",
+    "interleaved_tile_pip", "interleaved_gml_pip", "dwithin",
+    "envelope_agg", "envelope_gml_2dp", "envelope_kvp", "antipode",
+    "crs_abbrev", "srs_to_urn", "ucum_length", "temporal_during",
+    "temporal_extent", "split_interval", "temporal_relations_all",
+    "temporal_rank", "pricing_summary", "revenue_by_nation",
+    "window_running", "session_windows", "exact_dup_groups",
+    "ngram_jaccard", "token_counts", "lang_id", "quality_score",
+    "fingerprint", "cosine_topk", "gml_decode", "gml_envelope",
+    "gml_arc_decode", "min_curve_segment_length", "create_envelope_parse",
+    "beyond", "dwithin_exact", "geodesic_destination", "crs_roundtrip_utm",
+    "arc_densify", "ring_dedupe_ppm", "minhash_lsh", "embedding_neardups",
+    "multimodal_features", "convex_hull_groups", "simhash_neardups",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R4_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in _R4_FRONT},
 }

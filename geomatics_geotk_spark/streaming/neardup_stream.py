@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.dedup import (
     MINHASH_P,
@@ -182,9 +183,15 @@ def minhash_bands_arrow(
                     outh.append(_md5_60(f"{b}:{joined}"))
             yield pd.DataFrame({id_col: ids, "band": outb, "band_hash": outh})
 
-    return df.select(id_col, text_col).mapInPandas(
-        process, schema=f"{id_col} long, band int, band_hash long"
-    )
+    # id field type follows the input schema (string ids work like the
+    # Column-path twin), only band/band_hash are fixed
+    id_field = T.StructField(id_col, df.schema[id_col].dataType)
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ])
+    return df.select(id_col, text_col).mapInPandas(process, schema=out_schema)
 
 
 def corpus_band_index(

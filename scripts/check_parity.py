@@ -45,6 +45,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         return errs
     if errs:
         return errs
+    # dtype-KIND mismatch (int vs float) before normalization: the driver
+    # hashes values in their native dtype domain, so a DuckDB HUGEINT →
+    # float64 column vs Spark bigint hash-mismatches even when every value
+    # is equal (the curation_funnel r3 red row).  normalize() below would
+    # hide it — flag it here so the local gate matches the driver's.
+    for c in sorted(spark_pdf.columns):
+        ka = spark_pdf[c].dtype.kind
+        kb = oracle_pdf[c].dtype.kind
+        num = {"i", "u", "f"}
+        if ka in num and kb in num and (ka == "f") != (kb == "f"):
+            errs.append(
+                f"col {c}: dtype-kind mismatch spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (driver hash domain differs "
+                "even if values equal — CAST the oracle column)"
+            )
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     for c in s.columns:
         a, b = s[c], o[c]

@@ -131,15 +131,25 @@ class TestTextPlans:
         cols = plans.scan_read_schema(df)
         assert "text" in cols and "source" not in cols
 
-    def test_line_dedup_broadcast_dup_set(self, spark):
-        """The duplicate-line set is boilerplate-small: it must come
-        back as a BroadcastHashJoin (the corpus line stream never
-        shuffles for the marking join), leaving only the df-count
-        exchanges and the doc_id reassembly exchange."""
+    def test_line_dedup_join_strategy_is_aqe_decided(self, spark):
+        """The duplicate-line set scales with corpus boilerplate, so the
+        marking join carries NO forced broadcast hint (r3 verdict item
+        4): at test scale AQE/stats may broadcast it, at 100 TB it may
+        shuffle — both are legal plans.  What must hold: no Python in
+        the path, and no hint node pinning the strategy."""
         df = queries.q_line_dedup(spark, SF)
         plan = plans.formatted_plan(df)
-        assert plans.plan_has_broadcast(df)
-        assert "SortMergeJoin" not in plan and _no_python(plan)
+        assert _no_python(plan)
+        analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        assert "ResolvedHint" not in analyzed
+
+    def test_selfsim_join_strategy_is_aqe_decided(self, spark):
+        """Same contract for the dup-window-hash set (text.py selfsim)."""
+        df = queries.q_selfsim(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        assert "ResolvedHint" not in analyzed
 
     def test_shingle_explode_has_no_inferred_generator_filter(self, spark):
         """InferFiltersFromGenerate clones the gram-building lambda into
