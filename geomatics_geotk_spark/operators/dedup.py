@@ -257,12 +257,28 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "do
     their first ``|S| - ceil(t·|S|) + 1`` shingles — so only the prefix is
     exploded into the inverted index (shuffle volume shrinks by ~t) and
     the frequent-shingle buckets that make the naive self-join quadratic
-    mostly disappear.  The full intersection is then computed per
-    candidate pair via ``array_intersect`` on the complete sets, so the
+    mostly disappear.  Two further exact-preserving prunes run inside the
+    index join, before the pair ``distinct`` and the set rejoin:
+
+    - LENGTH filter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t (the
+      intersection is at most the smaller set, the union at least the
+      larger), so wildly different-sized sets never form a candidate.
+    - POSITIONAL filter (ppjoin proper): a shared shingle at 0-based
+      sorted positions (i, j) bounds the overlap by
+      ``min(i,j) + 1 + min(|A|-i-1, |B|-j-1)`` (common elements below s
+      plus s plus common elements above s); a true positive needs
+      overlap ≥ t/(1+t)·(|A|+|B|), and since the bound holds for EVERY
+      shared element, filtering each index hit independently keeps every
+      true pair.
+
+    Both prunes are necessary-condition filters with an epsilon slack
+    against float rounding; the full intersection is then computed per
+    surviving pair via ``array_intersect`` on the complete sets, so the
     returned row set is identical to the naive join (no approximation).
 
     Returns (id_a, id_b, jaccard).
     """
+    t = float(threshold)
     base = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col),
         F.array_sort("shingles").alias("shingles"),
@@ -272,20 +288,41 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, id_col: str = "do
         # below ~0.3 the prefix is nearly the whole set and the extra
         # distinct+rejoin shuffles cost more than they prune
         prefix_len = (
-            F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(float(threshold))) + 1
+            F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1
         ).cast("int")
         inv = base.select(
-            id_col, F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle")
+            id_col,
+            "n_sh",
+            F.posexplode(F.slice("shingles", F.lit(1), prefix_len)).alias(
+                "pos", "shingle"
+            ),
         )
     else:
-        inv = base.select(id_col, F.explode("shingles").alias("shingle"))
+        inv = base.select(
+            id_col, "n_sh", F.posexplode("shingles").alias("pos", "shingle")
+        )
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if prefix_filter:
+        eps = 1e-9
+        n_a, n_b = F.col("a.n_sh"), F.col("b.n_sh")
+        pos_a, pos_b = F.col("a.pos"), F.col("b.pos")
+        # overlap needed for J ≥ t, and the per-hit positional upper bound
+        min_overlap = F.lit(t / (1.0 + t)) * (n_a + n_b) - F.lit(eps)
+        pos_bound = (
+            F.least(pos_a, pos_b)
+            + F.lit(1)
+            + F.least(n_a - pos_a - F.lit(1), n_b - pos_b - F.lit(1))
+        )
+        cond = (
+            cond
+            & (F.least(n_a, n_b) >= F.lit(t) * F.greatest(n_a, n_b) - F.lit(eps))
+            & (pos_bound >= min_overlap)
+        )
     pairs = (
         inv.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        .join(inv.alias("b"), cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

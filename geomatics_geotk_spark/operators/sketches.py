@@ -240,3 +240,48 @@ def bloom_probe(
     return joined.groupBy(*probes.columns).agg(
         (F.sum("_hit") == F.lit(k)).alias("bloom_hit")
     )
+
+
+def bloom_filtered_join(
+    build: DataFrame,
+    probe: DataFrame,
+    key: str,
+    m: int = 1 << 16,
+    k: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Runtime Bloom-filter join pruning: an explicit, oracle-checkable
+    version of Spark's row-level runtime filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``).
+
+    The ``build`` side's join keys are sketched into one ≤``m``-bit Bloom
+    filter (a SINGLE row holding the sorted set-bit array — ≤ m ints no
+    matter how many build rows), broadcast to the ``probe`` side, and the
+    probe is filtered MAP-SIDE (``forall`` over the k bit positions)
+    before any shuffle.  Only surviving probe rows enter the real join,
+    so at 100 TB the shuffle volume of a selective join drops by the
+    filter's selectivity while the broadcast cost stays O(m) —
+    independent of both table sizes.
+
+    Exactness: a Bloom filter has no false negatives, and the actual join
+    afterwards removes the false positives, so the returned row set is
+    IDENTICAL to ``probe.join(build, key, how)`` for inner/semi joins —
+    which is exactly what the DuckDB oracle replays (the oracle needs no
+    bloom at all).
+
+    ``how`` must be ``inner`` or ``left_semi`` (pruning the probe side is
+    only sound when probe rows without a build match are dropped anyway).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_filtered_join: how must be inner or left_semi, got {how!r}")
+    bitmap = (
+        build.select(F.explode(_bloom_positions(key, m, k)).alias("bit"))
+        .agg(F.array_sort(F.collect_set("bit")).alias("_bloom_bits"))
+    )
+    pos = _bloom_positions(key, m, k)
+    pruned = (
+        probe.crossJoin(F.broadcast(bitmap))
+        .where(F.forall(pos, lambda p: F.array_contains(F.col("_bloom_bits"), p)))
+        .drop("_bloom_bits")
+    )
+    return pruned.join(build, key, how)

@@ -4428,6 +4428,114 @@ ORACLE_MIX_RESAMPLE = (
 )
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`sketches.bloom_filtered_join`):
+    the selective build side (high-balance BUILDING customers) is sketched
+    into ONE ≤2^16-bit Bloom row, broadcast, and the orders probe side is
+    filtered MAP-SIDE before the join shuffles — the explicit version of
+    Spark's runtime row-level filtering, sized O(m) regardless of table
+    cardinality.  Exactness: no false negatives + the real join removes
+    false positives, so the oracle is the PLAIN join (no bloom in SQL)."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500.0))
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    j = sketches.bloom_filtered_join(cust, orders, "c_custkey", m=1 << 16, k=4)
+    return j.select("o_orderkey", "c_custkey", "o_totalprice", "c_acctbal")
+
+
+ORACLE_BLOOM_JOIN = (
+    "SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_acctbal "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500.0"
+)
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over lineitem: per (returnflag, linestatus),
+    per returnflag subtotal, and grand total in ONE pass — Spark expands
+    the grouping sets before the exchange, so the three granularities
+    share a single shuffle (vs three separate groupBys = three shuffles
+    at 100 TB).  grouping_id disambiguates NULL-as-subtotal from a NULL
+    key value; DECIMAL sums keep the oracle bit-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "sum_price", "n_rows")
+    )
+
+
+ORACLE_PRICING_ROLLUP = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+    "count(*) AS n_rows "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped three-table join: unshipped-revenue top 10.
+    customer (filtered, broadcast) ⨝ orders (date-filtered) ⨝ lineitem
+    (date-filtered) — both filters reach the parquet scans (predicate
+    pushdown), the dim join broadcasts, and only the orders⨝lineitem
+    equi-join shuffles on l_orderkey.  DECIMAL revenue sum ⇒ the top-10
+    cutoff is bit-stable across engines; l_orderkey tiebreak makes the
+    LIMIT deterministic."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey").limit(10)
+
+
+ORACLE_SHIPPING_PRIORITY = (
+    "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) "
+    "AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -4437,6 +4545,9 @@ ORACLE_MIX_RESAMPLE = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "bloom_join": q_bloom_join,
+    "pricing_rollup": q_pricing_rollup,
+    "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
@@ -4656,6 +4767,9 @@ ORACLES = {
     "span_invariant": ORACLE_SPAN_INVARIANT,
     "minhash_fast_planted": ORACLE_MINHASH_FAST_PLANTED,
     "simhash_fast_planted": ORACLE_SIMHASH_FAST_PLANTED,
+    "bloom_join": ORACLE_BLOOM_JOIN,
+    "pricing_rollup": ORACLE_PRICING_ROLLUP,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
 
 # Driver-rotation ordering (r3 verdict item 8): the driver's correctness
@@ -4665,6 +4779,7 @@ ORACLES = {
 # in (a)), then (d) everything last checked in r2, oldest coverage first;
 # the 50 r3-green-and-unchanged queries close the list.
 _R4_FRONT = [
+    "bloom_join", "pricing_rollup", "shipping_priority",  # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
     "knn_cellring", "knn",                             # knn_join rework

@@ -272,6 +272,24 @@ class TestDedupText:
         assert (0, 1) in got and (0, 2) in got and (1, 2) in got
         assert not any(3 in p or 4 in p for p in got)
 
+    def test_ngram_jaccard_prefix_filter_exact(self, spark):
+        """The ppjoin prefix + length + positional prunes are necessary-
+        condition filters only: filtered and unfiltered paths must return
+        the IDENTICAL row set, including a pair sitting exactly on the
+        length-ratio boundary (min/max == t with J == t)."""
+        rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 3)) +
+                 (" extra tail tokens here" if i % 3 == 0 else ""))
+                for i in range(40)]
+        # planted boundary pair: 4 vs 2 shingles, inter=2 -> J = 0.5 = t
+        rows += [(100, "a1 a2 a3 a4 a5 a6"), (101, "a1 a2 a3 a4")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        on = dedup.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=True)
+        off = dedup.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=False)
+        got_on = sorted(map(tuple, on.collect()))
+        got_off = sorted(map(tuple, off.collect()))
+        assert got_on == got_off
+        assert (100, 101, 0.5) in [(a, b, round(j, 9)) for a, b, j in got_on]
+
     def test_minhash_lsh_candidates(self, corpus):
         pairs = dedup.minhash_lsh_pairs(corpus, n_hashes=16, bands=8)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

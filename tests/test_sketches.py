@@ -111,3 +111,60 @@ def test_bloom_bits_bounded(spark):
 def test_hll_rejects_non_power_of_two():
     with pytest.raises(ValueError):
         sketches.hll_registers(None, [], "x", m=100)
+
+
+class TestBloomFilteredJoin:
+    """bloom_filtered_join must return EXACTLY the plain join's rows
+    (no false negatives by Bloom construction; false positives removed
+    by the real join), with the probe-side prefilter map-side after one
+    single-row broadcast."""
+
+    def _tables(self, spark):
+        build = (
+            spark.range(200)
+            .where(F.col("id") % 7 == 0)  # selective build side
+            .select(F.col("id").alias("k"), (F.col("id") * 10).alias("payload"))
+        )
+        probe = (
+            spark.range(5000)
+            .repartition(8)
+            .select((F.col("id") % 200).alias("k"), F.col("id").alias("rowid"))
+        )
+        return build, probe
+
+    def test_row_set_equals_plain_join(self, spark):
+        build, probe = self._tables(spark)
+        got = sketches.bloom_filtered_join(build, probe, "k", m=1 << 12, k=3)
+        want = probe.join(build, "k", "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_tiny_filter_still_exact(self, spark):
+        # m small enough that false positives are common: result must
+        # STILL equal the plain join (the join removes them).
+        build, probe = self._tables(spark)
+        got = sketches.bloom_filtered_join(build, probe, "k", m=64, k=2)
+        want = probe.join(build, "k", "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_left_semi(self, spark):
+        build, probe = self._tables(spark)
+        got = sketches.bloom_filtered_join(build, probe, "k", how="left_semi")
+        want = probe.join(build, "k", "left_semi")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_empty_build_side(self, spark):
+        build, probe = self._tables(spark)
+        empty = build.where(F.lit(False))
+        assert sketches.bloom_filtered_join(empty, probe, "k").count() == 0
+
+    def test_rejects_outer_joins(self, spark):
+        build, probe = self._tables(spark)
+        with pytest.raises(ValueError):
+            sketches.bloom_filtered_join(build, probe, "k", how="left")
+
+    def test_prefilter_is_broadcast_single_row(self, spark):
+        # The bitmap side must reach the probe as a broadcast (one row),
+        # never as a shuffle of the build table.
+        build, probe = self._tables(spark)
+        plan = sketches.bloom_filtered_join(build, probe, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
