@@ -593,3 +593,80 @@ def heavy_hitter_shingles(
         .where(F.col("df") >= F.col("_n_docs") * F.lit(rel_df))
         .drop("_n_docs")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: the top-``k`` documents for a bag-of-words query —
+    the lexical-search primitive of a training-data curation stack
+    (eval-set mining, targeted subset extraction, hard-negative pools).
+
+    score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1-b+b·|D|/avgdl))
+    with the standard Robertson/Sparck-Jones idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Shuffle profile at 100 TB: the token explode is filtered to the query
+    terms MAP-SIDE (an `isin` over a literal list — Catalyst folds it into
+    the scan stage), so the tf exchange carries only query-matching
+    tokens, a vanishing fraction of the corpus.  Document length and the
+    (N, avgdl) scalars come from one metadata-cheap aggregation crossed
+    in as a single broadcast row; df per term is an aggregate over the
+    already-tiny tf table.  Nothing corpus-sized is ever shuffled except
+    the one dl exchange, which is a plain map-side-combined count.
+
+    Scores are rounded to 9 dp before ranking (JVM log vs other engines'
+    ln differ by 1 ulp on some inputs); ties break on ``id_col`` so the
+    LIMIT is deterministic.  Returns (doc_id, score_r, n_terms_hit).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qt = toks.where(F.col("token").isin([str(t) for t in query_terms]))
+    tf = qt.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("term_score"), 9).alias("score_r"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    # distributed top-k (TakeOrderedAndProject — per-partition heaps, no
+    # single-task global window over every matching doc), then rank the k
+    # survivors with a window that only ever sees k rows
+    top = per_doc.orderBy(F.desc("score_r"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_r"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "score_r", "n_terms_hit"
+    )

@@ -4536,6 +4536,45 @@ ORACLE_SHIPPING_PRIORITY = (
 )
 
 
+_BM25_TERMS = ["spark", "join", "window", "scan"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (`text.bm25_topk`): top-10 docs for a
+    4-term query.  The token explode is filtered to the query terms
+    map-side, so only query-matching tokens ever shuffle; (N, avgdl)
+    cross in as one broadcast row; top-k is TakeOrderedAndProject, not a
+    global window.  Scores rounded 9 dp (JVM log vs DuckDB ln is 1-ulp
+    unstable), doc_id tiebreak makes the LIMIT deterministic."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+ORACLE_BM25_TOPK = (
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, token FROM t WHERE token <> ''), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok "
+    "WHERE token IN ('spark', 'join', 'window', 'scan') GROUP BY 1, 2), "
+    "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+    "sc AS (SELECT tf.doc_id, "
+    "ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+    "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) "
+    "AS term_score "
+    "FROM tf JOIN df ON tf.token = df.token "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats), "
+    "agg AS (SELECT doc_id, round(sum(term_score), 9) AS score_r, "
+    "count(*) AS n_terms_hit FROM sc GROUP BY doc_id), "
+    "r AS (SELECT doc_id, score_r, n_terms_hit, "
+    "row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank FROM agg) "
+    "SELECT doc_id, CAST(rank AS INT) AS rank, score_r, n_terms_hit "
+    "FROM r WHERE rank <= 10"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -4546,6 +4585,7 @@ ORACLE_SHIPPING_PRIORITY = (
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
     "bloom_join": q_bloom_join,
+    "bm25_topk": q_bm25_topk,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
@@ -4768,6 +4808,7 @@ ORACLES = {
     "minhash_fast_planted": ORACLE_MINHASH_FAST_PLANTED,
     "simhash_fast_planted": ORACLE_SIMHASH_FAST_PLANTED,
     "bloom_join": ORACLE_BLOOM_JOIN,
+    "bm25_topk": ORACLE_BM25_TOPK,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
@@ -4779,7 +4820,7 @@ ORACLES = {
 # in (a)), then (d) everything last checked in r2, oldest coverage first;
 # the 50 r3-green-and-unchanged queries close the list.
 _R4_FRONT = [
-    "bloom_join", "pricing_rollup", "shipping_priority",  # new this round
+    "bloom_join", "bm25_topk", "pricing_rollup", "shipping_priority",  # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
     "knn_cellring", "knn",                             # knn_join rework

@@ -333,3 +333,32 @@ def test_null_text_docs_still_reported(spark):
     # gram on BOTH engines (the established oracle-mirrored semantic);
     # the restore join guards the contract under either size(NULL) mode
     assert rep[2]["n_shingles"] == 1 and rep[2]["contamination"] == 0.0
+
+
+class TestBM25:
+    def test_ranking_semantics(self, spark):
+        """A doc hitting a RARE query term must outrank a doc hitting a
+        corpus-saturating one (idf), and more hits beat fewer (tf)."""
+        filler = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+        rows = filler + [
+            (100, "needle alpha beta gamma delta epsilon"),   # rare term once
+            (101, "alpha alpha alpha beta gamma delta"),      # common term thrice
+            (102, "needle needle alpha beta gamma delta"),    # rare term twice
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = text.bm25_topk(df, ["needle", "alpha"], k=3).collect()
+        order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert order[0] == 102  # two rare-term hits
+        assert order[1] == 100  # one rare-term hit
+        assert got[0]["n_terms_hit"] == 2
+
+    def test_no_match_returns_empty(self, spark):
+        df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        assert text.bm25_topk(df, ["zzz"], k=5).count() == 0
+
+    def test_topk_plan_is_take_ordered(self, spark):
+        """The global top-k must be TakeOrderedAndProject (distributed
+        per-partition heaps), not a single-partition window sort."""
+        df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        plan = text.bm25_topk(df, ["alpha"], k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
