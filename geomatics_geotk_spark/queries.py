@@ -4536,6 +4536,50 @@ ORACLE_SHIPPING_PRIORITY = (
 )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile occupancy pyramid (res 12 / 10 / 8) in ONE
+    shuffle: the res-12 cell is computed once (pure Column bit math,
+    fused into the scan), coarser cells derive MAP-SIDE by Morton shift
+    (parent = res'<<58 | morton >> 2·Δ — floor-division composition makes
+    this bit-identical to encoding directly at the coarser res, which is
+    exactly what the oracle does), then one explode×3 → one partial-
+    aggregated groupBy exchange.  The naive form — three separate
+    groupBys — scans and shuffles the 10^12-doc table three times."""
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    cell12 = cell_id_col(F.col("lon"), F.col("lat"), RES)
+    morton = cell12.bitwiseAND(F.lit((1 << RES_SHIFT) - 1))
+    levels = F.array(*[
+        F.struct(
+            F.lit(r).cast("long").alias("res"),
+            F.lit(r << RES_SHIFT).bitwiseOR(
+                F.shiftright(morton, 2 * (RES - r))
+            ).alias("cell_id"),
+        )
+        for r in (RES, RES - 2, RES - 4)
+    ])
+    return (
+        pts.select(F.explode(levels).alias("l"))
+        .groupBy(F.col("l.res").alias("res"), F.col("l.cell_id").alias("cell_id"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _oracle_tile_pyramid() -> str:
+    parts = []
+    for r in (RES, RES - 2, RES - 4):
+        parts.append(
+            f"SELECT CAST({r} AS BIGINT) AS res, cell_id, count(*) AS n_docs "
+            f"FROM ({_cell_id_sql('lon', 'lat', r, 'doc_id')}) GROUP BY cell_id"
+        )
+    return (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_TILE_PYRAMID = _oracle_tile_pyramid()
+
+
 _BM25_TERMS = ["spark", "join", "window", "scan"]
 
 
@@ -4586,6 +4630,7 @@ ORACLE_BM25_TOPK = (
 QUERIES = {
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
+    "tile_pyramid": q_tile_pyramid,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
@@ -4809,6 +4854,7 @@ ORACLES = {
     "simhash_fast_planted": ORACLE_SIMHASH_FAST_PLANTED,
     "bloom_join": ORACLE_BLOOM_JOIN,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "tile_pyramid": ORACLE_TILE_PYRAMID,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
@@ -4820,7 +4866,7 @@ ORACLES = {
 # in (a)), then (d) everything last checked in r2, oldest coverage first;
 # the 50 r3-green-and-unchanged queries close the list.
 _R4_FRONT = [
-    "bloom_join", "bm25_topk", "pricing_rollup", "shipping_priority",  # new this round
+    "bloom_join", "bm25_topk", "tile_pyramid", "pricing_rollup", "shipping_priority",  # new
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
     "knn_cellring", "knn",                             # knn_join rework

@@ -65,3 +65,18 @@ class TestCellIndex:
         x0, y0, x1, y1 = cells.cell_bounds(c)
         assert x0 - 1e-9 <= lon <= x1 + 1e-9
         assert y0 - 1e-9 <= lat <= y1 + 1e-9
+
+
+def test_pyramid_parent_by_morton_shift_matches_direct_encode():
+    """Deriving a coarser cell by shifting the fine cell's Morton code
+    (tile_pyramid's map-side derivation) must be bit-identical to
+    encoding the point directly at the coarser resolution."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-90, 90, 5000)
+    fine = cells.cell_of(lon, lat, 12)
+    morton = fine.astype(np.uint64) & ((np.uint64(1) << np.uint64(58)) - np.uint64(1))
+    for r in (10, 8):
+        derived = ((np.uint64(r) << np.uint64(58)) | (morton >> np.uint64(2 * (12 - r)))).astype(np.int64)
+        direct = cells.cell_of(lon, lat, r)
+        assert np.array_equal(derived, direct)
