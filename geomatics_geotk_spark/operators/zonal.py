@@ -25,13 +25,24 @@ from .spatial_join import prepare_zones_distributed
 DEFAULT_RES = 10
 
 
-def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
+               strategy: str = "broadcast") -> DataFrame:
     """(tile columns…, zone_id) pairs where tile envelope ∩ zone ≠ ∅.
 
     Zone prep is ZONE-PARALLEL (prepare_zones_distributed) — the driver
     never collects a ring, so 10^6-zone inputs classify on executors.
+
+    ``strategy='broadcast'`` (default) pins the zone-cell side as a
+    broadcast — right when zones fit an executor.  ``'shuffle'`` drops
+    the hint so both sides exchange on cell_id (AQE picks the physical
+    join and handles hot-cell skew) — the plan for zone sets too large
+    to broadcast.  Row set is identical either way.
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"zonal_join: strategy must be broadcast or shuffle, got {strategy!r}")
     zone_cells = prepare_zones_distributed(zones, res)
+    if strategy == "broadcast":
+        zone_cells = F.broadcast(zone_cells)
 
     tile_cells = tiles.withColumn(
         "cell_id",
@@ -40,7 +51,7 @@ def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> Da
         )),
     )
     cand = (
-        tile_cells.join(F.broadcast(zone_cells), "cell_id", "inner")
+        tile_cells.join(zone_cells, "cell_id", "inner")
         .drop("cell_id")
         .dropDuplicates(["tile_id", "zone_id"])
     )
@@ -55,11 +66,11 @@ def zonal_join(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES) -> Da
 
 
 def zonal_stats(tiles: DataFrame, zones: DataFrame, res: int = DEFAULT_RES,
-                value_col: str = "value") -> DataFrame:
+                value_col: str = "value", strategy: str = "broadcast") -> DataFrame:
     """Per-zone aggregate of intersecting tile values (count/sum/avg/min/max) —
     hash agg with map-side partials, the Spark lifting of the reference's
     sequential envelope fold (Extents.java:73-120)."""
-    pairs = zonal_join(tiles, zones, res)
+    pairs = zonal_join(tiles, zones, res, strategy=strategy)
     return pairs.groupBy("zone_id").agg(
         F.count("*").alias("n_tiles"),
         F.sum(value_col).alias("sum_value"),

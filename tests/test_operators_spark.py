@@ -184,6 +184,19 @@ class TestZonal:
                     truth.add((t["tile_id"], z))
         assert got == truth
 
+    def test_zonal_shuffle_strategy_same_rows(self, spark):
+        """strategy='shuffle' (no broadcast hint — the 10^6-zone plan)
+        must return the identical pair set."""
+        tiles = raster_tiles_table(spark, grid=8)
+        zones = zones_table(spark, grid=2)
+        b = zonal.zonal_join(tiles, zones, res=8, strategy="broadcast")
+        s = zonal.zonal_join(tiles, zones, res=8, strategy="shuffle")
+        key = lambda df: sorted((r["tile_id"], r["zone_id"]) for r in df.select("tile_id", "zone_id").collect())  # noqa: E731
+        assert key(b) == key(s)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            zonal.zonal_join(tiles, zones, res=8, strategy="broadcst")
+
     def test_zonal_stats_schema(self, spark):
         tiles = raster_tiles_table(spark, grid=4)
         zones = zones_table(spark, grid=2)
