@@ -84,6 +84,14 @@ BENCH_QUERIES = [
     # substring self-similarity + interleaved span compaction
     "selfsim",
     "span_compact",
+    # round-4 additions (suite extension, same position-preserving rule):
+    # bloom-pruned join, BM25 retrieval, one-shuffle tile pyramid,
+    # grouping-sets rollup, three-table top-k join
+    "bloom_join",
+    "bm25_topk",
+    "tile_pyramid",
+    "pricing_rollup",
+    "shipping_priority",
 ]
 
 
