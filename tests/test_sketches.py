@@ -162,9 +162,16 @@ class TestBloomFilteredJoin:
         with pytest.raises(ValueError):
             sketches.bloom_filtered_join(build, probe, "k", how="left")
 
-    def test_prefilter_is_broadcast_single_row(self, spark):
-        # The bitmap side must reach the probe as a broadcast (one row),
-        # never as a shuffle of the build table.
+    def test_prefilter_is_literal_scan_stage_filter(self, spark):
+        # The bloom test must be embedded as literal Column math on the
+        # probe scan stage — exactly ONE join in the plan (the real one),
+        # no crossJoin/broadcast of a bitmap row, no exchange before the
+        # probe filter.
         build, probe = self._tables(spark)
         plan = sketches.bloom_filtered_join(build, probe, "k")._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # exactly ONE join (the real one) — the bloom test is a plain
+        # Filter on the probe scan stage, not a bitmap join of any kind
+        import re as _re
+        assert len(_re.findall(r"\w*Join", plan)) == 1
+        assert "Filter" in plan
