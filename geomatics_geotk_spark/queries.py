@@ -4546,8 +4546,13 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated groupBy exchange.  The naive form — three separate
     groupBys — scans and shuffles the 10^12-doc table three times."""
     pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
-    cell12 = cell_id_col(F.col("lon"), F.col("lat"), RES)
-    morton = cell12.bitwiseAND(F.lit((1 << RES_SHIFT) - 1))
+    # Materialize the fine cell as a COLUMN before deriving parents:
+    # inlining the cell expression into all three struct fields copies
+    # the whole spread-bit chain 3x (Catalyst does no CSE across struct
+    # fields) — measured 7.5 s vs 0.5 s at sf0.1.  With the projection
+    # boundary the chain evaluates once per row.
+    base = pts.select(cell_id_col(F.col("lon"), F.col("lat"), RES).alias("c12"))
+    morton = F.col("c12").bitwiseAND(F.lit((1 << RES_SHIFT) - 1))
     levels = F.array(*[
         F.struct(
             F.lit(r).cast("long").alias("res"),
@@ -4558,7 +4563,7 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in (RES, RES - 2, RES - 4)
     ])
     return (
-        pts.select(F.explode(levels).alias("l"))
+        base.select(F.explode(levels).alias("l"))
         .groupBy(F.col("l.res").alias("res"), F.col("l.cell_id").alias("cell_id"))
         .agg(F.count("*").alias("n_docs"))
     )
