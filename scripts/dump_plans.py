@@ -253,6 +253,35 @@ substring greps):
   per array element (12x on every shingle explode; see BENCH.md).
 """
 
+    sections.append((
+        "Bloom-filtered join (bloom_join)",
+        "Runtime-filter pattern: the probe side carries a plain scan-stage "
+        "Filter (md5-hash InSet bit tests — the bounded collected filter is "
+        "embedded as one SQL IN fragment, O(1) per probe), then exactly ONE "
+        "join (the real one).  No bitmap join of any kind, no "
+        "BroadcastNestedLoopJoin.",
+        _trim(plans.formatted_plan(queries.q_bloom_join(spark, SF))),
+    ))
+
+    sections.append((
+        "Tile pyramid (tile_pyramid)",
+        "Multi-resolution rollup in ONE exchange: a projection materializes "
+        "the fine cell (the spread-bit chain evaluates once per row — "
+        "inlining it into the 3 struct fields triples the codegen), parent "
+        "cells derive by Morton shift map-side, one explode feeds a single "
+        "partially-aggregated groupBy.",
+        _trim(plans.formatted_plan(queries.q_tile_pyramid(spark, SF))),
+    ))
+
+    sections.append((
+        "BM25 retrieval (bm25_topk)",
+        "Query-term isin folds into the token explode stage (only matching "
+        "tokens shuffle); (N, avgdl) cross in as one broadcast row; global "
+        "top-k is TakeOrderedAndProject (per-partition heaps), not a "
+        "single-task window.",
+        _trim(plans.formatted_plan(queries.q_bm25_topk(spark, SF))),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
