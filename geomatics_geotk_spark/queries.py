@@ -2633,6 +2633,17 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized coarse scan + exact float rerank over the same
+    planted fixture: the quantized pass runs on the 4-8x compressed
+    column, and the rerank's exact cosine makes the final rows equal the
+    brute-force top-5 (planted copies score quantized-cosine ≈ 1, so the
+    pool provably retains the truth)."""
+    corpus, queries = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk_int8(corpus, queries, k=5, pool=50)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH-bucket self-join.
 
@@ -4585,6 +4596,42 @@ def _oracle_tile_pyramid() -> str:
 ORACLE_TILE_PYRAMID = _oracle_tile_pyramid()
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders placed in 1998 that had
+    at least one line item shipped more than 60 days after the order
+    date, counted per priority.  The orders date filter pushes to the
+    scan; the semi-join shuffles on the order key with NO row
+    duplication (left_semi short-circuits on first match — a fat order
+    with 7 late lines contributes one row, not 7, so the downstream agg
+    never sees join fan-out)."""
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+ORACLE_ORDER_PRIORITY_CHECK = (
+    "SELECT o_orderpriority, count(*) AS n_late_orders FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1998-01-01' "
+    "AND o_orderdate < TIMESTAMP '1999-01-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window", "scan"]
 
 
@@ -4636,6 +4683,8 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
+    "order_priority_check": q_order_priority_check,
+    "ann_topk_int8": q_ann_topk_int8,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
@@ -4860,6 +4909,8 @@ ORACLES = {
     "bloom_join": ORACLE_BLOOM_JOIN,
     "bm25_topk": ORACLE_BM25_TOPK,
     "tile_pyramid": ORACLE_TILE_PYRAMID,
+    "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
+    "ann_topk_int8": _ANN_PLANTED_SQL,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
@@ -4871,7 +4922,9 @@ ORACLES = {
 # in (a)), then (d) everything last checked in r2, oldest coverage first;
 # the 50 r3-green-and-unchanged queries close the list.
 _R4_FRONT = [
-    "bloom_join", "bm25_topk", "tile_pyramid", "pricing_rollup", "shipping_priority",  # new
+    "bloom_join", "bm25_topk", "tile_pyramid", "order_priority_check",
+    "ann_topk_int8",
+    "pricing_rollup", "shipping_priority",              # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
     "knn_cellring", "knn",                             # knn_join rework

@@ -347,6 +347,37 @@ class TestSimilarity:
             gotlist = [vid for _, vid in sorted(got[ep['vec_id'][q_idx]])]
             assert gotlist == expect
 
+    def test_quantize_int8_bounds(self, spark):
+        """|q_i| <= 127 and dequantized error <= 0.5/scale per lane."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+        q = similarity.quantize_int8(emb).select("embedding", "qvec").collect()
+        for r in q:
+            v = np.array(r["embedding"], dtype=np.float64)
+            qv = np.array(r["qvec"], dtype=np.float64)
+            assert np.abs(qv).max() <= 127
+            scale = 127.0 / np.abs(v).max()
+            assert np.abs(qv - v * scale).max() <= 0.5 + 1e-9
+
+    def test_ann_int8_full_pool_equals_brute(self, spark):
+        """With pool >= corpus size the int8 path MUST equal brute-force
+        exactly (the rerank is the exact cosine over all rows)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+        queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+        a = similarity.ann_topk_int8(emb, queries, k=4, pool=200)
+        b = similarity.brute_topk(emb, queries, k=4)
+        key = lambda df: sorted((r["q_id"], r["rank"], r["vec_id"]) for r in df.collect())  # noqa: E731
+        assert key(a) == key(b)
+
+    def test_ann_int8_small_pool_recall(self, spark):
+        """Even with a small pool the quantized coarse pass keeps recall
+        high on weak random neighbors (planted fixtures make it exact)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300).cache()
+        queries = emb.limit(4).select(F.col("vec_id").alias("q_id"), "embedding")
+        a = {(r["q_id"], r["vec_id"]) for r in similarity.ann_topk_int8(emb, queries, k=4, pool=30).collect()}
+        b = {(r["q_id"], r["vec_id"]) for r in similarity.brute_topk(emb, queries, k=4).collect()}
+        recall = len(a & b) / len(b)
+        assert recall >= 0.9, recall
+
     def test_ann_lsh_recall(self, spark):
         """Multi-table LSH recall vs brute force — ≥0.9 on the driver
         embeddings (weak-cosine neighbors, the hard regime)."""
