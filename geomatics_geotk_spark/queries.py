@@ -4632,6 +4632,74 @@ ORACLE_ORDER_PRIORITY_CHECK = (
 )
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly N
+    orders, INCLUDING the zero-order customers (left outer join, count of
+    the non-null side).  Two hash aggs back to back — the second one
+    (distribution) groups on the first's output, so its input is already
+    customer-cardinality, never order-cardinality."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = (
+    "SELECT c_count, count(*) AS n_custs FROM ("
+    "SELECT c_custkey, count(o_orderkey) AS c_count "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey) GROUP BY c_count"
+)
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped max-revenue supplier: per-supplier revenue over a
+    half-year shipping window, then the supplier(s) whose revenue equals
+    the global max.  The max crosses back in as ONE broadcast row (the
+    scalar-subquery pattern); DECIMAL sums make the equality filter
+    bit-stable; supplier dim joins broadcast."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-07-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).alias("_rev_dec")
+    )
+    mx = rev.agg(F.max("_rev_dec").alias("_max_dec"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev_dec") == F.col("_max_dec"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = (
+    "WITH rev AS (SELECT l_suppkey, "
+    "sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS r "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01' "
+    "AND l_shipdate < TIMESTAMP '1999-07-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue "
+    "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE r = (SELECT max(r) FROM rev)"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window", "scan"]
 
 
@@ -4685,6 +4753,8 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "order_priority_check": q_order_priority_check,
     "ann_topk_int8": q_ann_topk_int8,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
@@ -4911,6 +4981,8 @@ ORACLES = {
     "tile_pyramid": ORACLE_TILE_PYRAMID,
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
     "ann_topk_int8": _ANN_PLANTED_SQL,
+    "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
 }
@@ -4923,7 +4995,7 @@ ORACLES = {
 # the 50 r3-green-and-unchanged queries close the list.
 _R4_FRONT = [
     "bloom_join", "bm25_topk", "tile_pyramid", "order_priority_check",
-    "ann_topk_int8",
+    "ann_topk_int8", "customer_distribution", "top_supplier",
     "pricing_rollup", "shipping_priority",              # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
