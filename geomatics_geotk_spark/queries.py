@@ -4700,6 +4700,67 @@ ORACLE_TOP_SUPPLIER = (
 )
 
 
+def q_render_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-payload rendering: spans arrive OUT of order (media
+    span first in the array regardless of its offset) and the renderer
+    must restore offset order, emit text payloads verbatim and media
+    spans as '<kind>' sentinels, and join with single spaces — the
+    final doc→training-text step of a multimodal pipeline, and a direct
+    exercise of the span-sequence invariant (kind, payload, ORDER).
+
+    Scale shape: array_sort on the struct array (offset leads the
+    struct, so lexicographic struct order IS offset order) + transform +
+    array_join — a narrow per-row Column fold, ZERO shuffles.  The
+    oracle rebuilds the spans as rows and replays the render as an
+    ordered string_agg — an independent formulation."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.withColumn("_toks", F.split(F.lower("text"), r"\s+"))
+    chunk = lambda a: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at("_toks", F.lit(a + j)) for j in range(5)]
+    )
+    mk = lambda off, kind, payload: F.struct(  # noqa: E731
+        F.lit(off).cast("int").alias("off"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+    )
+    media_off = (F.col("doc_id") % 3 * 10 + 5).cast("int")
+    media = F.struct(
+        media_off.alias("off"),
+        F.lit("media").alias("kind"),
+        F.format_string("media://blob/%d", F.col("doc_id")).alias("payload"),
+    )
+    # deliberately NOT offset order: media first, then t3, t1, t2
+    spans = F.array(media, mk(30, "text", chunk(11)), mk(10, "text", chunk(1)),
+                    mk(20, "text", chunk(6)))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(spans),
+            lambda s: F.when(s["kind"] == "text", s["payload"]).otherwise(
+                F.concat(F.lit("<"), s["kind"], F.lit(">"))
+            ),
+        ),
+        " ",
+    )
+    return staged.select(
+        "doc_id",
+        rendered.alias("rendered"),
+        F.size(spans).cast("long").alias("n_spans"),
+    )
+
+
+ORACLE_RENDER_INTERLEAVED = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk "
+    "FROM documents), "
+    "u AS ("
+    "SELECT doc_id, (doc_id % 3 * 10 + 5) AS off, '<media>' AS piece FROM toks "
+    "UNION ALL SELECT doc_id, 10, coalesce(array_to_string(tk[1:5], ' '), '') FROM toks "
+    "UNION ALL SELECT doc_id, 20, coalesce(array_to_string(tk[6:10], ' '), '') FROM toks "
+    "UNION ALL SELECT doc_id, 30, coalesce(array_to_string(tk[11:15], ' '), '') FROM toks) "
+    "SELECT doc_id, string_agg(piece, ' ' ORDER BY off) AS rendered, "
+    "CAST(4 AS BIGINT) AS n_spans FROM u GROUP BY doc_id"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window", "scan"]
 
 
@@ -4754,6 +4815,7 @@ QUERIES = {
     "order_priority_check": q_order_priority_check,
     "ann_topk_int8": q_ann_topk_int8,
     "customer_distribution": q_customer_distribution,
+    "render_interleaved": q_render_interleaved,
     "top_supplier": q_top_supplier,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
@@ -4982,6 +5044,7 @@ ORACLES = {
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
     "ann_topk_int8": _ANN_PLANTED_SQL,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "render_interleaved": ORACLE_RENDER_INTERLEAVED,
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
@@ -4996,6 +5059,7 @@ ORACLES = {
 _R4_FRONT = [
     "bloom_join", "bm25_topk", "tile_pyramid", "order_priority_check",
     "ann_topk_int8", "customer_distribution", "top_supplier",
+    "render_interleaved",
     "pricing_rollup", "shipping_priority",              # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
