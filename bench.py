@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "tile_pyramid",
     "pricing_rollup",
     "shipping_priority",
+    "order_priority_check",
+    "ann_topk_int8",
+    "customer_distribution",
+    "top_supplier",
+    "render_interleaved",
 ]
 
 
