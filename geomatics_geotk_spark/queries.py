@@ -5060,6 +5060,7 @@ _R4_FRONT = [
     "bloom_join", "bm25_topk", "tile_pyramid", "order_priority_check",
     "ann_topk_int8", "customer_distribution", "top_supplier",
     "render_interleaved",
+    "ngram_jaccard",                                    # r4 ppjoin prunes
     "pricing_rollup", "shipping_priority",              # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)
     "curation_funnel",                                 # r3 red → oracle CAST fix
@@ -5078,7 +5079,7 @@ _R4_FRONT = [
     "temporal_extent", "split_interval", "temporal_relations_all",
     "temporal_rank", "pricing_summary", "revenue_by_nation",
     "window_running", "session_windows", "exact_dup_groups",
-    "ngram_jaccard", "token_counts", "lang_id", "quality_score",
+    "token_counts", "lang_id", "quality_score",
     "fingerprint", "cosine_topk", "gml_decode", "gml_envelope",
     "gml_arc_decode", "min_curve_segment_length", "create_envelope_parse",
     "beyond", "dwithin_exact", "geodesic_destination", "crs_roundtrip_utm",
