@@ -4761,6 +4761,49 @@ ORACLE_RENDER_INTERLEAVED = (
 )
 
 
+def q_discount_revenue_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate join: discounted revenue
+    for three (brand, size-range, quantity-range) arms.  The part-side
+    arms (brand + size) fold into the dim scan filter; the lineitem arm
+    predicates apply post-join because each references BOTH tables —
+    Catalyst still pushes the disjunction's part-only simplification
+    down to the part scan, and the dim side broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smin, smax, qmin, qmax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(smin, smax)
+        & F.col("l_quantity").between(qmin, qmax)
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).where(
+        arm("Brand#1", 1, 10, 1, 20)
+        | arm("Brand#7", 5, 20, 10, 35)
+        | arm("Brand#13", 10, 40, 20, 50)
+    )
+    return j.agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_DISCOUNT_REVENUE_BRANDS = (
+    "SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) "
+    "AS DOUBLE) AS revenue, count(*) AS n_lines "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+    "AND l_quantity BETWEEN 1 AND 20) "
+    "OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 20 "
+    "AND l_quantity BETWEEN 10 AND 35) "
+    "OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 40 "
+    "AND l_quantity BETWEEN 20 AND 50)"
+)
+
+
 _BM25_TERMS = ["spark", "join", "window", "scan"]
 
 
@@ -4816,6 +4859,7 @@ QUERIES = {
     "ann_topk_int8": q_ann_topk_int8,
     "customer_distribution": q_customer_distribution,
     "render_interleaved": q_render_interleaved,
+    "discount_revenue_brands": q_discount_revenue_brands,
     "top_supplier": q_top_supplier,
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
@@ -5045,6 +5089,7 @@ ORACLES = {
     "ann_topk_int8": _ANN_PLANTED_SQL,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "render_interleaved": ORACLE_RENDER_INTERLEAVED,
+    "discount_revenue_brands": ORACLE_DISCOUNT_REVENUE_BRANDS,
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
@@ -5059,7 +5104,7 @@ ORACLES = {
 _R4_FRONT = [
     "bloom_join", "bm25_topk", "tile_pyramid", "order_priority_check",
     "ann_topk_int8", "customer_distribution", "top_supplier",
-    "render_interleaved",
+    "render_interleaved", "discount_revenue_brands",
     "ngram_jaccard",                                    # r4 ppjoin prunes
     "pricing_rollup", "shipping_priority",              # new this round
     "minhash_fast_planted", "simhash_fast_planted",   # new (planted truth)

@@ -25,8 +25,8 @@ class TestCatalog:
         """README.md's module-map numbers are these — update both together."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert len(q) == 116
-        assert len(o) == 114
+        assert len(q) == 117
+        assert len(o) == 115
         assert set(o) <= set(q)
         rows_only = set(q) - set(o)
         assert rows_only == {"minhash_lsh_fast", "simhash_neardups_fast"}
