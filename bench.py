@@ -136,6 +136,12 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
 
     if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1":
+        # scaling mode sizes by SPARK_GRAFT_BENCH_DOCS when the caller sets
+        # it (scripts/scaling_bench.py always does); otherwise default to
+        # the SAME 8M-doc workload as the flagship-of-record below, so the
+        # two protocols measure the same job out of the box
+        if "SPARK_GRAFT_BENCH_DOCS" not in os.environ:
+            n_docs = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "8000000"))
         # scaling-evidence mode: one warm-up pass then N measured passes,
         # report the best — the sandbox VM's CPU availability swings 3-4x
         # between identical runs, so a single pass measures the noise, not

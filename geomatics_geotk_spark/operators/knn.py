@@ -73,10 +73,11 @@ def knn_join(
     # both paths project to the same schema (docs columns + poi_id/dist_m/
     # rank) so strategy='auto' can never silently change the output shape
     out_cols = [*docs.drop("cell_id").columns, "poi_id", "dist_m", "rank"]
-    # poi count is an aggregate-only job (rows stay distributed) — and is
-    # skipped entirely when the caller pins both strategy and res
+    # poi count is an aggregate-only job (rows stay distributed) — needed
+    # only to pick a strategy ('auto') or size the cell resolution for a
+    # cellring run; a pinned-brute call never uses it, so skip it there
     n_pois = None
-    if strategy == "auto" or res is None:
+    if strategy == "auto" or (strategy == "cellring" and res is None):
         n_pois = max(1, pois.count())
     geo_dist = _geo_dist_udf()
     w = Window.partitionBy(id_col).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())

@@ -296,17 +296,21 @@ def ann_topk_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     At 100 TB this composes with IVF (quantize within probed cells); the
     standalone form demonstrates the compression + rerank contract.
     """
-    cq = quantize_int8(embeddings, vec_col).select(id_col, vec_col, "qvec")
+    # per-side norms are projected BEFORE the crossJoin — constant per
+    # corpus row / per query, so the O(dim) fold runs once per row and
+    # once per query instead of three times per (row × query) pair
+    cq = quantize_int8(embeddings, vec_col).select(
+        id_col, vec_col, "qvec",
+        F.sqrt(_idot(F.col("qvec"), F.col("qvec")).cast("double")).alias("_qnorm_c"),
+    )
     qq = quantize_int8(queries, vec_col, "qq").select(
-        q_id_col, F.col(vec_col).alias("_qvec"), "qq"
+        q_id_col, F.col(vec_col).alias("_qvec"), "qq",
+        F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double")).alias("_qnorm_q"),
     )
     scored = cq.crossJoin(F.broadcast(qq)).withColumn(
         "_coarse",
         _idot(F.col("qvec"), F.col("qq")).cast("double")
-        / (
-            F.sqrt(_idot(F.col("qvec"), F.col("qvec")).cast("double"))
-            * F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double"))
-        ),
+        / (F.col("_qnorm_c") * F.col("_qnorm_q")),
     )
     wp = Window.partitionBy(q_id_col).orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
     cand = (
@@ -322,5 +326,5 @@ def ann_topk_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (
         rer.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .drop("_qvec", "qvec", "qq", "_coarse", "_crank")
+        .drop("_qvec", "qvec", "qq", "_coarse", "_crank", "_qnorm_c", "_qnorm_q")
     )

@@ -254,34 +254,29 @@ def bloom_filtered_join(
     version of Spark's row-level runtime filtering
     (``spark.sql.optimizer.runtime.bloomFilter.enabled``).
 
-    The ``build`` side's join keys are sketched into one ``m``-bit Bloom
-    filter packed as a DENSE ``array<long>`` of ``m/64`` words (a SINGLE
-    row no matter how many build rows), broadcast to the ``probe`` side,
-    and the probe is filtered MAP-SIDE before any shuffle.  The probe
-    test is O(1) per hash — ``element_at(words, pos>>6)`` is a direct
-    array index and the bit test is one AND — NOT an ``array_contains``
-    scan (which would be O(m) per probe: measured 11.9 s vs 0.9 s on the
-    sf0.1 bench for m=2^16).  Only surviving probe rows enter the real
-    join, so at 100 TB the shuffle volume of a selective join drops by
-    the filter's selectivity while the broadcast cost stays O(m) —
-    independent of both table sizes.
+    The ``build`` side's join keys are sketched into the distinct set
+    bits of an ``m``-bit Bloom filter (``bloom_bits`` — ≤ m rows by
+    construction, no matter how many build rows), COLLECTED, and
+    embedded in the probe predicate as one generated SQL ``IN`` list —
+    which Catalyst's OptimizeIn rewrites to an InSet hash-set probe,
+    O(1) per hash with the set living as one shared reference — exactly
+    like Spark's own InjectRuntimeFilter ships its bloom as a
+    scalar-subquery result.  The probe filter is then pure scan-stage
+    Column math with NO join, applied MAP-SIDE before any shuffle: at
+    100 TB the shuffle volume of a selective join drops by the filter's
+    selectivity while the filter cost stays O(m) — independent of both
+    table sizes.  The collect is bounded at O(m) — the same contract as
+    the documented hot-cell collect in the salting policy.
 
-    The filter is aggregated executor-side (distinct set bits — ≤ m
-    rows by construction), COLLECTED, and embedded in the probe
-    predicate as ``isin(set_bits)`` — which Catalyst's OptimizeIn
-    rewrites to an InSet hash-set probe, O(1) per hash with the set
-    living as one shared reference — exactly like Spark's own
-    InjectRuntimeFilter ships its bloom as a scalar-subquery result.
-    The probe filter is then pure scan-stage Column math with NO join.
     Designs that keep the filter inside the plan were measured at sf0.1
-    and rejected: a broadcast-crossJoin of the bit array materializes
-    the array into every probe row before the filter can drop it
-    (4.7 s), a packed array<long> literal explodes whole-stage codegen
-    (1024 element assignments × k copies), and an m-char string literal
-    probed with substring breaks the 64 KB constant-pool limit (32 s);
-    InSet runs at 1.4 s against the 0.8 s plain join.  The collect is
-    bounded at O(m) regardless of table sizes — the same contract as the
-    documented hot-cell collect in the salting policy.
+    and rejected: membership via ``array_contains`` on the broadcast
+    sorted-bits array is an O(m)-per-hash scan (11.9 s); a
+    broadcast-crossJoin of a packed ``array<long>`` bitmap materializes
+    the 8 KB array into every probe row before the filter can drop it
+    (4.7 s); an ``array<long>`` LITERAL explodes whole-stage codegen
+    (1024 element assignments × k copies); an m-char string literal
+    probed with substring breaks the 64 KB constant-pool limit (32 s).
+    InSet runs at 1.4 s against the 0.8 s plain join.
 
     Exactness: a Bloom filter has no false negatives, and the actual join
     afterwards removes the false positives, so the returned row set is
@@ -294,14 +289,15 @@ def bloom_filtered_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_filtered_join: how must be inner or left_semi, got {how!r}")
-    if m % 64:
-        raise ValueError(f"bloom_filtered_join: m must be a multiple of 64, got {m}")
-    bits_df = (
-        build.select(F.explode(_bloom_positions(key, m, k)).alias("bit"))
-        .distinct()
+    if m <= 0:
+        raise ValueError(f"bloom_filtered_join: m must be positive, got {m}")
+    # ≤ m rows by construction — the one bounded collect (see docstring).
+    # NULL build keys hash to NULL bits: drop them, matching the plain
+    # join's behavior (NULL never equi-joins).
+    bits = sorted(
+        int(r["bit"])
+        for r in bloom_bits(build, key, m, k).where(F.col("bit").isNotNull()).collect()
     )
-    # ≤ m rows by construction — the one bounded collect (see docstring)
-    bits = sorted(int(r["bit"]) for r in bits_df.collect())
     if not bits:
         return probe.where(F.lit(False)).join(build, key, how)
     # The IN-list is shipped as ONE generated SQL fragment: Column-side

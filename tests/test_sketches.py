@@ -157,6 +157,15 @@ class TestBloomFilteredJoin:
         empty = build.where(F.lit(False))
         assert sketches.bloom_filtered_join(empty, probe, "k").count() == 0
 
+
+    def test_null_build_key_matches_plain_join(self, spark):
+        from pyspark.sql import functions as F
+        build = spark.createDataFrame([(1, 10), (None, 99), (3, 30)], "k long, payload long")
+        probe = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("rowid"))
+        got = sketches.bloom_filtered_join(build, probe, "k")
+        want = probe.join(build, "k", "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
     def test_rejects_outer_joins(self, spark):
         build, probe = self._tables(spark)
         with pytest.raises(ValueError):

@@ -347,10 +347,11 @@ class TestBM25:
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = text.bm25_topk(df, ["needle", "alpha"], k=3).collect()
-        order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+        by_rank = sorted(got, key=lambda r: r["rank"])
+        order = [r["doc_id"] for r in by_rank]
         assert order[0] == 102  # two rare-term hits
         assert order[1] == 100  # one rare-term hit
-        assert got[0]["n_terms_hit"] == 2
+        assert by_rank[0]["n_terms_hit"] == 2
 
     def test_no_match_returns_empty(self, spark):
         df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
