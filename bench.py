@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "customer_distribution",
     "top_supplier",
     "render_interleaved",
+    # round-5 additions (suite extension, same position-preserving rule):
+    # the composed IVF+int8 retrieval plan and the multi-table near-dup
+    # join over the rotated adversarial fixture
+    "ann_topk_ivf_int8",
+    "embedding_neardups",
 ]
 
 
@@ -148,11 +153,19 @@ def main() -> None:
         # the engine (scripts/scaling_bench.py runs this at two
         # parallelism levels in separate JVMs)
         passes = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_PASSES", "5"))
+        # TWO untimed warm-ups (r4 verdict item 5): the r4 pass lists were
+        # still monotone after one, so the first timed pass was paying
+        # residual JIT/page-cache cost and "best-of" partly measured the
+        # luckiest tail; median is reported alongside max for the same
+        # reason.
+        flagship(spark, n_docs)
         flagship(spark, n_docs)
         rates = [flagship(spark, n_docs) for _ in range(passes)]
+        med = sorted(rates)[len(rates) // 2]
         print(json.dumps({
             "metric": "flagship spatial-join+tile docs/sec",
             "value": round(max(rates), 1), "unit": "docs/sec",
+            "value_median": round(med, 1),
             "all_passes": [round(r, 1) for r in rates],
             "flagship_docs": n_docs, "cpus": int(cpus),
         }))
@@ -189,9 +202,14 @@ def main() -> None:
     # engine (r3 verdict item 2).
     flagship_docs = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "8000000"))
     flagship_passes = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_PASSES", "5"))
-    flagship(spark, flagship_docs)  # warm-up (JIT + page cache)
+    # TWO untimed warm-ups + median-alongside-max (r4 verdict item 5):
+    # the r4 pass lists stayed monotone after one warm-up, so best-of
+    # partly measured the luckiest tail; the median is robust to it.
+    flagship(spark, flagship_docs)
+    flagship(spark, flagship_docs)
     flagship_rates = [flagship(spark, flagship_docs) for _ in range(flagship_passes)]
     docs_per_sec = max(flagship_rates)
+    docs_per_sec_median = sorted(flagship_rates)[len(flagship_rates) // 2]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -201,6 +219,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": round(docs_per_sec, 1),
+        "docs_per_sec_median": round(docs_per_sec_median, 1),
         "flagship_passes": [round(r, 1) for r in flagship_rates],
         "flagship_docs": flagship_docs,
         "cpus": int(cpus),

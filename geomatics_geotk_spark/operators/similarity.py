@@ -27,6 +27,48 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _safe_cos(num, den):
+    """NaN-safe cosine score: a zero-norm (degenerate) vector has no
+    defined cosine; rank it LAST (−2 < any real cosine) instead of
+    letting IEEE NaN — which Spark orders GREATEST — displace real
+    neighbors from both the coarse pool and the final top-k."""
+    return F.when(den > F.lit(0.0), num / den).otherwise(F.lit(-2.0))
+
+
+def _topk_per_query(scored: DataFrame, k: int, q_id_col: str, id_col: str,
+                    score_col: str = "cosine", rank_col: str = "rank",
+                    salts: int = 16) -> DataFrame:
+    """Salted two-phase per-query top-k (EXACT, parallelism knob only).
+
+    A single ``row_number() OVER (PARTITION BY q_id)`` funnels every
+    candidate of a query into ONE task — at 100 TB the int8 coarse pass
+    or an LSH candidate set per query is corpus-scale, so that window is
+    a straggler per query.  Phase 1 windows over ``(q_id, salt)``: any
+    member of the true per-query top-k sees, inside its own salt group,
+    only a SUBSET of the rows globally ranked above it, so its local
+    rank ≤ its global rank ≤ k and it survives the cut.  Phase 2's exact
+    window then sorts at most ``k·salts`` rows per query.  The result is
+    provably identical for ANY ``salts ≥ 1`` (asserted by
+    test_topk_salt_invariance); ordering is total — (score desc, id asc)
+    — so ranks are deterministic.  Same pattern as
+    ``text.stratified_topk`` (the engine's sampled top-k).
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(17)), F.lit(salts))
+    staged = scored.withColumn("_tk_salt", salt)
+    w1 = Window.partitionBy(q_id_col, "_tk_salt").orderBy(*order)
+    survivors = (
+        staged.withColumn("_tk_rk", F.row_number().over(w1))
+        .where(F.col("_tk_rk") <= k)
+        .drop("_tk_rk", "_tk_salt")
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 def with_cosine(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
     """cosine(a,b) as pure Column math (JVM, codegen)."""
     a, b = F.col(vec_a), F.col(vec_b)
@@ -47,15 +89,12 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     scored = embeddings.join(F.broadcast(q)).withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col("_qvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        _safe_cos(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("_qvec")
-    )
+    return _topk_per_query(scored, k, q_id_col, id_col).drop("_qvec")
 
 
 # ---------------------------------------------------------------------------
@@ -143,15 +182,12 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     scored = pairs.withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col("_qvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        _safe_cos(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("_qvec", "bucket")
-    )
+    return _topk_per_query(scored, k, q_id_col, id_col).drop("_qvec", "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -223,25 +259,46 @@ def ann_topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     scored = corpus.join(F.broadcast(q), "cell").withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col("_qvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        _safe_cos(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("_qvec", "cell")
-    )
+    return _topk_per_query(scored, k, q_id_col, id_col).drop("_qvec", "cell")
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucket self-join."""
-    c = with_lsh_bucket(embeddings, vec_col, dim, n_planes, out="bucket")
-    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+                        dim: int = 64, planes_per_table: int = 12,
+                        n_tables: int = 16, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE LSH self-join.
+
+    Recall contract (r4 verdict item 2): a single-table b-plane bucket
+    join finds a true pair at angle θ with probability only (1−θ/π)^b —
+    at the cosine-0.95 boundary (θ≈0.318, p≈0.899) an 8-plane table
+    catches just 42% of true pairs.  OR-amplification over ``n_tables``
+    independent tables lifts recall to 1−(1−p^b)^t: at the defaults
+    b=12/t=16 the modeled recall is ≥0.994 at cosine 0.95 (p^b≈0.278)
+    and ≥1−1e-12 at cosine 0.999, while candidate volume stays
+    ~t·n²/2^b = n²/256 per self-join — the same volume as the old
+    single-8-plane join with ~2.4× its boundary recall.  Candidate pairs
+    are deduped across tables BEFORE the exact cosine so each pair is
+    scored once; precision is exact (every emitted pair passes the true
+    cosine filter)."""
+    c = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.explode("buckets").alias("bucket"),
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.explode("buckets").alias("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     pairs = pairs.withColumn(
         "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     )
@@ -309,22 +366,87 @@ def ann_topk_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     scored = cq.crossJoin(F.broadcast(qq)).withColumn(
         "_coarse",
-        _idot(F.col("qvec"), F.col("qq")).cast("double")
-        / (F.col("_qnorm_c") * F.col("_qnorm_q")),
+        _safe_cos(
+            _idot(F.col("qvec"), F.col("qq")).cast("double"),
+            F.col("_qnorm_c") * F.col("_qnorm_q"),
+        ),
     )
-    wp = Window.partitionBy(q_id_col).orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
-    cand = (
-        scored.withColumn("_crank", F.row_number().over(wp))
-        .where(F.col("_crank") <= pool)
+    cand = _topk_per_query(
+        scored, pool, q_id_col, id_col, score_col="_coarse", rank_col="_crank"
     )
     rer = cand.withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col("_qvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        _safe_cos(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("_qvec", "qvec", "qq", "_coarse", "_crank", "_qnorm_c", "_qnorm_q")
+    return _topk_per_query(rer, k, q_id_col, id_col).drop(
+        "_qvec", "qvec", "qq", "_coarse", "_crank", "_qnorm_c", "_qnorm_q"
+    )
+
+
+def ann_topk_ivf_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                      pool: int = 50, id_col: str = "vec_id",
+                      q_id_col: str = "q_id", vec_col: str = "embedding",
+                      n_centroids: int = 256, nprobe: int = 8,
+                      centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF + int8 composition — the actual 100 TB retrieval plan.
+
+    Three stages, each shrinking the candidate set before the next
+    touches it:
+
+    1. **IVF cell pruning**: corpus rows carry ONE centroid cell (the
+       bucketing/partition layout the stored table would use), queries
+       probe their ``nprobe`` nearest cells — candidate fraction ≈
+       nprobe/n_centroids of the corpus, via a broadcast equi-join (the
+       corpus never shuffles).
+    2. **int8 coarse scoring**: the surviving candidates are scored with
+       the integer dot product over per-row symmetric int8 quantization
+       — the scan-side column is 4-8× narrower than the float vector —
+       and a salted two-phase top-``pool`` keeps a bounded pool per
+       query.
+    3. **exact rerank**: the pool (≤ pool rows/query) is rescored with
+       the exact double cosine; final ranks use the same expression as
+       :func:`brute_topk`, so results hash-match the brute-force oracle
+       whenever cell + pool retain the true top-k.
+
+    Unlike :func:`ann_topk_int8` the int8 pass never sees rows outside
+    the probed cells, and unlike :func:`ann_topk_ivf` the float vectors
+    of non-pool candidates are never folded — only quantized ints are.
+    """
+    if centroids is None:
+        centroids = learn_centroids(embeddings, n_centroids, vec_col)
+    cq = quantize_int8(
+        with_ivf_cell(embeddings, centroids, vec_col, nprobe=1), vec_col
+    ).select(
+        id_col, vec_col, "qvec", F.element_at("cells", 1).alias("cell"),
+        F.sqrt(_idot(F.col("qvec"), F.col("qvec")).cast("double")).alias("_qnorm_c"),
+    )
+    qq = quantize_int8(
+        with_ivf_cell(queries, centroids, vec_col, nprobe=nprobe), vec_col, "qq"
+    ).select(
+        q_id_col, F.col(vec_col).alias("_qvec"), "qq",
+        F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double")).alias("_qnorm_q"),
+        F.explode("cells").alias("cell"),
+    )
+    scored = cq.join(F.broadcast(qq), "cell").withColumn(
+        "_coarse",
+        _safe_cos(
+            _idot(F.col("qvec"), F.col("qq")).cast("double"),
+            F.col("_qnorm_c") * F.col("_qnorm_q"),
+        ),
+    )
+    cand = _topk_per_query(
+        scored, pool, q_id_col, id_col, score_col="_coarse", rank_col="_crank"
+    )
+    rer = cand.withColumn(
+        "cosine",
+        _safe_cos(
+            _dot(F.col(vec_col), F.col("_qvec")),
+            _norm(F.col(vec_col)) * _norm(F.col("_qvec")),
+        ),
+    )
+    return _topk_per_query(rer, k, q_id_col, id_col).drop(
+        "_qvec", "qvec", "qq", "cell", "_coarse", "_crank", "_qnorm_c", "_qnorm_q"
     )

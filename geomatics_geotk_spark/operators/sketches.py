@@ -308,11 +308,15 @@ def bloom_filtered_join(
     # _bloom_positions/md5_long15 exactly (concat implicit-casts the key
     # to string in both paths); the planted exactness tests and the
     # FP-heavy tiny-m test would fail loudly on any divergence.
+    # the key name is interpolated into generated SQL: backtick-quote it
+    # (escaping embedded backticks) so dotted/spaced/reserved-word names
+    # parse as one identifier, same as the Column-based build side
+    qkey = "`" + key.replace("`", "``") + "`"
     csv = ",".join(map(str, bits))
     terms = []
     for i in range(k):
         h = (
-            f"CAST(conv(substring(md5(concat('{i}:', CAST({key} AS STRING))), "
+            f"CAST(conv(substring(md5(concat('{i}:', CAST({qkey} AS STRING))), "
             f"1, 15), 16, 10) AS BIGINT)"
         )
         terms.append(f"pmod({h}, {m}) IN ({csv})")

@@ -632,7 +632,12 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    qt = toks.where(F.col("token").isin([str(t) for t in query_terms]))
+    # query_terms is treated as a SET (standard BM25 practice for short
+    # queries): a term listed twice contributes its term score ONCE —
+    # dedupe explicitly so the contract is visible rather than an
+    # accident of isin's set semantics
+    query_terms = sorted({str(t) for t in query_terms})
+    qt = toks.where(F.col("token").isin(query_terms))
     tf = qt.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (

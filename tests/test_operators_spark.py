@@ -440,3 +440,97 @@ class TestBeyond:
         }
         all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
         assert beyond_ids == all_ids - near_ids
+
+
+class TestSimilarityR5:
+    """Round-5 scale/recall contracts: salted two-phase top-k exactness
+    and the adversarial (rotated, non-direction-identical) near-dup
+    fixture."""
+
+    def test_topk_salt_invariance(self, spark):
+        """_topk_per_query is EXACT for any salts >= 1: the salt count is
+        a parallelism knob, never a semantics knob."""
+        scored = (
+            spark.range(500)
+            .select(
+                (F.col("id") % 7).alias("q_id"),
+                F.col("id").alias("vec_id"),
+                (F.sin(F.col("id").cast("double")) * 100).alias("cosine"),
+            )
+        )
+        outs = []
+        for salts in (1, 4, 16):
+            out = similarity._topk_per_query(
+                scored, 5, "q_id", "vec_id", salts=salts
+            )
+            outs.append(sorted(
+                (r["q_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+                for r in out.collect()
+            ))
+        assert outs[0] == outs[1] == outs[2]
+        assert len(outs[0]) == 35  # 7 queries x top-5
+
+    def test_ann_ivf_int8_full_probe_equals_brute(self, spark):
+        """nprobe = n_centroids + pool >= corpus: the composed path MUST
+        equal brute-force exactly (nothing is pruned)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+        queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+        cents = similarity.learn_centroids(emb, n_centroids=8)
+        a = similarity.ann_topk_ivf_int8(
+            emb, queries, k=4, pool=200, n_centroids=8, nprobe=8, centroids=cents
+        )
+        b = similarity.brute_topk(emb, queries, k=4)
+        key = lambda df: sorted((r["q_id"], r["rank"], r["vec_id"]) for r in df.collect())  # noqa: E731
+        assert key(a) == key(b)
+
+    def test_ann_ivf_int8_pruned_recall(self, spark):
+        """With real pruning (nprobe/n_centroids = 1/4 of cells, small
+        pool) the composition still beats the candidate fraction by a
+        wide margin on weak random neighbors."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        cents = similarity.learn_centroids(emb, n_centroids=32)
+        a = {(r["q_id"], r["vec_id"]) for r in similarity.ann_topk_ivf_int8(
+            emb, queries, k=5, pool=30, n_centroids=32, nprobe=8, centroids=cents
+        ).collect()}
+        e = {(r["q_id"], r["vec_id"]) for r in similarity.brute_topk(emb, queries, k=5).collect()}
+        recall = len(e & a) / len(e)
+        print(f"ann_ivf_int8 recall: {recall:.3f}")
+        assert recall >= 0.6
+
+    def test_embedding_neardups_adversarial_recall(self, spark):
+        """The rotated cos-0.98 fixture separates the designs: the old
+        single-table 8-plane bucket join provably misses planted pairs
+        (their hyperplane signs differ from the base's), while the
+        multi-table OR-amplified join finds every one."""
+        from geomatics_geotk_spark import queries as q
+
+        aug = q._neardup_fixture(spark, "/root/testdata/sf0.001").cache()
+        expected = {
+            (r["vec_id"], r["vec_id"] + 1_000_000)
+            for r in aug.where((F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 1_000_000))
+            .select("vec_id").collect()
+        }
+        assert expected
+        # multi-table OR-amplified join: complete on the planted truth
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dups(
+                aug, threshold=0.95, dim=64, planes_per_table=12, n_tables=16
+            ).collect()
+        }
+        assert expected <= got, sorted(expected - got)
+        # the pre-r5 design: ONE 8-plane table — same bucket required on
+        # all 8 signs at once, p ~ 0.59 per pair at cos 0.98
+        c = similarity.with_lsh_bucket(aug, n_planes=8, out="bucket")
+        a = c.select(F.col("vec_id").alias("id_a"), "bucket")
+        b = c.select(F.col("vec_id").alias("id_b"), "bucket")
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).collect()
+        }
+        missed = expected - single
+        print(f"single-table missed {len(missed)}/{len(expected)} planted pairs")
+        assert missed, "single-table LSH unexpectedly caught every rotated pair"

@@ -1,0 +1,56 @@
+"""Plan-hygiene asserts for the ANN family (r4 verdict item 1): every
+per-query ranking must be the salted two-phase top-k — phase 1 windows
+over (q_id, _tk_salt) so no single task ever sorts a query's full
+candidate set, phase 2 sorts at most k·salts survivors per query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from geomatics_geotk_spark import plans, queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+def _window_specs(plan: str) -> list[str]:
+    """The partitionBy argument lists of every Window node, in plan
+    order (formatted explain prints them in the node detail section)."""
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+class TestAnnPlans:
+    def _assert_two_phase(self, df, n_rankings: int):
+        """Every ranking = (salted window, exact window) pair; every
+        SALTED window's partition spec carries _tk_salt, so the biggest
+        window partition is bounded by the per-(q_id, salt) candidate
+        slice, never a query's whole candidate set.  The row_number
+        filter must also reach the window as a WindowGroupLimit, so each
+        partition keeps a k-row heap instead of a full sort."""
+        plan = plans.formatted_plan(df)
+        specs = _window_specs(plan)
+        salted = [s for s in specs if "_tk_salt" in s]
+        exact = [s for s in specs if "_tk_salt" not in s]
+        assert len(specs) == 2 * n_rankings, specs
+        assert len(salted) == n_rankings and len(exact) == n_rankings, specs
+        assert _nodes(plan, "WindowGroupLimit") >= n_rankings, plan
+
+    def test_cosine_topk_two_phase(self, spark):
+        self._assert_two_phase(queries.q_cosine_topk(spark, SF), 1)
+
+    def test_ann_topk_two_phase(self, spark):
+        self._assert_two_phase(queries.q_ann_topk(spark, SF), 1)
+
+    def test_ann_topk_ivf_two_phase(self, spark):
+        self._assert_two_phase(queries.q_ann_topk_ivf(spark, SF), 1)
+
+    def test_ann_topk_int8_two_phase(self, spark):
+        """int8 has TWO rankings: the coarse pool and the exact rerank."""
+        self._assert_two_phase(queries.q_ann_topk_int8(spark, SF), 2)
+
+    def test_ann_topk_ivf_int8_two_phase(self, spark):
+        self._assert_two_phase(queries.q_ann_topk_ivf_int8(spark, SF), 2)
