@@ -142,17 +142,42 @@ def knn_join(
     # AQE broadcasts only if runtime stats say it truly fits
     unresolved_docs = pts.join(complete_ids, id_col, "left_anti")
 
-    # exact fallback: brute-force against the broadcast poi table
-    # (the poi DataFrame itself — never collected to the driver)
+    # exact fallback: brute-force pairing of the residue with the poi
+    # table (the poi DataFrame itself — never collected to the driver).
+    # Which side broadcasts depends on poi cardinality (r4 verdict watch
+    # item): a dimension-sized poi table broadcasts as before, but at the
+    # 10^7-poi scale the disk expansion targets, the poi broadcast would
+    # press the broadcast limit — there the RESIDUE broadcasts instead
+    # (ring coverage resolves the overwhelming majority of docs, so the
+    # unresolved set is the small side by construction) and the poi table
+    # streams partition-parallel.
     all_pois = pois.select(
         F.col("poi_id"), F.col("x").alias("poi_lon"), F.col("y").alias("poi_lat")
     )
+    if n_pois is None:
+        n_pois = max(1, pois.count())
+    if n_pois > 2_000_000:
+        paired = all_pois.crossJoin(F.broadcast(unresolved_docs))
+    else:
+        paired = unresolved_docs.crossJoin(F.broadcast(all_pois))
+    scored = paired.withColumn(
+        "dist_m",
+        geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
+    )
+    # salted two-phase per-doc top-k (same exact pattern as the ANN
+    # family): each unresolved doc's candidate set is the WHOLE poi
+    # table, so a single per-doc window would sort it in one task; the
+    # phase-1 (doc, salt) cut bounds every window partition, and the
+    # result is provably identical for any salt count.
+    salt = F.pmod(F.xxhash64(F.col("poi_id").cast("string"), F.lit(17)), F.lit(32))
+    w1 = Window.partitionBy(id_col, "_salt").orderBy(
+        F.col("dist_m").asc(), F.col("poi_id").asc()
+    )
     brute = (
-        unresolved_docs.crossJoin(F.broadcast(all_pois))
-        .withColumn(
-            "dist_m",
-            geo_dist(F.col(lat_col), F.col(lon_col), F.col("poi_lat"), F.col("poi_lon")),
-        )
+        scored.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .drop("_rk1", "_salt")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

@@ -274,6 +274,42 @@ substring greps):
     ))
 
     sections.append((
+        "kNN cell-ring join (knn_cellring)",
+        "Docs join the poi table's cell-disk explode by BROADCAST on "
+        "cell_id; per-doc completeness (does the covered ring guarantee "
+        "the k-th neighbor?) derives from inline window aggregates over "
+        "the SAME partition key — the exchange is reused, no rejoin and "
+        "no doc-cardinality broadcast; only the unresolved residue "
+        "reaches the bounded brute fallback via a hint-free anti-join "
+        "(AQE picks the strategy).",
+        _trim(plans.formatted_plan(queries.q_knn_cellring(spark, SF)), 36),
+    ))
+
+    sections.append((
+        "Zonal stats (zonal_stats)",
+        "Tiles explode to covering cells (Column math) → broadcast "
+        "zone-cell equi-join → codegen envelope∩polygon refine (full "
+        "cells classified without refining) → ONE map-side-combined "
+        "hash-agg exchange for the per-zone stats.  Zone prep is "
+        "prepare_zones_distributed — the driver never collects a zone.",
+        _trim(plans.formatted_plan(queries.q_zonal_stats(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "Composed ANN retrieval (ann_topk_ivf_int8)",
+        "The 100 TB retrieval shape end to end: corpus rows carry ONE "
+        "IVF cell int (the bucketing layout of the stored table) and a "
+        "4-8x-narrower int8 qvec; probed queries broadcast-join on cell "
+        "(the corpus never shuffles), the int8 coarse score thins "
+        "candidates, and BOTH rankings are the salted two-phase top-k — "
+        "phase-1 windows partition on (q_id, _tk_salt) with "
+        "WindowGroupLimit, so no task ever sorts a query's whole "
+        "candidate set (tests/test_plans_similarity.py asserts every "
+        "ANN-family plan).",
+        _trim(plans.formatted_plan(queries.q_ann_topk_ivf_int8(spark, SF)), 40),
+    ))
+
+    sections.append((
         "BM25 retrieval (bm25_topk)",
         "Query-term isin folds into the token explode stage (only matching "
         "tokens shuffle); (N, avgdl) cross in as one broadcast row; global "

@@ -38,7 +38,8 @@ def run_level(cpus: int, n_docs: int) -> float:
         env=env, capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return float(json.loads(line)["value"])
+    d = json.loads(line)
+    return float(d["value"]), float(d.get("value_median", d["value"]))
 
 
 def main() -> None:
@@ -47,13 +48,22 @@ def main() -> None:
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     rates: dict[int, list[float]] = {lo: [], hi: []}
+    medians: dict[int, list[float]] = {lo: [], hi: []}
     for r in range(rounds):
         for cpus in (lo, hi):
-            rate = run_level(cpus, n_docs)
+            rate, med = run_level(cpus, n_docs)
             rates[cpus].append(rate)
-            print(f"round {r} local[{cpus}]: {rate:,.0f} docs/sec", file=sys.stderr)
+            medians[cpus].append(med)
+            print(f"round {r} local[{cpus}]: {rate:,.0f} docs/sec "
+                  f"(median {med:,.0f})", file=sys.stderr)
     best8, best32 = max(rates[lo]), max(rates[hi])
     eff = (best32 / best8) / 4.0
+    # median-of-medians companion estimator (r4 verdict item 5): robust to
+    # best-of's lucky-tail bias; the official criterion stays best-of
+    # (documented above), the median is reported alongside it.
+    medn = sorted(medians[lo])[len(medians[lo]) // 2]
+    med4 = sorted(medians[hi])[len(medians[hi]) // 2]
+    eff_med = (med4 / medn) / 4.0
     result = {
         "metric": f"flagship scaling efficiency local[{lo}] -> local[{hi}]",
         "docs": n_docs,
@@ -65,6 +75,9 @@ def main() -> None:
         "speedup": round(best32 / best8, 3),
         "efficiency": round(eff, 3),
         "pass_ge_0p8": eff >= 0.8,
+        "median_n": round(medn, 1),
+        "median_4n": round(med4, 1),
+        "efficiency_median": round(eff_med, 3),
     }
     print(json.dumps(result))
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
@@ -82,7 +95,9 @@ def main() -> None:
             f"| local[{hi}] (4N) | {best32:,.0f} | {result['all_4n']} |\n\n"
             f"speedup {result['speedup']}x, **scaling efficiency "
             f"{result['efficiency']}** (criterion ≥ 0.8: "
-            f"{'PASS' if result['pass_ge_0p8'] else 'FAIL'})\n"
+            f"{'PASS' if result['pass_ge_0p8'] else 'FAIL'}); "
+            f"median-of-medians companion: {medn:,.0f} → {med4:,.0f} "
+            f"docs/sec, efficiency {result['efficiency_median']}\n"
         )
 
 

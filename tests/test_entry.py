@@ -25,11 +25,9 @@ class TestCatalog:
         """README.md's module-map numbers are these — update both together."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert len(q) == 117
-        assert len(o) == 115
-        assert set(o) <= set(q)
-        rows_only = set(q) - set(o)
-        assert rows_only == {"minhash_lsh_fast", "simhash_neardups_fast"}
+        assert len(q) == 118
+        assert len(o) == 118
+        assert set(o) == set(q)  # r5: every entry oracle-checkable, no rows-only twins
 
     def test_every_query_callable_and_named(self):
         for name, fn in entrymod.queries().items():
