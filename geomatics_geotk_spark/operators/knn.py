@@ -53,6 +53,7 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     strategy: str = "auto",
+    fallback_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """k nearest pois per doc: (doc columns…, poi_id, dist_m, rank).
 
@@ -156,7 +157,7 @@ def knn_join(
     )
     if n_pois is None:
         n_pois = max(1, pois.count())
-    if n_pois > 2_000_000:
+    if n_pois > fallback_broadcast_limit:
         paired = all_pois.crossJoin(F.broadcast(unresolved_docs))
     else:
         paired = unresolved_docs.crossJoin(F.broadcast(all_pois))

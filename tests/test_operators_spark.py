@@ -167,6 +167,21 @@ class TestDWithinKnn:
             gotlist = [pid for _, pid in sorted(got[row["doc_id"]])]
             assert gotlist == expect, row["doc_id"]
 
+    def test_knn_fallback_side_flip_identical(self, spark, decoded, pois):
+        """r5: past fallback_broadcast_limit pois the exact fallback
+        broadcasts the unresolved-doc RESIDUE and streams the poi table;
+        the row set must be identical to the poi-broadcast path (limit=0
+        forces the flipped side on the same data)."""
+        sub = decoded.limit(150)
+        key = lambda df: sorted(  # noqa: E731
+            (r["doc_id"], r["rank"], r["poi_id"])
+            for r in df.select("doc_id", "rank", "poi_id").collect()
+        )
+        a = knn.knn_join(sub, pois, k=3, strategy="cellring")
+        b = knn.knn_join(sub, pois, k=3, strategy="cellring",
+                         fallback_broadcast_limit=0)
+        assert key(a) == key(b)
+
 
 class TestZonal:
     def test_zonal_pairs_match_brute(self, spark):
