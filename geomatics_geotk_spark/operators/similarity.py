@@ -172,13 +172,23 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """
     corpus = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
     q = with_lsh_tables(queries, vec_col, dim, planes_per_table, n_tables, seed)
-    ce = corpus.select(id_col, vec_col, F.explode("buckets").alias("bucket"))
-    qe = q.select(
-        F.col(q_id_col), F.col(vec_col).alias("_qvec"), F.explode("buckets").alias("bucket")
+    ce = corpus.select(
+        id_col, vec_col, "buckets", F.explode("buckets").alias("bucket")
     )
+    qe = q.select(
+        F.col(q_id_col), F.col(vec_col).alias("_qvec"),
+        F.col("buckets").alias("_qbuckets"), F.explode("buckets").alias("bucket"),
+    )
+    # a pair sharing s table buckets appears s times after the explode
+    # join; keep only the occurrence at the MINIMAL shared bucket — a
+    # map-side Column filter (both bucket arrays ride the pipelined
+    # broadcast join), replacing the dropDuplicates that used to shuffle
+    # the entire candidate set a second time (r5).
     pairs = (
         ce.join(F.broadcast(qe), "bucket")
-        .dropDuplicates([q_id_col, id_col])
+        .where(F.col("bucket")
+               == F.array_min(F.array_intersect("buckets", "_qbuckets")))
+        .drop("buckets", "_qbuckets")
     )
     scored = pairs.withColumn(
         "cosine",
@@ -288,16 +298,22 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     c = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.explode("buckets").alias("bucket"),
+        F.col("buckets").alias("_ba"), F.explode("buckets").alias("bucket"),
     )
     b = c.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.explode("buckets").alias("bucket"),
+        F.col("buckets").alias("_bb"), F.explode("buckets").alias("bucket"),
     )
+    # each pair scored once: keep only the join occurrence at the pair's
+    # MINIMAL shared bucket — a map-side filter on the carried bucket
+    # arrays, replacing a dropDuplicates that re-shuffled every candidate
+    # pair (r5); the arrays add ~25% to the bucket-join payload and
+    # remove a full pair-set exchange.
     pairs = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("bucket") == F.array_min(F.array_intersect("_ba", "_bb")))
+        .drop("_ba", "_bb")
     )
     pairs = pairs.withColumn(
         "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
