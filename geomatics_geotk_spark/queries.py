@@ -2715,7 +2715,7 @@ def q_ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs (tests/test_operators_spark.py asserts it) while the
 # multi-table OR-amplified join must still find every pair
 # (modeled miss ≈ 6e-5/pair at b=12/t=16).
-_ND_W = [float(round(x, 4)) for x in __import__("numpy").random.default_rng(7).standard_normal(64)]
+_ND_W = [float(round(x, 4)) for x in np.random.default_rng(7).standard_normal(64)]
 _ND_COS = 0.98
 
 
