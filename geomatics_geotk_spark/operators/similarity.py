@@ -295,7 +295,28 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     are deduped across tables BEFORE the exact cosine so each pair is
     scored once; precision is exact (every emitted pair passes the true
     cosine filter)."""
+    # vectors are normalized ONCE PER ROW before the self-join (sign-LSH
+    # buckets depend only on direction, so bucketing the RAW vector is
+    # equivalent): pair scoring is then a SINGLE dot fold instead of
+    # dot + two norm folds — at scale the per-pair cost is what
+    # multiplies with the t·n²/2^b candidate volume (same
+    # hoist-the-norms move ann_topk_int8 makes before its crossJoin).
+    # The normalize is an Arrow/numpy batch UDF, NOT F.transform(x/nv):
+    # higher-order functions are interpreted and CollapseProject re-
+    # inlines the 64-element norm fold at every downstream reference
+    # (once per exploded bucket row), which measured minutes-per-500-rows;
+    # the UDF output is a plain materialized column by the join exchange.
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _unit(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        # zero-norm (degenerate) rows stay zero: their pair dot is 0 and
+        # they fall below any positive threshold instead of going NaN
+        np.divide(m, n, out=m, where=n > 0)
+        return pd.Series(list(m))
+
     c = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
+    c = c.withColumn(vec_col, _unit(F.col(vec_col)))
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         F.col("buckets").alias("_ba"), F.explode("buckets").alias("bucket"),
@@ -315,9 +336,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("bucket") == F.array_min(F.array_intersect("_ba", "_bb")))
         .drop("_ba", "_bb")
     )
-    pairs = pairs.withColumn(
-        "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    )
+    pairs = pairs.withColumn("cosine", _dot(F.col("va"), F.col("vb")))
     return pairs.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 

@@ -2733,20 +2733,33 @@ def _neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding")
     nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     vh = F.transform(v, lambda x: x / nv)
-    base = emb.where(F.col("vec_id") % 40 == 0).select("vec_id", vh.alias("_vh"))
+    # Each stage below ends in a repartition BARRIER: CollapseProject
+    # would otherwise inline every upstream scalar fold (nv, wd, nu) into
+    # EVERY element of the downstream array expression, compounding to
+    # ~64^4 interpreted ops per planted row (the same spread-chain
+    # duplication tile_pyramid hit in r4 — measured here as a 170 s
+    # fixture at sf0.1).  The barriers exchange ≤ 64 planted rows each:
+    # microseconds, and each intermediate evaluates exactly once.
+    base = (
+        emb.where(F.col("vec_id") % 40 == 0)
+        .select("vec_id", vh.alias("_vh"))
+        .repartition(4)
+    )
     wd = F.aggregate(
         F.zip_with(w, F.col("_vh"), lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )
-    staged = base.select("vec_id", "_vh", F.zip_with(
-        w, F.col("_vh"), lambda wi, vi: wi - wd * vi
-    ).alias("_u"))
+    withwd = base.select("vec_id", "_vh", wd.alias("_wd")).repartition(4)
+    staged = withwd.select("vec_id", "_vh", F.zip_with(
+        w, F.col("_vh"), lambda wi, vi: wi - F.col("_wd") * vi
+    ).alias("_u")).repartition(4)
     nu = F.sqrt(F.aggregate(F.col("_u"), F.lit(0.0), lambda a, x: a + x * x))
+    withnu = staged.select("vec_id", "_vh", "_u", nu.alias("_nu")).repartition(4)
     sinphi = F.sqrt(F.lit(1.0) - F.lit(_ND_COS) * F.lit(_ND_COS))
-    planted = staged.select(
+    planted = withnu.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.zip_with(
             F.col("_vh"), F.col("_u"),
-            lambda a, b: a * F.lit(_ND_COS) + (b / nu) * sinphi,
+            lambda a, b: a * F.lit(_ND_COS) + (b / F.col("_nu")) * sinphi,
         ).alias("embedding"),
     )
     return emb.unionByName(planted)
@@ -2762,7 +2775,15 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs cosine ≥ threshold over the same augmented
     table — the hash check proves BOTH no false pair and no missed
     planted pair."""
-    aug = _neardup_fixture(spark, sf_dir)
+    # localCheckpoint cuts the fixture's lineage BEFORE the self-join:
+    # the operator references its input on both join sides, and each
+    # side's plan otherwise re-instantiates the whole fixture sub-DAG
+    # (union branch × join side = 4 copies of the scan, rotation math,
+    # and the two Arrow UDF nodes above it — measured 19.9 s vs 5.8 s
+    # at sf0.01, pure fixed stage/Python-worker overhead).  Fixture-only
+    # scaffolding: production inputs are parquet scans, which a
+    # self-join re-reads for free.
+    aug = _neardup_fixture(spark, sf_dir).localCheckpoint(eager=False)
     out = similarity.embedding_near_dups(
         aug, threshold=0.95, dim=64, planes_per_table=12, n_tables=16
     )
@@ -2795,10 +2816,16 @@ ORACLE_EMBEDDING_NEARDUPS = (
     + _NRM.format(a="u")
     + ") * sqrt(1.0 - 0.98 * 0.98)) AS v FROM uu), "
     "au AS (SELECT * FROM e UNION ALL SELECT * FROM pl), "
+    # the operator normalizes once per row before pairing (see
+    # similarity.embedding_near_dups) — mirror the exact per-row
+    # transform, then pair cosine is the bare dot fold
+    "an AS (SELECT vec_id, list_transform(v, x -> x / "
+    + _NRM.format(a="v")
+    + ") AS vn FROM au), "
     "s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    + _EDOT.format(a="a.v", b="b.v")
-    + " / (" + _NRM.format(a="a.v") + " * " + _NRM.format(a="b.v") + ") AS cosine "
-    "FROM au a JOIN au b ON a.vec_id < b.vec_id) "
+    + _EDOT.format(a="a.vn", b="b.vn")
+    + " AS cosine "
+    "FROM an a JOIN an b ON a.vec_id < b.vec_id) "
     "SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM s WHERE cosine >= 0.95"
 )
 
