@@ -5261,6 +5261,7 @@ _R5_FRONT = [
     "cosine_topk", "ann_topk", "ann_topk_ivf", "ann_topk_int8",  # two-phase top-k
     "bm25_topk",                                       # explicit term-set dedupe
     "bloom_join",                                      # key identifier quoting
+    "knn", "knn_cellring",                             # fallback-threshold parameter
     # (b) last driver-checked in r2
     "arc_densify", "beyond", "convex_hull_groups", "create_envelope_parse",
     "crs_roundtrip_utm", "dwithin_exact", "exact_dup_groups", "fingerprint",
