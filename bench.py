@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     # join over the rotated adversarial fixture
     "ann_topk_ivf_int8",
     "embedding_neardups",
+    "semantic_dedup",
 ]
 
 

@@ -69,6 +69,30 @@ def _topk_per_query(scored: DataFrame, k: int, q_id_col: str, id_col: str,
     )
 
 
+def unit_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized (L2) double vector,
+    ONCE PER ROW — pair scoring downstream of a join is then a SINGLE
+    dot fold instead of dot + two norm folds; at scale the per-pair cost
+    is what multiplies with the candidate volume (the same
+    hoist-the-norms move ``ann_topk_int8`` makes before its crossJoin).
+    The normalize is an Arrow/numpy batch UDF, NOT ``F.transform(x/nv)``:
+    higher-order functions are interpreted and CollapseProject re-inlines
+    the 64-element norm fold at every downstream reference (once per
+    exploded bucket row), which measured minutes-per-500-rows; the UDF
+    output is a plain materialized column by the next exchange.
+    Zero-norm (degenerate) rows stay zero: their pair dot is 0 and they
+    fall below any positive threshold instead of going NaN."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _unit(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        np.divide(m, n, out=m, where=n > 0)
+        return pd.Series(list(m))
+
+    return df.withColumn(vec_col, _unit(F.col(vec_col)))
+
+
 def with_cosine(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
     """cosine(a,b) as pure Column math (JVM, codegen)."""
     a, b = F.col(vec_a), F.col(vec_b)
@@ -295,28 +319,8 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     are deduped across tables BEFORE the exact cosine so each pair is
     scored once; precision is exact (every emitted pair passes the true
     cosine filter)."""
-    # vectors are normalized ONCE PER ROW before the self-join (sign-LSH
-    # buckets depend only on direction, so bucketing the RAW vector is
-    # equivalent): pair scoring is then a SINGLE dot fold instead of
-    # dot + two norm folds — at scale the per-pair cost is what
-    # multiplies with the t·n²/2^b candidate volume (same
-    # hoist-the-norms move ann_topk_int8 makes before its crossJoin).
-    # The normalize is an Arrow/numpy batch UDF, NOT F.transform(x/nv):
-    # higher-order functions are interpreted and CollapseProject re-
-    # inlines the 64-element norm fold at every downstream reference
-    # (once per exploded bucket row), which measured minutes-per-500-rows;
-    # the UDF output is a plain materialized column by the join exchange.
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _unit(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
-        # zero-norm (degenerate) rows stay zero: their pair dot is 0 and
-        # they fall below any positive threshold instead of going NaN
-        np.divide(m, n, out=m, where=n > 0)
-        return pd.Series(list(m))
-
     c = with_lsh_tables(embeddings, vec_col, dim, planes_per_table, n_tables, seed)
-    c = c.withColumn(vec_col, _unit(F.col(vec_col)))
+    c = unit_normalize(c, vec_col)
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         F.col("buckets").alias("_ba"), F.explode("buckets").alias("bucket"),
@@ -338,6 +342,57 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
     pairs = pairs.withColumn("cosine", _dot(F.col("va"), F.col("vb")))
     return pairs.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 3,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters as
+    the blocking key, exact pairwise cosine WITHIN each cluster only
+    (Abbas et al. 2023, "SemDeDup" — the LAION-scale curation recipe).
+
+    Contract: emits every pair (id_a < id_b) whose members land in the
+    SAME final k-means cluster and whose exact cosine ≥ ``threshold``.
+    Precision is exact; recall is bounded by the clustering — a true
+    pair split across cluster boundaries is NOT emitted (the documented
+    SemDeDup trade: candidate volume drops from n² to Σ nᵢ² ≈ n²/k).
+    For a recall-contracted alternative use
+    :func:`embedding_near_dups` (multi-table LSH OR-amplification).
+
+    Scale shape: the k-means assignment is map-only against broadcast
+    centroid literals (see operators/clustering.py); the self-join
+    shuffles BOTH sides once on ``cluster`` and each cluster's pairs are
+    generated where its rows land.  The per-cluster work is quadratic by
+    design — k is the knob (SemDeDup uses k ≈ n/expected-cluster-size;
+    at 10^9+ rows pick k so clusters hold ~10^4-10^5 rows).  A runaway
+    hot cluster composes with the LSH tables of
+    :func:`embedding_near_dups` (cluster AND bucket as the join key) —
+    same cap pattern as ``dedup.cap_buckets``.  Vectors are
+    unit-normalized once per row pre-join, so each pair costs one dot
+    fold (see :func:`unit_normalize`).
+    """
+    from . import clustering
+
+    assigned, _ = clustering.kmeans(
+        embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    unit = unit_normalize(
+        assigned.select(id_col, "cluster", F.col("_v").alias(vec_col)), vec_col
+    )
+    a = unit.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = unit.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        "cluster", "id_a", "id_b", "cosine"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2214,29 +2214,36 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = 4, iters: int = 3, dim: int = 64) -> tuple[list, str]:
+def _kmeans_ctes(k: int = 4, iters: int = 3, dim: int = 64,
+                 src: str | None = None) -> tuple[list, str]:
     """Unrolled Lloyd iterations: c0 → (assign, decimal-sum update) ×
     iters → final assignment.  Mirrors operators/clustering.py exactly:
     same seeding, same fold order, same tie-break, same empty-cluster
     COALESCE fallback.  Returns (cte_list, final_assignment_name) so
-    downstream oracles (cluster-balanced sampling) can extend the chain."""
+    downstream oracles (cluster-balanced sampling, semantic dedup) can
+    extend the chain.  ``src`` names an ALREADY-DEFINED CTE with columns
+    (vec_id, v double[]) to cluster instead of the embeddings table —
+    with the default the generated SQL is byte-identical to before."""
     dist = (
         "list_reduce(list_transform(list_zip({v}, {c}), "
         "p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"
     )
-    ctes = [
+    rel = src or "e"
+    ctes = [] if src else [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
         "AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    ctes += [
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM {rel} WHERE vec_id < {k})",
         f"ks AS (SELECT unnest(generate_series(0, {k - 1})) AS cluster)",
     ]
     for i in range(1, iters + 2):
         prev = f"c{i - 1}"
         ctes.append(
-            f"a{i} AS (SELECT e.vec_id, e.v, {prev}.cluster "
-            f"FROM e CROSS JOIN {prev} "
-            f"QUALIFY row_number() OVER (PARTITION BY e.vec_id "
-            f"ORDER BY {dist.format(v='e.v', c=prev + '.c')} ASC, {prev}.cluster ASC) = 1)"
+            f"a{i} AS (SELECT {rel}.vec_id, {rel}.v, {prev}.cluster "
+            f"FROM {rel} CROSS JOIN {prev} "
+            f"QUALIFY row_number() OVER (PARTITION BY {rel}.vec_id "
+            f"ORDER BY {dist.format(v=rel + '.v', c=prev + '.c')} ASC, {prev}.cluster ASC) = 1)"
         )
         if i == iters + 1:
             break  # final assignment only — no further update
@@ -2798,10 +2805,11 @@ _ND_W_SQL = "[" + ", ".join(repr(x) for x in _ND_W) + "]"
 
 # Replays _neardup_fixture step-for-step with the identical IEEE
 # left-folds (list_reduce with no init starts at the first element,
-# which equals Spark's 0.0-seeded fold exactly), then brute-forces
-# all pairs ≥ threshold.
-ORACLE_EMBEDDING_NEARDUPS = (
-    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+# which equals Spark's 0.0-seeded fold exactly); the final CTE ``au`` is
+# the augmented (vec_id, v double[]) table — shared by the near-dup and
+# semantic-dedup oracles.
+_ND_FIXTURE_SQL_CTES = (
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings), "
     "h AS (SELECT vec_id, list_transform(v, x -> x / "
     + _NRM.format(a="v")
@@ -2815,7 +2823,11 @@ ORACLE_EMBEDDING_NEARDUPS = (
     "list_transform(list_zip(vh, u), p -> p[1] * 0.98 + (p[2] / "
     + _NRM.format(a="u")
     + ") * sqrt(1.0 - 0.98 * 0.98)) AS v FROM uu), "
-    "au AS (SELECT * FROM e UNION ALL SELECT * FROM pl), "
+    "au AS (SELECT * FROM e UNION ALL SELECT * FROM pl)"
+)
+
+ORACLE_EMBEDDING_NEARDUPS = (
+    "WITH " + _ND_FIXTURE_SQL_CTES + ", "
     # the operator normalizes once per row before pairing (see
     # similarity.embedding_near_dups) — mirror the exact per-row
     # transform, then pair cosine is the bare dot fold
@@ -2828,6 +2840,42 @@ ORACLE_EMBEDDING_NEARDUPS = (
     "FROM an a JOIN an b ON a.vec_id < b.vec_id) "
     "SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM s WHERE cosine >= 0.95"
 )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted near-dup fixture:
+    k-means clusters block the candidate space, exact cosine pairs ≥
+    0.95 are emitted WITHIN each cluster only.  Planted pairs sit at
+    cosine 0.98 — 11.5° apart — so whether a given pair shares a cluster
+    is decided by the same Lloyd iterations the oracle replays
+    bit-for-bit (exact decimal centroid sums, identical distance folds);
+    the hash check therefore proves the cluster-blocked pair set
+    EXACTLY, including any pair the clustering legitimately splits."""
+    aug = _neardup_fixture(spark, sf_dir).localCheckpoint(eager=False)
+    out = similarity.semantic_dedup(aug, k=4, iters=3, threshold=0.95)
+    return out.select(
+        "cluster", "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    ctes, final = _kmeans_ctes(src="au")
+    return (
+        "WITH " + _ND_FIXTURE_SQL_CTES + ", "
+        + ", ".join(ctes) + ", "
+        # mirror similarity.unit_normalize (one normalize per row), then
+        # the pair cosine is the bare dot fold — same shape as the
+        # embedding_neardups oracle but joined on the final cluster
+        f"an AS (SELECT vec_id, cluster, list_transform(v, x -> x / "
+        + _NRM.format(a="v")
+        + f") AS vn FROM {final}), "
+        "s AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b, "
+        + _EDOT.format(a="a.vn", b="b.vn")
+        + " AS cosine "
+        "FROM an a JOIN an b ON a.cluster = b.cluster AND a.vec_id < b.vec_id) "
+        "SELECT cluster, id_a, id_b, round(cosine, 6) AS cosine_r FROM s "
+        "WHERE cosine >= 0.95"
+    )
 
 
 def q_dwithin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5111,6 +5159,7 @@ QUERIES = {
     "ring_dedupe_ppm": q_ring_dedupe_ppm,
     "minhash_lsh": q_minhash_lsh,
     "embedding_neardups": q_embedding_neardups,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_features": q_multimodal_features,
     "convex_hull_groups": q_convex_hull_groups,
     "simhash_neardups": q_simhash_neardups,
@@ -5194,6 +5243,7 @@ ORACLES = {
     "ann_topk_ivf": _ANN_PLANTED_SQL,
     "ann_topk_ivf_int8": _ANN_PLANTED_SQL,
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
+    "semantic_dedup": _oracle_semantic_dedup(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "minhash_lsh": _oracle_minhash_lsh(),
     "simhash_neardups": _oracle_simhash_neardups(),
@@ -5257,6 +5307,7 @@ _R5_FRONT = [
     # (a) new/changed in round 5
     "ann_topk_ivf_int8",                               # new: IVF+int8 composition
     "embedding_neardups",                              # rotated adversarial fixture + multi-table LSH
+    "semantic_dedup",                                  # new: cluster-blocked near-dup pairs
     "minhash_lsh_fast", "simhash_neardups_fast",       # now superset-contract oracles
     "cosine_topk", "ann_topk", "ann_topk_ivf", "ann_topk_int8",  # two-phase top-k
     "bm25_topk",                                       # explicit term-set dedupe

@@ -549,3 +549,47 @@ class TestSimilarityR5:
         missed = expected - single
         print(f"single-table missed {len(missed)}/{len(expected)} planted pairs")
         assert missed, "single-table LSH unexpectedly caught every rotated pair"
+
+    def test_semantic_dedup_cluster_blocked_exactness(self, spark):
+        """The SemDeDup contract, both directions: semantic_dedup emits
+        EXACTLY the same-final-cluster subset of the brute-force pair set
+        (precision exact, recall bounded by the clustering) — verified
+        against an independent numpy all-pairs brute force and a separate
+        kmeans assignment call."""
+        import numpy as np
+
+        from geomatics_geotk_spark import queries as q
+        from geomatics_geotk_spark.operators import clustering
+
+        aug = q._neardup_fixture(spark, "/root/testdata/sf0.001").localCheckpoint(
+            eager=False
+        )
+        got = {
+            (r["cluster"], r["id_a"], r["id_b"])
+            for r in similarity.semantic_dedup(
+                aug, k=4, iters=3, threshold=0.95
+            ).collect()
+        }
+        # independent brute force: numpy all-pairs cosine over the fixture
+        rows = aug.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= 0.95
+        brute = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(ids[iu[keep]], ids[ju[keep]])
+        }
+        assert brute, "fixture planted no >=0.95 pairs"
+        # independent cluster assignment (same deterministic kmeans)
+        assigned, _ = clustering.kmeans(aug, k=4, iters=3)
+        cl = {
+            r["vec_id"]: r["cluster"]
+            for r in assigned.select("vec_id", "cluster").collect()
+        }
+        expected = {
+            (cl[a], a, b) for a, b in brute if cl[a] == cl[b]
+        }
+        assert got == expected
