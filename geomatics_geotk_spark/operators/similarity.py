@@ -383,10 +383,21 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 3,
         "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = unit.select(
-        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col("cluster").alias("_cl_b"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
     )
+    # the join key is NULL-SAFE equality (<=>) even though cluster is
+    # never null: a plain equi-join makes Catalyst infer
+    # isnotnull(cluster) and push it to the scan with the ENTIRE
+    # k·dim-fold assignment expression inlined — the interpreted
+    # distance folds then run TWICE per row per side (once in the
+    # pushed filter, once in the projection; there is no cross-operator
+    # CSE for interpreted expressions).  <=> infers nothing, so the
+    # assignment evaluates exactly once per row per side (verified in
+    # the PLANS.md dump); the exchange keys on coalesce(cluster, 0) —
+    # same single shuffle.
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, F.col("cluster").eqNullSafe(F.col("_cl_b")))
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
     )
