@@ -360,16 +360,20 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 3,
     :func:`embedding_near_dups` (multi-table LSH OR-amplification).
 
     Scale shape: the k-means assignment is map-only against broadcast
-    centroid literals (see operators/clustering.py); the self-join
-    shuffles BOTH sides once on ``cluster`` and each cluster's pairs are
-    generated where its rows land.  The per-cluster work is quadratic by
-    design — k is the knob (SemDeDup uses k ≈ n/expected-cluster-size;
-    at 10^9+ rows pick k so clusters hold ~10^4-10^5 rows).  A runaway
-    hot cluster composes with the LSH tables of
-    :func:`embedding_near_dups` (cluster AND bucket as the join key) —
-    same cap pattern as ``dedup.cap_buckets``.  Vectors are
-    unit-normalized once per row pre-join, so each pair costs one dot
-    fold (see :func:`unit_normalize`).
+    centroid literals (see operators/clustering.py), evaluated once per
+    row; ONE exchange groups rows by ``cluster`` and each cluster's
+    pairs come out of a blocked numpy matmul over the grouped batch
+    (``applyInPandas``) — a BLAS triangle per cluster instead of a
+    self-join whose 2·|cluster|² interpreted 64-element dot folds
+    dominated the wall clock (measured 9.7 s → ~2 s at 4,100 vectors).
+    Block size bounds the score-matrix memory at B² regardless of
+    cluster size.  The per-cluster work is quadratic by design — k is
+    the knob (SemDeDup uses k ≈ n/expected-cluster-size; at 10^9+ rows
+    pick k so clusters hold ~10^4-10^5 rows, which also bounds the
+    grouped batch each task materializes).  A runaway hot cluster
+    composes with the LSH tables of :func:`embedding_near_dups`
+    (cluster AND bucket as the grouping key) — same cap pattern as
+    ``dedup.cap_buckets``.
     """
     from . import clustering
 
@@ -379,31 +383,41 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, iters: int = 3,
     unit = unit_normalize(
         assigned.select(id_col, "cluster", F.col("_v").alias(vec_col)), vec_col
     )
-    a = unit.select(
-        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = unit.select(
-        F.col("cluster").alias("_cl_b"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    # the join key is NULL-SAFE equality (<=>) even though cluster is
-    # never null: a plain equi-join makes Catalyst infer
-    # isnotnull(cluster) and push it to the scan with the ENTIRE
-    # k·dim-fold assignment expression inlined — the interpreted
-    # distance folds then run TWICE per row per side (once in the
-    # pushed filter, once in the projection; there is no cross-operator
-    # CSE for interpreted expressions).  <=> infers nothing, so the
-    # assignment evaluates exactly once per row per side (verified in
-    # the PLANS.md dump); the exchange keys on coalesce(cluster, 0) —
-    # same single shuffle.
-    pairs = (
-        a.join(b, F.col("cluster").eqNullSafe(F.col("_cl_b")))
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
-    )
-    return pairs.where(F.col("cosine") >= threshold).select(
-        "cluster", "id_a", "id_b", "cosine"
-    )
+    schema = T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("id_a", unit.schema[id_col].dataType),
+        T.StructField("id_b", unit.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    block = 2048
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # id_a < id_b falls out of the ordering
+        ids = ids[order]
+        m = np.vstack(pdf[vec_col].to_numpy())[order]
+        cl = int(pdf["cluster"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i0 in range(0, n, block):
+            mi = m[i0:i0 + block]
+            for j0 in range(i0, n, block):
+                sims = mi @ m[j0:j0 + block].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[gj[keep]])
+                out_c.append(sims[ii[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        c = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
+        return pd.DataFrame({
+            "cluster": np.full(len(a), cl, dtype=np.int32),
+            "id_a": a, "id_b": b, "cosine": c,
+        })
+
+    return unit.groupBy("cluster").applyInPandas(_pairs, schema)
 
 
 # ---------------------------------------------------------------------------
