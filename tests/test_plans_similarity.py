@@ -54,3 +54,25 @@ class TestAnnPlans:
 
     def test_ann_topk_ivf_int8_two_phase(self, spark):
         self._assert_two_phase(queries.q_ann_topk_ivf_int8(spark, SF), 2)
+
+
+class TestSemanticDedupPlan:
+    def test_single_exchange_no_join(self, spark):
+        """semantic_dedup's physical plan must be the grouped-matmul
+        shape: exactly ONE Exchange (hashpartitioning on cluster), a
+        FlatMapGroupsInPandas pair stage, and NO join — the rejected
+        self-join shapes (PLANS.md) had two exchanges and re-evaluated
+        the k-means assignment folds in a pushed-down isnotnull filter."""
+        from geomatics_geotk_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = plans.formatted_plan(
+            similarity.semantic_dedup(emb, k=4, iters=3, threshold=0.95)
+        )
+        assert _nodes(plan, "Exchange") == 1, plan
+        assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+        assert "Join" not in plan, plan
+        # the assignment fold must not leak into a Filter below the
+        # exchange (the isnotnull-refold pathology)
+        filters = re.findall(r"\(\d+\) Filter\nInput.*\nCondition : (.*)", plan)
+        assert all("array_position" not in f for f in filters), filters
