@@ -140,6 +140,11 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", master=f"local[{cpus}]")
+    # under spark-submit the submitted --master wins inside get_spark;
+    # report the parallelism the session actually runs at, not the env
+    # default (the scaling protocol reads "value" only, so this field is
+    # purely diagnostic)
+    cpus = spark.sparkContext.defaultParallelism
 
     if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") == "1":
         # scaling mode sizes by SPARK_GRAFT_BENCH_DOCS when the caller sets

@@ -12,9 +12,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _submitted_master() -> str | None:
+    """The --master a surrounding ``spark-submit`` provided, if any.
+
+    Under ``spark-submit script.py`` the Python process is launched by an
+    already-running gateway JVM (marked by PYSPARK_GATEWAY_PORT) whose
+    system properties carry the submitted conf.  That master MUST win over
+    the library's local[N] default — otherwise
+    ``MASTER=spark://host scripts/submit.sh bench.py`` would silently run
+    the whole job local on the driver host (the north rule's deployment
+    path is exactly spark-submit onto a multi-executor cluster).  Outside
+    spark-submit (pytest, scripts run directly) the gateway does not
+    exist yet and this returns None without launching one.
+    """
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    try:
+        # pyspark 4's Python-side SparkConf doesn't surface the gateway
+        # JVM's system properties, so read spark.master off the JVM
+        # directly (attaches to the spark-submit gateway; never spawns
+        # a new JVM because PYSPARK_GATEWAY_PORT is set)
+        from pyspark import SparkContext
+
+        SparkContext._ensure_initialized()
+        return SparkContext._gateway.jvm.java.lang.System.getProperty(
+            "spark.master"
+        )
+    except Exception:
+        return None
+
+
 def get_spark(app: str = "geomatics_geotk_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    master = (
+        _submitted_master()
+        or master
+        or os.environ.get("SPARK_GRAFT_MASTER")
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
     cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
     try:
         n_cores = int(cores) if cores != "*" else (os.cpu_count() or 8)
