@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_int8",
     "embedding_neardups",
     "semantic_dedup",
+    "group_quantiles",
 ]
 
 

@@ -52,3 +52,40 @@ def skew_report(docs: DataFrame, cell_col: str = "cell_id") -> DataFrame:
         (F.sum("n_docs") / F.count("*")).alias("avg_cell"),
     )
     return agg.withColumn("skew_ratio", F.col("max_cell") / F.col("avg_cell"))
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    exact: bool = True, accuracy: int = 10_000) -> DataFrame:
+    """Per-group quantiles of a numeric column — the distribution-monitor
+    primitive a curation pipeline runs constantly (doc-length / quality /
+    token-count percentiles per language or source).
+
+    Output: (group_col, n, p50, p90, ... one column per prob, named
+    ``p{100*prob:g}`` with '.' → '_').
+
+    Scale shape: ONE hash-aggregate exchange either way, partial
+    aggregation before it.  ``exact=True`` uses ``percentile()`` —
+    correct at any scale but its per-group state is the full value
+    multiset, so at 10^12 rows per group it is memory-unbounded.  The
+    100 TB path is ``exact=False``: ``percentile_approx`` (the
+    Greenwald-Khanna sketch) has O(accuracy) state per group, partials
+    MERGE map-side like any sketch, and rank error is bounded by
+    1/accuracy — the same exact-small / sketch-large split as
+    hll_distinct vs count(distinct).
+    """
+    def name(p: float) -> str:
+        return "p" + f"{100 * p:g}".replace(".", "_")
+
+    parr = "array(" + ", ".join(repr(p) for p in probs) + ")"
+    if exact:
+        q = F.expr(f"percentile({value_col}, {parr})")
+    else:
+        q = F.expr(f"percentile_approx({value_col}, {parr}, {accuracy})")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"), q.alias("_q")
+    )
+    return agg.select(
+        group_col, "n",
+        *[F.col("_q")[i].alias(name(p)) for i, p in enumerate(probs)],
+    )

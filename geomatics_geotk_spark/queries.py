@@ -1796,6 +1796,39 @@ ORACLE_LENGTH_HISTOGRAM = (
 )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantiles via the AGGREGATE path
+    (`operators/stats.py::group_quantiles`): continuous-interpolation
+    p50/p90/p99 of n_chars through Spark's ``percentile()`` — ONE
+    map-side-combined hash-aggregate exchange, no per-document window at
+    all (the third member of the length-profile family: exact window
+    order statistics in ``length_percentiles``, histogram sketch in
+    ``length_histogram``, aggregate interpolated quantiles here, with
+    percentile_approx's mergeable GK sketch as the documented 100 TB
+    swap-in, cross-checked vs exact in tests).  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation rule pos = p·(n−1);
+    results rounded to 6dp to absorb ulp-level fold-order noise."""
+    from .operators import stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stats.group_quantiles(docs, "lang", "n_chars")
+    return out.select(
+        "lang", F.col("n").alias("n_docs"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+ORACLE_GROUP_QUANTILES = (
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "round(quantile_cont(n_chars, 0.5), 6) AS p50, "
+    "round(quantile_cont(n_chars, 0.9), 6) AS p90, "
+    "round(quantile_cont(n_chars, 0.99), 6) AS p99 "
+    "FROM documents GROUP BY lang"
+)
+
+
 ORACLE_LENGTH_PERCENTILES = (
     "WITH t AS (SELECT lang, doc_id, len(string_split_regex(text, '\\s+')) AS n_toks "
     "FROM documents WHERE text IS NOT NULL), "
@@ -5080,6 +5113,7 @@ QUERIES = {
     "lsh_band_index_arrow": q_lsh_band_index_arrow,
     "vocab_topk": q_vocab_topk,
     "length_percentiles": q_length_percentiles,
+    "group_quantiles": q_group_quantiles,
     "length_histogram": q_length_histogram,
     "stratified_sample": q_stratified_sample,
     "curation_funnel": q_curation_funnel,
@@ -5196,6 +5230,7 @@ ORACLES = {
     "lsh_band_index_arrow": ORACLE_LSH_BAND_INDEX,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "length_percentiles": ORACLE_LENGTH_PERCENTILES,
+    "group_quantiles": ORACLE_GROUP_QUANTILES,
     "length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
@@ -5305,6 +5340,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "group_quantiles",                                 # new: aggregate-path quantiles
     "ann_topk_ivf_int8",                               # new: IVF+int8 composition
     "embedding_neardups",                              # rotated adversarial fixture + multi-table LSH
     "semantic_dedup",                                  # new: cluster-blocked near-dup pairs

@@ -593,3 +593,34 @@ class TestSimilarityR5:
             (cl[a], a, b) for a, b in brute if cl[a] == cl[b]
         }
         assert got == expected
+
+
+class TestGroupQuantiles:
+    def test_exact_matches_numpy_linear_interpolation(self, spark):
+        import numpy as np
+        from geomatics_geotk_spark.operators import stats
+
+        vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, x double"
+        )
+        row = stats.group_quantiles(df, "grp", "x", probs=(0.25, 0.5, 0.9)).collect()[0]
+        exp = np.percentile(vals, [25, 50, 90])  # default linear = pos p*(n-1)
+        assert row["n"] == len(vals)
+        for got, want in zip((row["p25"], row["p50"], row["p90"]), exp):
+            assert abs(got - want) < 1e-9, (got, want)
+
+    def test_approx_sketch_within_rank_error_bound(self, spark):
+        """percentile_approx (GK sketch, the 100 TB path) must land
+        within the modeled rank error n/accuracy of the exact value on
+        10,000 distinct values."""
+        from geomatics_geotk_spark.operators import stats
+
+        df = spark.range(10_000).select(
+            F.lit("g").alias("grp"), F.col("id").cast("double").alias("x")
+        )
+        exact = stats.group_quantiles(df, "grp", "x").collect()[0]
+        approx = stats.group_quantiles(df, "grp", "x", exact=False,
+                                       accuracy=10_000).collect()[0]
+        for c in ("p50", "p90", "p99"):
+            assert abs(approx[c] - exact[c]) <= 2.0, (c, approx[c], exact[c])

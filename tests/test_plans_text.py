@@ -172,3 +172,12 @@ class TestTextPlans:
         for line in optimized.splitlines():
             if line.strip().startswith(("Filter", "+- Filter")):
                 assert "lambdafunction" not in line
+
+    def test_group_quantiles_single_exchange_no_window(self, spark):
+        """The aggregate-path quantiles: exactly the one groupBy
+        exchange with map-side partials, NO per-document window/sort
+        (that is the whole point vs length_percentiles), no Python."""
+        plan = plans.formatted_plan(queries.q_group_quantiles(spark, SF))
+        assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
+        assert "Window" not in plan
+        assert _nodes(plan, "HashAggregate") + _nodes(plan, "ObjectHashAggregate") == 2
