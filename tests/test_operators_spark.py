@@ -624,3 +624,31 @@ class TestGroupQuantiles:
                                        accuracy=10_000).collect()[0]
         for c in ("p50", "p90", "p99"):
             assert abs(approx[c] - exact[c]) <= 2.0, (c, approx[c], exact[c])
+
+    def test_property_matches_numpy_on_random_groups(self, spark):
+        """Seeded-random property check (one Spark pass over all cases):
+        per-group exact quantiles equal numpy's linear interpolation for
+        arbitrary group sizes incl. n=1, duplicates, negatives."""
+        import random
+
+        import numpy as np
+        from geomatics_geotk_spark.operators import stats
+
+        rng = random.Random(42)
+        rows, expect = [], {}
+        for g in range(12):
+            n = rng.choice([1, 2, 3, 7, 40, 101])
+            vals = [round(rng.uniform(-1000, 1000), 3) for _ in range(n)]
+            if rng.random() < 0.5:  # duplicate-heavy groups
+                vals = [rng.choice(vals) for _ in range(n)]
+            rows += [(f"g{g}", v) for v in vals]
+            expect[f"g{g}"] = np.percentile(vals, [50, 90, 99])
+        df = spark.createDataFrame(rows, "grp string, x double")
+        got = {
+            r["grp"]: (r["p50"], r["p90"], r["p99"])
+            for r in stats.group_quantiles(df, "grp", "x").collect()
+        }
+        assert set(got) == set(expect)
+        for g, exp in expect.items():
+            for a, b in zip(got[g], exp):
+                assert abs(a - b) < 1e-9, (g, got[g], exp)
