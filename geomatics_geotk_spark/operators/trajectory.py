@@ -1,0 +1,138 @@
+"""Trajectory operators over ordered point streams.
+
+Per-entity ordered geometry — the moving-object view of the reference's
+point/temporal kernels (``TemporalUtilities`` ordering semantics,
+reference TemporalUtilities.java:40-70, applied to the per-user event
+stream): stay-point detection (maximal runs of near-stationary
+consecutive fixes) via the classic gaps-and-islands decomposition, and
+radial-distance track simplification.
+
+Scale shape: everything here is pure Column math over ONE window
+exchange on the entity key (lag + running-sum share the same
+partitioning/ordering, so Catalyst plans a single Exchange + Sort) plus
+one aggregation exchange on (entity, run).  No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Rational stand-in for cos(mid-latitude) so the break predicate is pure
+# rational arithmetic — bit-identical between Spark and any SQL oracle
+# evaluating the same expression tree (no libm in the hot predicate).
+LON_SCALE = 0.65
+
+
+def stay_points(
+    pts: DataFrame,
+    max_move_deg: float = 0.25,
+    min_points: int = 2,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Maximal runs of consecutive fixes where every step moves less than
+    ``max_move_deg`` (scaled-degree equirectangular distance), per entity.
+
+    Gaps-and-islands: a step whose scaled displacement exceeds the
+    threshold (or the first fix of an entity) BREAKS the run; the running
+    sum of breaks labels each fix with its run id; runs with at least
+    ``min_points`` fixes are stay points.  Output one row per stay:
+    (entity, stay_id, n_points, t_start, t_end, clat, clon) where the
+    centroid is the integer-microdegree-summed mean (order-independent
+    across engines/partitionings).
+
+    100 TB shape: lag + running-sum use the SAME window spec → one
+    Exchange(entity) + one Sort; the stay rollup is one more exchange on
+    (entity, stay_id).  Entities are the natural partition key of a
+    trajectory store, so a table bucketed by entity runs this with zero
+    wide shuffles.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two selects: the break flag must be a PLAIN column before the
+    # running sum windows over it (Spark rejects window-over-window in
+    # one projection); both windows share partitioning+ordering, so
+    # Catalyst still plans a single Exchange + Sort.
+    stepped = pts.select(
+        F.col(entity_col),
+        F.col(ts_col),
+        F.col(order_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        F.lag(lat_col).over(w).alias("_plat"),
+        F.lag(lon_col).over(w).alias("_plon"),
+    )
+    dx = (F.col(lon_col) - F.col("_plon")) * F.lit(LON_SCALE)
+    dy = F.col(lat_col) - F.col("_plat")
+    brk = (
+        F.when(F.col("_plat").isNull(), F.lit(1))
+        .when(dx * dx + dy * dy > F.lit(max_move_deg) * F.lit(max_move_deg), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    labeled = stepped.select(
+        F.col(entity_col),
+        F.col(ts_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        F.sum(brk).over(run_w).alias("stay_id"),
+    )
+    # centroid accumulated as exact integer MICRODEGREES: round(x*1e6) is
+    # the same double → same integer in every engine (a double→decimal
+    # cast is NOT — DuckDB truncates where Spark rounds half-up), and the
+    # bigint sum is order-independent.  1 µdeg ≈ 0.1 m — ample for a stay
+    # centroid.
+    ulat = F.round(F.col(lat_col) * F.lit(1000000.0)).cast("bigint")
+    ulon = F.round(F.col(lon_col) * F.lit(1000000.0)).cast("bigint")
+    stays = labeled.groupBy(entity_col, "stay_id").agg(
+        F.count("*").alias("n_points"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        F.sum(ulat).alias("_slat"),
+        F.sum(ulon).alias("_slon"),
+    )
+    return stays.where(F.col("n_points") >= min_points).select(
+        entity_col,
+        "stay_id",
+        "n_points",
+        "t_start",
+        "t_end",
+        (F.col("_slat") / (F.col("n_points") * F.lit(1000000.0))).alias("clat"),
+        (F.col("_slon") / (F.col("n_points") * F.lit(1000000.0))).alias("clon"),
+    )
+
+
+def simplify_radial(
+    pts: DataFrame,
+    tolerance_deg: float = 0.1,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Radial-distance track simplification: keep a fix iff it moves at
+    least ``tolerance_deg`` (scaled-degree) from the LAST KEPT fix.
+
+    The sequential "last kept" anchor is re-expressed relationally with
+    the standard two-window decomposition: a fix is kept iff the step
+    from its predecessor exceeds the tolerance OR it is the entity's
+    first/last fix (endpoint-preserving, the same contract as the
+    reference's removeConsecutiveDuplicates last-point rule,
+    CoordinateUtilities.java:… — generalized from exact-duplicate to
+    tolerance).  This is the well-defined one-pass variant
+    (predecessor-anchored, not kept-anchored): deterministic, pure
+    Column, one window exchange — where true Douglas–Peucker would need
+    per-entity recursion (applyInPandas), this keeps the 100 TB path
+    JVM-only.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    dx = (F.col(lon_col) - F.lag(lon_col).over(w)) * F.lit(LON_SCALE)
+    dy = F.col(lat_col) - F.lag(lat_col).over(w)
+    first = F.lag(lat_col).over(w).isNull()
+    last = F.lead(lat_col).over(w).isNull()
+    big = dx * dx + dy * dy >= F.lit(tolerance_deg) * F.lit(tolerance_deg)
+    return pts.withColumn("_keep", first | last | big).where(F.col("_keep")).drop("_keep")

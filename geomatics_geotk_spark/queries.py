@@ -752,6 +752,91 @@ def _oracle_trajectory_length() -> str:
     )
 
 
+def _event_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + the deterministic per-event position (the
+    trajectory_length derivation, kept as one shared helper)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    k = F.col("event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (F.lit(-123.5) + ((k % 996 + 1) / F.lit(997.0))).alias("lon"),
+        (F.lit(49.0) + (((k * 7919 + 13) % 990 + 1) / F.lit(991.0))).alias("lat"),
+    )
+
+
+_EVENT_PTS_SQL = (
+    "SELECT event_id, user_id, ts, "
+    f"{_LON.format(k='event_id')} AS lon, {_LAT.format(k='event_id')} AS lat "
+    "FROM events"
+)
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (trajectory.stay_points): maximal runs of
+    consecutive per-user fixes whose every step moves < 0.25
+    scaled-degrees — the spatio-temporal gaps-and-islands decomposition.
+    Pure rational Column math (no libm in the predicate), one window
+    exchange on user_id + one rollup exchange on (user_id, stay_id);
+    centroids summed as integer microdegrees for order- and
+    engine-independence (round(x*1e6) is the same double → same bigint
+    everywhere; a double→decimal cast is not — DuckDB truncates where
+    Spark rounds)."""
+    from .operators import trajectory
+
+    return trajectory.stay_points(
+        _event_pts(spark, sf_dir), max_move_deg=0.25, min_points=2
+    )
+
+
+ORACLE_STAYPOINTS = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, event_id, ts, lat, lon, "
+    "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "brk AS (SELECT user_id, event_id, ts, lat, lon, "
+    "CASE WHEN plat IS NULL THEN 1 "
+    "WHEN ((lon - plon) * CAST(0.65 AS DOUBLE)) * ((lon - plon) * CAST(0.65 AS DOUBLE)) "
+    "+ (lat - plat) * (lat - plat) > CAST(0.25 AS DOUBLE) * CAST(0.25 AS DOUBLE) "
+    "THEN 1 ELSE 0 END AS brk FROM lg), "
+    "lab AS (SELECT user_id, ts, lat, lon, "
+    "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stay_id FROM brk), "
+    "st AS (SELECT user_id, stay_id, count(*) AS n_points, "
+    "min(ts) AS t_start, max(ts) AS t_end, "
+    "sum(CAST(round(lat * 1000000.0) AS BIGINT)) AS _slat, "
+    "sum(CAST(round(lon * 1000000.0) AS BIGINT)) AS _slon "
+    "FROM lab GROUP BY user_id, stay_id) "
+    "SELECT user_id, stay_id, n_points, t_start, t_end, "
+    "_slat / (n_points * 1000000.0) AS clat, "
+    "_slon / (n_points * 1000000.0) AS clon "
+    "FROM st WHERE n_points >= 2"
+)
+
+
+def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial-distance track simplification (trajectory.simplify_radial):
+    keep a fix iff it moves ≥ 0.45 scaled-degrees from its predecessor,
+    endpoints always kept.  One window exchange (lag + lead share the
+    spec); the whole predicate is rational Column arithmetic."""
+    from .operators import trajectory
+
+    kept = trajectory.simplify_radial(_event_pts(spark, sf_dir), tolerance_deg=0.45)
+    return kept.select("user_id", "event_id", "lat", "lon")
+
+
+ORACLE_TRACK_SIMPLIFY = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, event_id, lat, lon, "
+    "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, "
+    "lead(lat) OVER w AS nlat FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, event_id, lat, lon FROM lg "
+    "WHERE plat IS NULL OR nlat IS NULL OR "
+    "((lon - plon) * CAST(0.65 AS DOUBLE)) * ((lon - plon) * CAST(0.65 AS DOUBLE)) "
+    "+ (lat - plat) * (lat - plat) >= CAST(0.45 AS DOUBLE) * CAST(0.45 AS DOUBLE)"
+)
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: merge overlapping-or-touching event periods and
     report merged-run count, total covered seconds, and raw period
@@ -5091,6 +5176,8 @@ QUERIES = {
     "pricing_rollup": q_pricing_rollup,
     "shipping_priority": q_shipping_priority,
     "trajectory_length": q_trajectory_length,
+    "staypoints": q_staypoints,
+    "track_simplify": q_track_simplify,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -5208,6 +5295,8 @@ QUERIES = {
 
 ORACLES = {
     "trajectory_length": _oracle_trajectory_length(),
+    "staypoints": ORACLE_STAYPOINTS,
+    "track_simplify": ORACLE_TRACK_SIMPLIFY,
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
@@ -5340,6 +5429,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "staypoints", "track_simplify",                    # new: trajectory ops
     "group_quantiles",                                 # new: aggregate-path quantiles
     "ann_topk_ivf_int8",                               # new: IVF+int8 composition
     "embedding_neardups",                              # rotated adversarial fixture + multi-table LSH

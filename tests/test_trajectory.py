@@ -1,0 +1,112 @@
+"""Trajectory operators: stay-point detection + radial simplification.
+
+Hand-computed fixtures (small tracks where the runs are obvious), an
+order-invariance check (input row order must not change the result —
+the window sort owns ordering), and a plan assertion that lag +
+running-sum share one Exchange/Sort (the single-window-exchange
+contract the docstring promises for 100 TB).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomatics_geotk_spark.operators.trajectory import (
+    LON_SCALE,
+    simplify_radial,
+    stay_points,
+)
+
+
+def _ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, lat double, lon double"
+    )
+
+
+@pytest.fixture(scope="module")
+def track(spark):
+    # user 1: 3 tight fixes (stay), a big jump, 2 tight fixes (stay),
+    # a lone far fix (run of 1 → filtered by min_points).
+    # user 2: every step huge → all runs length 1 → no stays.
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (1, 2, _ts(1), 49.1, -123.05),
+        (1, 3, _ts(2), 49.05, -123.1),
+        (1, 4, _ts(3), 52.0, -120.0),
+        (1, 5, _ts(4), 52.1, -120.1),
+        (1, 6, _ts(5), 58.0, -110.0),
+        (2, 7, _ts(0), 10.0, 10.0),
+        (2, 8, _ts(1), 20.0, 20.0),
+        (2, 9, _ts(2), 30.0, 30.0),
+    ]
+    return rows
+
+
+def test_stay_points_runs_and_centroids(spark, track):
+    out = stay_points(_pts(spark, track), max_move_deg=0.25, min_points=2)
+    rows = {(r.user_id, r.stay_id): r for r in out.collect()}
+    assert set(rows) == {(1, 1), (1, 2)}
+    first = rows[(1, 1)]
+    assert first.n_points == 3
+    assert first.t_start == _ts(0) and first.t_end == _ts(2)
+    assert first.clat == pytest.approx((49.0 + 49.1 + 49.05) / 3, abs=1e-5)
+    assert first.clon == pytest.approx((-123.0 - 123.05 - 123.1) / 3, abs=1e-5)
+    second = rows[(1, 2)]
+    assert second.n_points == 2
+    assert second.clat == pytest.approx(52.05, abs=1e-5)
+
+
+def test_stay_points_order_invariant(spark, track):
+    fwd = stay_points(_pts(spark, track)).collect()
+    rev = stay_points(_pts(spark, list(reversed(track))).repartition(5)).collect()
+    key = lambda r: (r.user_id, r.stay_id)  # noqa: E731
+    assert sorted(map(tuple, fwd), key=lambda t: t[:2]) == sorted(
+        map(tuple, rev), key=lambda t: t[:2]
+    )
+
+
+def test_simplify_keeps_endpoints_and_big_steps(spark, track):
+    kept = simplify_radial(_pts(spark, track), tolerance_deg=0.45)
+    ids = sorted(r.event_id for r in kept.collect())
+    # user 1: 1 (first), 4 and 6 (big steps), 2/3/5 dropped... except 6
+    # is also last.  step 1→2: dy=.1 dx=.05*.65 → small.  step 3→4 and
+    # 5→6 are huge.  step 4→5 small.  user 2: every step ≥ 10 deg.
+    assert ids == [1, 4, 6, 7, 8, 9]
+
+
+def test_simplify_single_fix_kept(spark):
+    one = _pts(spark, [(9, 1, _ts(0), 0.0, 0.0)])
+    assert simplify_radial(one).count() == 1
+
+
+def test_threshold_is_strict_boundary(spark):
+    # displacement exactly == tolerance: stay_points BREAKS only on
+    # strictly-greater, simplify keeps on >=.  Use dy only (no LON_SCALE
+    # rounding): 0.25 exactly.
+    rows = [(1, 1, _ts(0), 0.0, 0.0), (1, 2, _ts(1), 0.25, 0.0)]
+    st = stay_points(_pts(spark, rows), max_move_deg=0.25, min_points=2)
+    assert st.count() == 1  # not a break → one 2-point stay
+    kept = simplify_radial(_pts(spark, rows), tolerance_deg=0.25)
+    assert kept.count() == 2  # >= keeps the second fix anyway (also last)
+
+
+def test_single_window_exchange_plan(spark, track):
+    """lag and the running sum share partitioning+ordering → exactly one
+    Exchange(hashpartitioning(user_id)) in the pre-aggregation plan."""
+    df = stay_points(_pts(spark, track))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    # one for the window, one for the (user_id, stay_id) rollup; AQE may
+    # elide the second into the first's partitioning but never adds more.
+    assert n_exchange <= 2, plan
+    assert plan.count("Window") <= 2  # lag+sum folded, not one per expr
+
+
+def test_lon_scale_documented(spark):
+    assert LON_SCALE == 0.65
