@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "embedding_neardups",
     "semantic_dedup",
     "group_quantiles",
+    # trajectory family (late round-5 extension)
+    "staypoints",
+    "track_simplify",
+    "od_matrix",
 ]
 
 

@@ -105,6 +105,49 @@ def stay_points(
     )
 
 
+def od_flows(
+    stays: DataFrame,
+    cell_deg: float = 0.5,
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Origin→destination transition matrix over the stay sequence.
+
+    Consecutive stays of one entity (ordered by t_start, stay_id) form a
+    trip; origin/destination are the stay centroids snapped to a
+    ``cell_deg`` grid (floor division — identical IEEE double op in any
+    engine).  Output one row per (o_cell, d_cell): trip count + distinct
+    entities, the mobility-flow rollup (self-loops kept — a same-cell
+    move is a real observation).
+
+    100 TB shape: the window runs over the STAY table (orders of
+    magnitude smaller than fixes) on the same entity partitioning the
+    stay rollup just produced, and the flow rollup is one
+    map-side-combinable exchange on the 4-int cell key.  distinct
+    entities per flow is the only partial-agg-resistant term; a hot flow
+    cell is a hot KEY, never a window straggler.
+    """
+    w = Window.partitionBy(entity_col).orderBy("t_start", "stay_id")
+    inv = F.lit(1.0 / cell_deg)
+    cells = stays.select(
+        F.col(entity_col),
+        F.col("t_start"),
+        F.col("stay_id"),
+        F.floor(F.col("clat") * inv).alias("_olat"),
+        F.floor(F.col("clon") * inv).alias("_olon"),
+    )
+    trips = cells.select(
+        F.col(entity_col),
+        F.col("_olat").alias("o_lat_cell"),
+        F.col("_olon").alias("o_lon_cell"),
+        F.lead("_olat").over(w).alias("d_lat_cell"),
+        F.lead("_olon").over(w).alias("d_lon_cell"),
+    ).where(F.col("d_lat_cell").isNotNull())
+    return trips.groupBy("o_lat_cell", "o_lon_cell", "d_lat_cell", "d_lon_cell").agg(
+        F.count("*").alias("trips"),
+        F.countDistinct(entity_col).alias("entities"),
+    )
+
+
 def simplify_radial(
     pts: DataFrame,
     tolerance_deg: float = 0.1,

@@ -788,7 +788,8 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_STAYPOINTS = (
+# the staypoints CTE chain, shared verbatim by the od_matrix oracle
+_STAY_CTES = (
     f"WITH pts AS ({_EVENT_PTS_SQL}), "
     "lg AS (SELECT user_id, event_id, ts, lat, lon, "
     "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon FROM pts "
@@ -805,11 +806,47 @@ ORACLE_STAYPOINTS = (
     "min(ts) AS t_start, max(ts) AS t_end, "
     "sum(CAST(round(lat * 1000000.0) AS BIGINT)) AS _slat, "
     "sum(CAST(round(lon * 1000000.0) AS BIGINT)) AS _slon "
-    "FROM lab GROUP BY user_id, stay_id) "
-    "SELECT user_id, stay_id, n_points, t_start, t_end, "
+    "FROM lab GROUP BY user_id, stay_id), "
+    "stays AS (SELECT user_id, stay_id, n_points, t_start, t_end, "
     "_slat / (n_points * 1000000.0) AS clat, "
     "_slon / (n_points * 1000000.0) AS clon "
-    "FROM st WHERE n_points >= 2"
+    "FROM st WHERE n_points >= 2)"
+)
+
+ORACLE_STAYPOINTS = (
+    f"{_STAY_CTES} SELECT user_id, stay_id, n_points, t_start, t_end, "
+    "clat, clon FROM stays"
+)
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination mobility flows (trajectory.od_flows over
+    trajectory.stay_points): consecutive stays of a user form a trip;
+    flows roll up on 0.5°-grid centroid cells with trip + distinct-user
+    counts.  The lead window runs over the already-tiny stay table on
+    the partitioning the stay rollup produced; the flow rollup is one
+    map-side-combinable exchange on the 4-int cell key."""
+    from .operators import trajectory
+
+    stays = trajectory.stay_points(
+        _event_pts(spark, sf_dir), max_move_deg=0.25, min_points=2
+    )
+    return trajectory.od_flows(stays, cell_deg=0.5)
+
+
+ORACLE_OD_MATRIX = (
+    f"{_STAY_CTES}, "
+    "cells AS (SELECT user_id, t_start, stay_id, "
+    "CAST(floor(clat * 2.0) AS BIGINT) AS _olat, "
+    "CAST(floor(clon * 2.0) AS BIGINT) AS _olon FROM stays), "
+    "trips AS (SELECT user_id, _olat AS o_lat_cell, _olon AS o_lon_cell, "
+    "lead(_olat) OVER w AS d_lat_cell, lead(_olon) OVER w AS d_lon_cell "
+    "FROM cells WINDOW w AS (PARTITION BY user_id ORDER BY t_start, stay_id)) "
+    "SELECT o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell, "
+    "CAST(count(*) AS BIGINT) AS trips, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS entities "
+    "FROM trips WHERE d_lat_cell IS NOT NULL "
+    "GROUP BY o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell"
 )
 
 
@@ -5178,6 +5215,7 @@ QUERIES = {
     "trajectory_length": q_trajectory_length,
     "staypoints": q_staypoints,
     "track_simplify": q_track_simplify,
+    "od_matrix": q_od_matrix,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -5297,6 +5335,7 @@ ORACLES = {
     "trajectory_length": _oracle_trajectory_length(),
     "staypoints": ORACLE_STAYPOINTS,
     "track_simplify": ORACLE_TRACK_SIMPLIFY,
+    "od_matrix": ORACLE_OD_MATRIX,
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
@@ -5429,7 +5468,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
-    "staypoints", "track_simplify",                    # new: trajectory ops
+    "staypoints", "track_simplify", "od_matrix",       # new: trajectory ops
     "group_quantiles",                                 # new: aggregate-path quantiles
     "ann_topk_ivf_int8",                               # new: IVF+int8 composition
     "embedding_neardups",                              # rotated adversarial fixture + multi-table LSH

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from geomatics_geotk_spark.operators.trajectory import (
     LON_SCALE,
+    od_flows,
     simplify_radial,
     stay_points,
 )
@@ -106,6 +107,43 @@ def test_single_window_exchange_plan(spark, track):
     # elide the second into the first's partitioning but never adds more.
     assert n_exchange <= 2, plan
     assert plan.count("Window") <= 2  # lag+sum folded, not one per expr
+
+
+def test_od_flows_transitions(spark):
+    # user 1: stays at cells (0,0) → (1,1) → (0,0): two trips, one a
+    # reverse; user 2: single stay → no trip; self-loop user 3 kept.
+    stays = spark.createDataFrame(
+        [
+            (1, 1, _ts(0), 0.1, 0.1),
+            (1, 2, _ts(10), 0.6, 0.6),
+            (1, 3, _ts(20), 0.2, 0.2),
+            (2, 1, _ts(0), 5.0, 5.0),
+            (3, 1, _ts(0), 9.1, 9.1),
+            (3, 2, _ts(5), 9.2, 9.2),
+        ],
+        "user_id bigint, stay_id bigint, t_start timestamp, clat double, clon double",
+    )
+    out = {
+        (r.o_lat_cell, r.o_lon_cell, r.d_lat_cell, r.d_lon_cell): (r.trips, r.entities)
+        for r in od_flows(stays, cell_deg=0.5).collect()
+    }
+    assert out == {
+        (0, 0, 1, 1): (1, 1),
+        (1, 1, 0, 0): (1, 1),
+        (18, 18, 18, 18): (1, 1),  # self-loop kept
+    }
+
+
+def test_od_flows_composes_with_stay_points(spark, track):
+    # end-to-end: fixes → stays → flows; user 1's two stays are one trip
+    stays = stay_points(_pts(spark, track), max_move_deg=0.25, min_points=2)
+    rows = od_flows(stays, cell_deg=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.trips, r.entities) == (1, 1)
+    # origin ≈ (49.05, -123.05) → cells (98, -247); dest ≈ (52.05, -120.05)
+    assert (r.o_lat_cell, r.o_lon_cell) == (98, -247)
+    assert (r.d_lat_cell, r.d_lon_cell) == (104, -241)
 
 
 def test_lon_scale_documented(spark):
