@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "staypoints",
     "track_simplify",
     "od_matrix",
+    "stay_zones",
 ]
 
 

@@ -834,6 +834,56 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory.od_flows(stays, cell_deg=0.5)
 
 
+def q_stay_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone dwell report — trajectory × spatial-join composition: stay
+    centroids (stay_points over the event fixes) broadcast-PIP-joined to
+    the 8×8 grid zones, rolled up per zone to stay count, distinct
+    users, and total dwell microseconds.  The PIP join is the flagship
+    filter-and-refine machinery (covering-cell equi-join + Column
+    refine), run on the stay table — already orders of magnitude below
+    the fix stream — so the whole report costs one fix-side window
+    exchange + one stay rollup + a broadcast join + one zone rollup."""
+    from .operators import trajectory
+
+    stays = trajectory.stay_points(
+        _event_pts(spark, sf_dir), max_move_deg=0.25, min_points=2
+    )
+    pts = stays.select(
+        F.concat_ws(":", "user_id", "stay_id").alias("stay_key"),
+        F.col("user_id"),
+        # events ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        # ltz cast is the identity and unix_micros mirrors duckdb epoch_us
+        (
+            F.unix_micros(F.col("t_end").cast("timestamp"))
+            - F.unix_micros(F.col("t_start").cast("timestamp"))
+        ).alias("dwell_us"),
+        F.col("clon").alias("lon"),
+        F.col("clat").alias("lat"),
+    )
+    joined = spatial_join.spatial_join(
+        pts, _grid_zones(spark), res=RES, strategy="broadcast", id_col="stay_key"
+    )
+    return joined.groupBy("zone_id").agg(
+        F.count("*").alias("stays"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum("dwell_us").alias("dwell_us"),
+    )
+
+
+ORACLE_STAY_ZONES = (
+    f"{_STAY_CTES}, "
+    "gz AS (SELECT user_id, "
+    "CAST(floor((clon - (-123.5)) / 0.125) AS BIGINT) AS gi, "
+    "CAST(floor((clat - 49.0) / 0.125) AS BIGINT) AS gj, "
+    "epoch_us(t_end) - epoch_us(t_start) AS dwell_us FROM stays) "
+    "SELECT 'zone-grid-' || gi || '-' || gj AS zone_id, "
+    "CAST(count(*) AS BIGINT) AS stays, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS users, "
+    "CAST(sum(dwell_us) AS BIGINT) AS dwell_us "
+    "FROM gz GROUP BY zone_id"
+)
+
+
 ORACLE_OD_MATRIX = (
     f"{_STAY_CTES}, "
     "cells AS (SELECT user_id, t_start, stay_id, "
@@ -5216,6 +5266,7 @@ QUERIES = {
     "staypoints": q_staypoints,
     "track_simplify": q_track_simplify,
     "od_matrix": q_od_matrix,
+    "stay_zones": q_stay_zones,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -5336,6 +5387,7 @@ ORACLES = {
     "staypoints": ORACLE_STAYPOINTS,
     "track_simplify": ORACLE_TRACK_SIMPLIFY,
     "od_matrix": ORACLE_OD_MATRIX,
+    "stay_zones": ORACLE_STAY_ZONES,
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),
@@ -5469,6 +5521,7 @@ ORACLES = {
 _R5_FRONT = [
     # (a) new/changed in round 5
     "staypoints", "track_simplify", "od_matrix",       # new: trajectory ops
+    "stay_zones",                                      # new: trajectory × PIP compose
     "group_quantiles",                                 # new: aggregate-path quantiles
     "ann_topk_ivf_int8",                               # new: IVF+int8 composition
     "embedding_neardups",                              # rotated adversarial fixture + multi-table LSH
