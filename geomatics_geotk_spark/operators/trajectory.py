@@ -164,8 +164,8 @@ def simplify_radial(
     the standard two-window decomposition: a fix is kept iff the step
     from its predecessor exceeds the tolerance OR it is the entity's
     first/last fix (endpoint-preserving, the same contract as the
-    reference's removeConsecutiveDuplicates last-point rule,
-    CoordinateUtilities.java:… — generalized from exact-duplicate to
+    reference's removeConsecutiveDuplicates last-point rule, reference
+    GeodesyUtils.java:283 — generalized from exact-duplicate to
     tolerance).  This is the well-defined one-pass variant
     (predecessor-anchored, not kept-anchored): deterministic, pure
     Column, one window exchange — where true Douglas–Peucker would need
