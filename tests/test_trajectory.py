@@ -146,5 +146,19 @@ def test_od_flows_composes_with_stay_points(spark, track):
     assert (r.d_lat_cell, r.d_lon_cell) == (104, -241)
 
 
+def test_stay_zones_plan_shape(spark):
+    """The trajectory × PIP composition stays JVM-only and narrow: no
+    Python eval anywhere, the zone side broadcast, and exactly two wide
+    edges — the fix window exchange and the final zone rollup (the stay
+    rollup must reuse the window's user_id partitioning)."""
+    from geomatics_geotk_spark import queries
+
+    df = queries.q_stay_zones(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_lon_scale_documented(spark):
     assert LON_SCALE == 0.65
