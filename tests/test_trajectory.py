@@ -160,5 +160,102 @@ def test_stay_zones_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def _ref_stays(fixes, max_move=0.25, min_points=2):
+    """Sequential reference: gaps-and-islands by hand, per user."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, ts, lat, lon in fixes:
+        by_user[u].append((ts, e, lat, lon))
+    out = {}
+    for u, fx in by_user.items():
+        fx.sort()
+        runs, run = [], []
+        prev = None
+        for ts, e, lat, lon in fx:
+            if prev is not None:
+                dx = (lon - prev[1]) * LON_SCALE
+                dy = lat - prev[0]
+                if dx * dx + dy * dy > max_move * max_move:
+                    runs.append(run)
+                    run = []
+            run.append((ts, lat, lon))
+            prev = (lat, lon)
+        runs.append(run)
+        for sid, r in enumerate(runs, start=1):
+            if len(r) < min_points:
+                continue
+            n = len(r)
+            slat = sum(round(lat * 1e6) for _, lat, _ in r)
+            slon = sum(round(lon * 1e6) for _, _, lon in r)
+            out[(u, sid)] = (
+                n, min(t for t, _, _ in r), max(t for t, _, _ in r),
+                slat / (n * 1e6), slon / (n * 1e6),
+            )
+    return out
+
+
+def _ref_simplify(fixes, tol=0.45):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, e, ts, lat, lon in fixes:
+        by_user[u].append((ts, e, lat, lon))
+    kept = set()
+    for u, fx in by_user.items():
+        fx.sort()
+        for i, (ts, e, lat, lon) in enumerate(fx):
+            if i == 0 or i == len(fx) - 1:
+                kept.add(e)
+                continue
+            plat, plon = fx[i - 1][2], fx[i - 1][3]
+            dx = (lon - plon) * LON_SCALE
+            dy = lat - plat
+            if dx * dx + dy * dy >= tol * tol:
+                kept.add(e)
+    return kept
+
+
+def test_property_matches_sequential_reference(spark):
+    """Seeded-random property check (one Spark pass per operator):
+    random walks with occasional jumps, single-fix users, and repeated
+    coordinates must produce exactly the runs / kept-set a sequential
+    scan computes — the relational gaps-and-islands decomposition is
+    equivalent to the imperative definition on arbitrary tracks."""
+    import random
+
+    rng = random.Random(7)
+    fixes, eid = [], 0
+    for u in range(10):
+        n = rng.choice([1, 2, 5, 30, 80])
+        lat, lon = rng.uniform(48, 52), rng.uniform(-124, -120)
+        for i in range(n):
+            eid += 1
+            fixes.append((u, eid, _ts(i), round(lat, 6), round(lon, 6)))
+            if rng.random() < 0.25:  # jump: breaks the run
+                lat += rng.uniform(0.5, 2.0) * rng.choice([-1, 1])
+                lon += rng.uniform(0.5, 2.0) * rng.choice([-1, 1])
+            else:  # dwell wiggle, sometimes exactly zero movement
+                if rng.random() < 0.2:
+                    continue
+                lat += rng.uniform(-0.05, 0.05)
+                lon += rng.uniform(-0.05, 0.05)
+    df = _pts(spark, fixes)
+
+    got = {
+        (r.user_id, r.stay_id): (r.n_points, r.t_start, r.t_end, r.clat, r.clon)
+        for r in stay_points(df, max_move_deg=0.25, min_points=2).collect()
+    }
+    exp = _ref_stays(fixes)
+    assert set(got) == set(exp)
+    for k, (n, t0, t1, clat, clon) in exp.items():
+        gn, gt0, gt1, gclat, gclon = got[k]
+        assert (gn, gt0, gt1) == (n, t0, t1), k
+        assert abs(gclat - clat) < 1e-12 and abs(gclon - clon) < 1e-12, k
+
+    kept = {r.event_id for r in simplify_radial(df, tolerance_deg=0.45).collect()}
+    assert kept == _ref_simplify(fixes)
+
+
 def test_lon_scale_documented(spark):
     assert LON_SCALE == 0.65
