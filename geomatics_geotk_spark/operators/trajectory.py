@@ -179,3 +179,67 @@ def simplify_radial(
     last = F.lead(lat_col).over(w).isNull()
     big = dx * dx + dy * dy >= F.lit(tolerance_deg) * F.lit(tolerance_deg)
     return pts.withColumn("_keep", first | last | big).where(F.col("_keep")).drop("_keep")
+
+
+def speed_flags(
+    pts: DataFrame,
+    vmax_mps: float = 55.0,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """GPS quality control: flag fixes whose implied speed from the
+    PREVIOUS fix exceeds ``vmax_mps`` (``is_spike`` boolean column).
+
+    The implied-speed test is the standard teleport/outlier filter of a
+    trajectory ingest pipeline (the moving-object extension of the
+    reference's consecutive-duplicate rule, GeodesyUtils.java:283 —
+    there the threshold is "moved ~0 m", here it is "moved impossibly
+    far").  Predecessor-anchored one-pass variant, same contract as
+    :func:`simplify_radial`: each fix is judged against its physical
+    predecessor, not against the last SURVIVING fix, so the decision is
+    per-row deterministic and needs no sequential scan.
+
+    The predicate is division-free — ``dist > vmax * dt`` rather than
+    ``dist/dt > vmax`` — so zero/negative time deltas (duplicate or
+    out-of-order timestamps, which DO occur in real feeds) are handled
+    explicitly: a leg with ``dt <= 0`` is always a spike (teleporting
+    backwards in time), never a divide-by-zero/NaN.  An entity's first
+    fix has no predecessor and is never a spike.
+
+    100 TB shape: ONE window exchange on the entity key (lag of
+    lat/lon/epoch share the window spec) and pure JVM Column math —
+    haversine from :mod:`..functions`, no Python, no second shuffle.
+    On an entity-bucketed trajectory store the exchange disappears.
+    """
+    from ..functions import haversine_m
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    plat = F.lag(lat_col).over(w)
+    plon = F.lag(lon_col).over(w)
+    dt = (us - F.lag(us).over(w)) / F.lit(1000000.0)
+    dist = haversine_m(plat, plon, F.col(lat_col), F.col(lon_col))
+    spike = F.when(plat.isNull(), F.lit(False)).otherwise(
+        (dt <= F.lit(0.0)) | (dist > F.lit(float(vmax_mps)) * dt)
+    )
+    return pts.withColumn("is_spike", spike)
+
+
+def speed_filter(
+    pts: DataFrame,
+    vmax_mps: float = 55.0,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Drop the fixes :func:`speed_flags` marks as spikes (same
+    columns in, same columns out — the composable pipeline stage)."""
+    flagged = speed_flags(
+        pts, vmax_mps, entity_col, ts_col, order_col, lat_col, lon_col
+    )
+    return flagged.where(~F.col("is_spike")).drop("is_spike")

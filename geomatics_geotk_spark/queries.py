@@ -924,6 +924,39 @@ ORACLE_TRACK_SIMPLIFY = (
 )
 
 
+def q_speed_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS implied-speed QC report (trajectory.speed_flags): per user,
+    count fixes whose haversine distance from the previous fix exceeds
+    vmax·Δt (division-free form — a dt ≤ 0 leg is always a spike).
+    vmax = 0.75 m/s splits the synthetic feed ~15/85 at every SF and the
+    closest leg sits 0.068 m·s from the boundary — 5 orders above the
+    numpy-vs-DuckDB libm ulp band, so the count is engine-stable.
+    ONE window exchange on user_id (lag of lat/lon/epoch share the
+    spec), rollup reuses the same key: the QC pass a 100 TB trajectory
+    ingest runs before anything else, at scan cost."""
+    from .operators import trajectory
+
+    flagged = trajectory.speed_flags(_event_pts(spark, sf_dir), vmax_mps=0.75)
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_fixes"),
+        F.sum(F.col("is_spike").cast("long")).alias("n_spikes"),
+    )
+
+
+ORACLE_SPEED_SPIKES = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, "
+    "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon, "
+    "(epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt "
+    "FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, count(*)::BIGINT AS n_fixes, "
+    "sum(CASE WHEN plat IS NOT NULL AND (dt <= 0.0 OR "
+    f"{_haversine_sql('plat', 'plon', 'lat', 'lon')} > 0.75 * dt) "
+    "THEN 1 ELSE 0 END)::BIGINT AS n_spikes "
+    "FROM lg GROUP BY user_id"
+)
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: merge overlapping-or-touching event periods and
     report merged-run count, total covered seconds, and raw period
@@ -5267,6 +5300,7 @@ QUERIES = {
     "track_simplify": q_track_simplify,
     "od_matrix": q_od_matrix,
     "stay_zones": q_stay_zones,
+    "speed_spikes": q_speed_spikes,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -5388,6 +5422,7 @@ ORACLES = {
     "track_simplify": ORACLE_TRACK_SIMPLIFY,
     "od_matrix": ORACLE_OD_MATRIX,
     "stay_zones": ORACLE_STAY_ZONES,
+    "speed_spikes": ORACLE_SPEED_SPIKES,
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),

@@ -16,6 +16,8 @@ from geomatics_geotk_spark.operators.trajectory import (
     LON_SCALE,
     od_flows,
     simplify_radial,
+    speed_filter,
+    speed_flags,
     stay_points,
 )
 
@@ -259,3 +261,56 @@ def test_property_matches_sequential_reference(spark):
 
 def test_lon_scale_documented(spark):
     assert LON_SCALE == 0.65
+
+
+# ---------------------------------------------------------------------------
+# speed_flags / speed_filter — implied-speed GPS QC
+# ---------------------------------------------------------------------------
+
+
+def test_speed_flags_planted(spark):
+    # ~111 km per degree of latitude.  One minute between fixes:
+    # 0.001° (~111 m, ~1.85 m/s) is fine at vmax=50; 1° (~111 km,
+    # ~1,850 m/s) is a teleport.  First fix never a spike.
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (1, 2, _ts(1), 49.001, -123.0),   # ~1.85 m/s   ok
+        (1, 3, _ts(2), 50.001, -123.0),   # ~1850 m/s   spike
+        (1, 4, _ts(3), 50.002, -123.0),   # ~1.85 m/s   ok (predecessor-anchored)
+    ]
+    out = {r.event_id: r.is_spike for r in speed_flags(_pts(spark, rows), vmax_mps=50.0).collect()}
+    assert out == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_speed_flags_dt_zero_and_negative(spark):
+    # duplicate timestamp with movement → dt == 0 → spike (no NaN/inf);
+    # duplicate timestamp with NO movement is still dt <= 0 → spike by
+    # the documented teleport-in-time rule.
+    rows = [
+        (7, 1, _ts(0), 49.0, -123.0),
+        (7, 2, _ts(0), 49.5, -123.0),   # same ts, moved → spike
+        (7, 3, _ts(0), 49.5, -123.0),   # same ts, no move → still dt<=0 spike
+        (7, 4, _ts(9), 49.5001, -123.0),  # 540 s later, ~11 m → ok
+    ]
+    out = {r.event_id: r.is_spike for r in speed_flags(_pts(spark, rows), vmax_mps=50.0).collect()}
+    assert out == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_speed_filter_drops_and_preserves_schema(spark):
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (1, 2, _ts(1), 50.0, -123.0),   # spike
+        (1, 3, _ts(2), 50.001, -123.0),
+    ]
+    df = _pts(spark, rows)
+    kept = speed_filter(df, vmax_mps=50.0)
+    assert kept.columns == df.columns  # flag column dropped, order kept
+    assert {r.event_id for r in kept.collect()} == {1, 3}
+
+
+def test_speed_flags_single_window_exchange(spark):
+    rows = [(1, 1, _ts(0), 49.0, -123.0), (1, 2, _ts(1), 49.1, -123.0)]
+    df = speed_flags(_pts(spark, rows))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
