@@ -5064,6 +5064,138 @@ ORACLE_ORDER_PRIORITY_CHECK = (
 )
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS + NOT-EXISTS composition: suppliers who
+    were the SOLE late supplier on a finished multi-supplier order.
+    "Late" = shipped more than 60 days after the order date (this
+    schema's lateness signal; TPC-H uses receipt vs commit date).
+
+    Three-join pyramid, each leg a different join flavor on the SAME
+    key: inner (lineitem×orders, late-flag), left_semi (another
+    supplier exists on the order), left_anti (no OTHER supplier was
+    late).  All three shuffle on the order key, so Catalyst reuses one
+    exchange partitioning end-to-end; supplier + nation are
+    broadcast.  The late pair set is DISTINCT (a supplier with 3 late
+    lines on one order waits once — documented deviation from Q21's
+    per-line multiplicity)."""
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    has_other = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    sole = has_other.join(
+        late2,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sole.join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = (
+    "WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F' "
+    "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "SELECT s_name, n_name, count(*)::BIGINT AS numwait FROM lp "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON n_nationkey = s_nationkey "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = lp.l_orderkey AND l2.l_suppkey <> lp.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lp lp2 "
+    "WHERE lp2.l_orderkey = lp.l_orderkey AND lp2.l_suppkey <> lp.l_suppkey) "
+    "GROUP BY s_name, n_name"
+)
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped churn report: customers richer than the average
+    positive-balance customer with NO order since 2000-01-01, rolled up
+    per nation.  (Q22 tests "never ordered"; this corpus's generator
+    gives every customer early orders, so the recency cutoff is the
+    non-degenerate equivalent — 5/55/646 rows at sf0.001/0.01/0.1.)
+    Scalar subquery = 1-row agg broadcast-crossJoined (the distributed
+    form of a scalar; no driver collect); the no-recent-orders test is
+    a left_anti on the customer key with the date filter pushed into
+    the orders scan, NOT applied post-join — an anti-join's filter
+    placement changes its meaning.
+
+    Engine-stable money math: the threshold is integer-cent summed
+    (sum(round(bal·100))::BIGINT / (100·count) — one IEEE divide) and
+    the output balance total is integer-cent summed then /100, so no
+    float-summation-order or double→decimal rounding divergence between
+    Spark and the oracle."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("_thr")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("_thr"))
+    recent = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        idle.join(F.broadcast(nat), idle["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = (
+    "WITH thr AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+    "/ (100.0 * count(*)) AS t FROM customer WHERE c_acctbal > 0.0) "
+    "SELECT n_name, count(*)::BIGINT AS n_custs, "
+    "sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal "
+    "FROM customer, thr JOIN nation ON n_nationkey = c_nationkey "
+    "WHERE c_acctbal > thr.t "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderdate >= DATE '2000-01-01') "
+    "GROUP BY n_name"
+)
+
+
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped distribution: how many customers placed exactly N
     orders, INCLUDING the zero-order customers (left outer join, count of
@@ -5288,6 +5420,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
     "order_priority_check": q_order_priority_check,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
     "ann_topk_int8": q_ann_topk_int8,
     "customer_distribution": q_customer_distribution,
     "render_interleaved": q_render_interleaved,
@@ -5536,6 +5670,8 @@ ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "tile_pyramid": ORACLE_TILE_PYRAMID,
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
     "ann_topk_int8": _ANN_PLANTED_SQL,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "render_interleaved": ORACLE_RENDER_INTERLEAVED,
