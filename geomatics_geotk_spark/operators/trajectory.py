@@ -15,6 +15,8 @@ one aggregation exchange on (entity, run).  No Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +228,111 @@ def speed_flags(
         (dt <= F.lit(0.0)) | (dist > F.lit(float(vmax_mps)) * dt)
     )
     return pts.withColumn("is_spike", spike)
+
+
+def colocation_join(
+    pts: DataFrame,
+    radius_m: float = 2000.0,
+    bucket_s: int = 3600,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat_deg: float = 66.0,
+) -> DataFrame:
+    """Spatio-temporal co-location: pairs of DIFFERENT entities observed
+    within ``radius_m`` meters of each other in the same ``bucket_s``
+    time bucket — the contact / encounter join of a mobility pipeline
+    (the two-entity extension of the reference's point-distance
+    predicate, DistanceUtilities.java point×point, composed with the
+    temporal bucketing of TemporalUtilities).
+
+    Distributed shape (NEVER all-pairs): each fix gets an integer time
+    bucket (pure int64 division of epoch-micros — no float rounding at
+    bucket edges) and a square grid cell sized so the radius never spans
+    more than one cell step (``cell_deg`` ≥ radius in BOTH axes up to
+    ``max_abs_lat_deg``).  The build side keeps its home cell; the probe
+    side explodes the 3x3 neighbor ring; the equi-join key is
+    (cell_x, cell_y, bucket), so every candidate pair meets in EXACTLY
+    one task (ring cells are distinct, home cell is unique) and the
+    exact haversine refine runs once per candidate.  ``entity_a <
+    entity_b`` folds the symmetric pair space in half inside the join
+    condition.
+
+    100 TB shape: one shuffle per side on the (cell, bucket) key — fine
+    key cardinality (cells x buckets), constant x9 probe fan-out, AQE
+    skew-split absorbs hot venue-hour cells, and the refine is pure JVM
+    Column math.  Output is meet-grained: (user_a, user_b, bucket,
+    event_a, event_b, dist_m); roll up per pair downstream.
+
+    Above ``max_abs_lat_deg`` the lon cell width may under-cover the
+    radius (meridian convergence); raise it (cells grow) or pre-split
+    polar entities before trusting recall there.
+    """
+    from ..functions import haversine_m
+
+    lat_deg = radius_m / 111000.0
+    lon_deg = radius_m / (110000.0 * math.cos(math.radians(max_abs_lat_deg)))
+    cs = max(lat_deg, lon_deg)
+    us_per_bucket = int(bucket_s) * 1_000_000
+    base = pts.select(
+        F.col(entity_col),
+        F.col(order_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {us_per_bucket}"
+        ).alias("bucket"),
+        F.floor(F.col(lat_col) / F.lit(cs)).alias("_cy"),
+        F.floor(F.col(lon_col) / F.lit(cs)).alias("_cx"),
+    )
+    build = base.select(
+        F.col(entity_col).alias("user_b"),
+        F.col(order_col).alias("event_b"),
+        F.col(lat_col).alias("_blat"),
+        F.col(lon_col).alias("_blon"),
+        F.col("bucket").alias("_bbkt"),
+        F.col("_cy").alias("_bcy"),
+        F.col("_cx").alias("_bcx"),
+    )
+    ring = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("_cy") + F.lit(dy)).alias("ry"),
+                    (F.col("_cx") + F.lit(dx)).alias("rx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("_r")
+    probe = base.select(
+        F.col(entity_col).alias("user_a"),
+        F.col(order_col).alias("event_a"),
+        F.col(lat_col).alias("_alat"),
+        F.col(lon_col).alias("_alon"),
+        F.col("bucket"),
+        ring,
+    )
+    dist = haversine_m(
+        F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon")
+    )
+    return (
+        probe.join(
+            build,
+            (F.col("_r.ry") == F.col("_bcy"))
+            & (F.col("_r.rx") == F.col("_bcx"))
+            & (F.col("bucket") == F.col("_bbkt"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .where(dist <= F.lit(float(radius_m)))
+        .select(
+            "user_a", "user_b", "bucket", "event_a", "event_b",
+            dist.alias("dist_m"),
+        )
+    )
 
 
 def speed_filter(

@@ -957,6 +957,39 @@ ORACLE_SPEED_SPIKES = (
 )
 
 
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location (trajectory.colocation_join): pairs of
+    users observed within 2 km in the same hour bucket, rolled up per
+    pair (meet count + distinct hours).  The engine path is the 3x3
+    cell-ring equi-join on (cell, hour) — never all-pairs — while the
+    oracle is the readable quadratic within-bucket join; both ends are
+    integer-only output and the closest pair distance sits 4.2 mm from
+    the 2 km boundary (5 orders above the libm ulp band), so the counts
+    are engine-stable.  Time buckets are pure int64 epoch-micros
+    division on both sides — no float at bucket edges."""
+    from .operators import trajectory
+
+    meets = trajectory.colocation_join(
+        _event_pts(spark, sf_dir), radius_m=2000.0, bucket_s=3600
+    )
+    return meets.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_meets"),
+        F.countDistinct("bucket").alias("n_buckets"),
+    )
+
+
+ORACLE_COLOCATION = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "b AS (SELECT user_id, event_id, lat, lon, "
+    "epoch_us(ts) // 3600000000 AS bkt FROM pts) "
+    "SELECT a.user_id AS user_a, c.user_id AS user_b, "
+    "count(*)::BIGINT AS n_meets, count(DISTINCT a.bkt)::BIGINT AS n_buckets "
+    "FROM b a JOIN b c ON a.bkt = c.bkt AND a.user_id < c.user_id "
+    f"WHERE {_haversine_sql('a.lat', 'a.lon', 'c.lat', 'c.lon')} <= 2000.0 "
+    "GROUP BY a.user_id, c.user_id"
+)
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: merge overlapping-or-touching event periods and
     report merged-run count, total covered seconds, and raw period
@@ -5435,6 +5468,7 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "stay_zones": q_stay_zones,
     "speed_spikes": q_speed_spikes,
+    "colocation": q_colocation,
     "interval_coverage": q_interval_coverage,
     "oov_rate": q_oov_rate,
     "minhash_est_jaccard": q_minhash_est_jaccard,
@@ -5557,6 +5591,7 @@ ORACLES = {
     "od_matrix": ORACLE_OD_MATRIX,
     "stay_zones": ORACLE_STAY_ZONES,
     "speed_spikes": ORACLE_SPEED_SPIKES,
+    "colocation": ORACLE_COLOCATION,
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "minhash_est_jaccard": _oracle_minhash_est_jaccard(),

@@ -314,3 +314,62 @@ def test_speed_flags_single_window_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# colocation_join — spatio-temporal encounter pairs
+# ---------------------------------------------------------------------------
+
+
+def test_colocation_planted_pairs(spark):
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (2, 2, _ts(5), 49.0005, -123.0),   # ~55 m, same hour   → meet
+        (3, 3, _ts(70), 49.0, -123.0),     # next hour bucket   → no meet w/ 1,2
+        (4, 4, _ts(1), 49.03, -123.0),     # ~3.3 km from 1     → no meet
+    ]
+    from geomatics_geotk_spark.operators.trajectory import colocation_join
+
+    out = colocation_join(_pts(spark, rows), radius_m=2000.0, bucket_s=3600)
+    meets = [(r.user_a, r.user_b) for r in out.collect()]
+    assert meets == [(1, 2)]
+
+
+def test_colocation_cross_cell_boundary(spark):
+    # default cell size = 2000/(110000*cos 66°) ≈ 0.0447°; lons 0.0446 and
+    # 0.0448 land in DIFFERENT home cells but are ~22 m apart — only the
+    # 3x3 neighbor ring finds this pair.
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0446),
+        (2, 2, _ts(1), 0.0, 0.0448),
+    ]
+    from geomatics_geotk_spark.operators.trajectory import colocation_join
+
+    out = colocation_join(_pts(spark, rows), radius_m=2000.0, bucket_s=3600).collect()
+    assert len(out) == 1 and (out[0].user_a, out[0].user_b) == (1, 2)
+    assert out[0].dist_m < 30.0
+
+
+def test_colocation_no_self_pairs_and_single_emit(spark):
+    # one user twice in one bucket → no self pair; a true pair is emitted
+    # exactly ONCE (ring cells distinct + home cell unique + a<b fold).
+    rows = [
+        (5, 1, _ts(0), 49.0, -123.0),
+        (5, 2, _ts(1), 49.0001, -123.0),
+        (6, 3, _ts(2), 49.0002, -123.0),
+    ]
+    from geomatics_geotk_spark.operators.trajectory import colocation_join
+
+    out = colocation_join(_pts(spark, rows)).collect()
+    pairs = sorted((r.user_a, r.user_b, r.event_a, r.event_b) for r in out)
+    assert pairs == [(5, 6, 1, 3), (5, 6, 2, 3)]
+
+
+def test_colocation_plan_no_cartesian_no_python(spark):
+    rows = [(1, 1, _ts(0), 49.0, -123.0), (2, 2, _ts(1), 49.0, -123.0)]
+    from geomatics_geotk_spark.operators.trajectory import colocation_join
+
+    df = colocation_join(_pts(spark, rows))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
