@@ -230,6 +230,56 @@ def speed_flags(
     return pts.withColumn("is_spike", spike)
 
 
+def simplify_error(
+    pts: DataFrame,
+    tolerance_deg: float = 0.1,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Simplification quality metric: per entity, the directed Hausdorff
+    distance from the RAW track to its :func:`simplify_radial` output —
+    max over raw fixes of (min over kept fixes of distance), in the same
+    rational scaled-degree metric the simplifier thresholds on.  The
+    companion report every lossy-compaction pipeline needs: "after
+    simplification, no original fix is further than H from a kept fix."
+
+    Engine-stability by construction: the squared distance is explicit
+    double multiply/add in a fixed order (no libm except one final
+    correctly-rounded sqrt), and min/max are exact selections — the
+    result is BIT-identical in any IEEE engine evaluating the same
+    expression tree, unlike a sum whose order varies.
+
+    100 TB shape: kept fixes are a small per-entity subset, so the
+    raw x kept join is entity-keyed (one exchange per side, never
+    all-pairs across entities); both rollups group on supersets of the
+    join key, so Catalyst reuses the join partitioning — no further
+    exchange.  Output: (entity, n_fixes, err_sdeg).
+    """
+    kept = simplify_radial(
+        pts, tolerance_deg, entity_col, ts_col, order_col, lat_col, lon_col
+    ).select(
+        F.col(entity_col).alias("_ke"),
+        F.col(lat_col).alias("_klat"),
+        F.col(lon_col).alias("_klon"),
+    )
+    raw = pts.select(entity_col, order_col, lat_col, lon_col)
+    dx = (F.col(lon_col) - F.col("_klon")) * F.lit(LON_SCALE)
+    dy = F.col(lat_col) - F.col("_klat")
+    d2 = dx * dx + dy * dy
+    per_fix = (
+        raw.join(kept, F.col(entity_col) == F.col("_ke"))
+        .groupBy(entity_col, order_col)
+        .agg(F.min(d2).alias("_mind2"))
+    )
+    return per_fix.groupBy(entity_col).agg(
+        F.count("*").alias("n_fixes"),
+        F.sqrt(F.max("_mind2")).alias("err_sdeg"),
+    )
+
+
 def colocation_join(
     pts: DataFrame,
     radius_m: float = 2000.0,

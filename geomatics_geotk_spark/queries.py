@@ -924,6 +924,40 @@ ORACLE_TRACK_SIMPLIFY = (
 )
 
 
+def q_simplify_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplification quality report (trajectory.simplify_error): per
+    user, the directed Hausdorff distance from the raw track to its
+    tol=0.45 simplify_radial output, in scaled degrees.  Bit-exact
+    across engines: fixed-order multiply/add distance, exact min/max
+    selection, one final correctly-rounded sqrt — no accumulation.
+    Plan: the raw x kept join and BOTH rollups share the user_id
+    partitioning (the group keys are supersets of the join key), so the
+    whole metric costs the join's two exchanges."""
+    from .operators import trajectory
+
+    return trajectory.simplify_error(_event_pts(spark, sf_dir), tolerance_deg=0.45)
+
+
+ORACLE_SIMPLIFY_ERROR = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, event_id, lat, lon, "
+    "lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, "
+    "lead(lat) OVER w AS nlat FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "kept AS (SELECT user_id, lat, lon FROM lg "
+    "WHERE plat IS NULL OR nlat IS NULL OR "
+    "((lon - plon) * CAST(0.65 AS DOUBLE)) * ((lon - plon) * CAST(0.65 AS DOUBLE)) "
+    "+ (lat - plat) * (lat - plat) >= CAST(0.45 AS DOUBLE) * CAST(0.45 AS DOUBLE)), "
+    "md AS (SELECT p.user_id, p.event_id, "
+    "min(((p.lon - k.lon) * CAST(0.65 AS DOUBLE)) * ((p.lon - k.lon) * CAST(0.65 AS DOUBLE)) "
+    "+ (p.lat - k.lat) * (p.lat - k.lat)) AS mind2 "
+    "FROM pts p JOIN kept k ON p.user_id = k.user_id "
+    "GROUP BY p.user_id, p.event_id) "
+    "SELECT user_id, count(*)::BIGINT AS n_fixes, sqrt(max(mind2)) AS err_sdeg "
+    "FROM md GROUP BY user_id"
+)
+
+
 def q_speed_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS implied-speed QC report (trajectory.speed_flags): per user,
     count fixes whose haversine distance from the previous fix exceeds
@@ -5465,6 +5499,7 @@ QUERIES = {
     "trajectory_length": q_trajectory_length,
     "staypoints": q_staypoints,
     "track_simplify": q_track_simplify,
+    "simplify_error": q_simplify_error,
     "od_matrix": q_od_matrix,
     "stay_zones": q_stay_zones,
     "speed_spikes": q_speed_spikes,
@@ -5588,6 +5623,7 @@ ORACLES = {
     "trajectory_length": _oracle_trajectory_length(),
     "staypoints": ORACLE_STAYPOINTS,
     "track_simplify": ORACLE_TRACK_SIMPLIFY,
+    "simplify_error": ORACLE_SIMPLIFY_ERROR,
     "od_matrix": ORACLE_OD_MATRIX,
     "stay_zones": ORACLE_STAY_ZONES,
     "speed_spikes": ORACLE_SPEED_SPIKES,

@@ -373,3 +373,55 @@ def test_colocation_plan_no_cartesian_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# simplify_error — directed Hausdorff raw→simplified
+# ---------------------------------------------------------------------------
+
+
+def test_simplify_error_planted(spark):
+    # tol 0.45 keeps only endpoints A(49.0) and C(49.5) (B's step is 0.1);
+    # B's nearest kept fix is A at 0.1 scaled-degrees → err = 0.1.
+    from geomatics_geotk_spark.operators.trajectory import simplify_error
+
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (1, 2, _ts(1), 49.1, -123.0),
+        (1, 3, _ts(2), 49.5, -123.0),
+    ]
+    out = simplify_error(_pts(spark, rows), tolerance_deg=0.45).collect()
+    assert len(out) == 1
+    assert out[0].n_fixes == 3
+    assert abs(out[0].err_sdeg - 0.1) < 1e-12
+
+
+def test_simplify_error_zero_when_nothing_dropped(spark):
+    from geomatics_geotk_spark.operators.trajectory import simplify_error
+
+    rows = [
+        (1, 1, _ts(0), 49.0, -123.0),
+        (1, 2, _ts(1), 49.9, -123.0),   # step 0.9 ≥ tol → kept
+        (1, 3, _ts(2), 49.0, -122.0),
+    ]
+    out = simplify_error(_pts(spark, rows), tolerance_deg=0.45).collect()
+    assert out[0].err_sdeg == 0.0
+
+
+def test_simplify_error_smj_two_exchanges(spark):
+    # the 100 TB shape: with the kept side too big to broadcast, the
+    # entity-keyed SMJ's partitioning serves BOTH rollups — exactly two
+    # hash exchanges in the whole plan, no Python.
+    from geomatics_geotk_spark.operators.trajectory import simplify_error
+
+    rows = [(1, i, _ts(i), 49.0 + i * 0.01, -123.0) for i in range(6)]
+    df = _pts(spark, rows)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = simplify_error(df, tolerance_deg=0.45)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
