@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "track_simplify",
     "od_matrix",
     "stay_zones",
+    "speed_spikes",
+    "simplify_error",
+    "colocation",
+    # closing round-5 relational shapes
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 
