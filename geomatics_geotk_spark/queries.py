@@ -5263,6 +5263,63 @@ ORACLE_IDLE_CUSTOMERS = (
 )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin-per-group: for every part, the supplier(s)
+    observed selling it at the minimum unit price (extendedprice /
+    quantity), ties kept — the correlated-min-subquery shape.
+
+    Distributed form: the per-part min is a partial-aggregable groupBy
+    joined BACK to the line rows.  The price match is written
+    ``unit_price <= min_price`` (equivalent to equality because min is a
+    lower bound) so Catalyst keys the join on l_partkey ALONE — writing
+    ``==`` would pull the price into the hash key, forcing a
+    (partkey, price) exchange pair AND a third exchange for the
+    DISTINCT; with the non-equi form the join, the agg, and the
+    DISTINCT all run on the single l_partkey partitioning: two hash
+    exchanges in the whole plan (plan-asserted in tests).  The float
+    comparison is exact by construction: min() SELECTS one of the
+    actual division results and the probe recomputes the identical
+    division — bit-equal in any IEEE engine, no epsilon needed.
+    Supplier + part dims broadcast; DISTINCT collapses repeat
+    (part, supplier) observations at the same price."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    mins = mins.select(F.col("l_partkey").alias("m_partkey"), "min_price")
+    best = (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_price") <= F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"])
+        .select("p_partkey", "p_name", "p_brand", "s_name", "min_price")
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = (
+    "WITH up AS (SELECT l_partkey, l_suppkey, "
+    "l_extendedprice / l_quantity AS unit_price FROM lineitem), "
+    "mn AS (SELECT l_partkey, min(unit_price) AS min_price "
+    "FROM up GROUP BY l_partkey) "
+    "SELECT DISTINCT p_partkey, p_name, p_brand, s_name, min_price "
+    "FROM up JOIN mn ON up.l_partkey = mn.l_partkey "
+    "AND up.unit_price = mn.min_price "
+    "JOIN part ON p_partkey = up.l_partkey "
+    "JOIN supplier ON s_suppkey = up.l_suppkey"
+)
+
+
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped distribution: how many customers placed exactly N
     orders, INCLUDING the zero-order customers (left outer join, count of
@@ -5489,6 +5546,7 @@ QUERIES = {
     "order_priority_check": q_order_priority_check,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
+    "cheapest_supplier": q_cheapest_supplier,
     "ann_topk_int8": q_ann_topk_int8,
     "customer_distribution": q_customer_distribution,
     "render_interleaved": q_render_interleaved,
@@ -5743,6 +5801,7 @@ ORACLES = {
     "order_priority_check": ORACLE_ORDER_PRIORITY_CHECK,
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "cheapest_supplier": ORACLE_CHEAPEST_SUPPLIER,
     "ann_topk_int8": _ANN_PLANTED_SQL,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "render_interleaved": ORACLE_RENDER_INTERLEAVED,

@@ -181,3 +181,25 @@ class TestTextPlans:
         assert _nodes(plan, "Exchange") == 1 and _no_python(plan)
         assert "Window" not in plan
         assert _nodes(plan, "HashAggregate") + _nodes(plan, "ObjectHashAggregate") == 2
+
+
+class TestRelationalPlans:
+    def test_cheapest_supplier_single_partitioning(self, spark):
+        """Argmin join-back: the <= rewrite keeps the join keyed on
+        l_partkey alone, so agg + join + DISTINCT share one partitioning
+        — exactly two hash exchanges, dims broadcast, no Python."""
+        # force the at-scale shape: the unhinted fact-side join goes SMJ
+        # (the explicit broadcast() hints keep the dims broadcast)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = plans.formatted_plan(
+                queries.q_cheapest_supplier(spark, SF)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert _nodes(plan, "Exchange") == 2, plan
+        # the load-bearing claim: NO exchange is keyed on the price —
+        # the == form would hash (partkey, price) on both fact sides
+        assert not re.search(r"hashpartitioning\([^)]*price", plan), plan
+        assert _no_python(plan)
