@@ -5531,6 +5531,346 @@ ORACLE_BM25_TOPK = (
 )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average join-back: yearly revenue
+    that would vanish if small-quantity orders of one brand were
+    dropped — lines of Brand#4 MEDIUM parts whose quantity is below
+    0.2 × that part's observed average quantity.
+
+    Decorrelated form: the per-part average is a partial-aggregable
+    groupBy over the SAME filtered join, joined BACK on l_partkey — so
+    the agg, the join-back, and the final sum all run on one l_partkey
+    exchange (the part dim broadcasts into both legs).  The threshold is
+    exact across engines: quantities are integral doubles, so
+    sum/count is order-independent and ``0.2 * avg`` is one IEEE
+    product.  Revenue follows the engine money convention
+    (per-row DECIMAL(18,6) cast, decimal sum, one final double divide
+    by the 7 observed order years)."""
+    p = (
+        _read(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lines = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    small = lines.join(
+        avg_q, lines["l_partkey"] == avg_q["a_partkey"]
+    ).where(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = (
+    "WITH pl AS (SELECT l_partkey, l_quantity, l_extendedprice "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand = 'Brand#4' AND p_type = 'MEDIUM'), "
+    "a AS (SELECT l_partkey AS a_partkey, "
+    "sum(l_quantity) / count(*) AS avg_qty FROM pl GROUP BY l_partkey) "
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 "
+    "AS avg_yearly, count(*) AS n_small_lines "
+    "FROM pl JOIN a ON l_partkey = a_partkey "
+    "WHERE l_quantity < 0.2 * avg_qty"
+)
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-threshold semi-aggregation: customers
+    whose single order totals more than 300 units.
+
+    The groupBy(l_orderkey) pre-aggregates lineitem BEFORE any wide
+    table joins it — the filtered agg output is tiny (survivor orders
+    only), so AQE converts the orders join to a broadcast at runtime
+    while the written plan stays a plain equi-join (no hint; at 100 TB
+    the optimizer re-decides from the true post-filter size).  Customer
+    is dimension-sized and broadcasts explicitly.  Quantities are
+    integral doubles, so the 300-unit threshold is exact."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300.0)
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = (
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty "
+    "FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bidirectional nation-pair shipping report:
+    revenue between NATION_1 and NATION_2 (both directions) per ship
+    year.
+
+    Join shape for 100 TB: lineitem⋈orders shuffles on the order key
+    (the two fact tables); customer rides the orders side on o_custkey;
+    supplier and nation are dimension broadcasts.  The nation-pair
+    disjunction applies AFTER both nation names are attached — it
+    references both sides, so it cannot push below the join, but the
+    per-side nationkey IN (1,2) prefilters DO push into the customer
+    and supplier scans, shrinking the fact join's probe input."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(1, 2))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    sup = (
+        _read(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(1, 2))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = (
+    "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS INT) AS l_year, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) "
+    "AS DOUBLE) AS revenue, count(*) AS n_lines "
+    "FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+    "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1') "
+    "GROUP BY 1, 2, 3"
+)
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped conditional market share: NATION_3's share of
+    ASIA-region customers' MEDIUM-part revenue, per order year.
+
+    Two-level conditional aggregation over one joined stream: the
+    numerator is a CASE-gated decimal sum of the same rows as the
+    denominator, so the share needs NO self-join or second pass — one
+    grouped agg computes both (at 100 TB the alternative
+    two-aggregation formulation doubles the fact-scan + shuffle).
+    Region gates the customer side through the nation dim (both
+    broadcast); the part-type filter pushes into the part scan.  The
+    final share is one IEEE divide of two decimal-summed doubles."""
+    nat = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    asia_cust = (
+        _read(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "MEDIUM").select(
+        "p_partkey"
+    )
+    sup = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_cust), orders["o_custkey"] == asia_cust["c_custkey"], "left_semi")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double").alias("_num"),
+        F.sum(vol).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        (F.coalesce(F.col("_num"), F.lit(0.0)) / F.col("total_volume")).alias("mkt_share"),
+        "total_volume",
+    )
+
+
+ORACLE_MARKET_SHARE = (
+    "WITH j AS (SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation, "
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS vol "
+    "FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM' "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE EXISTS (SELECT 1 FROM customer "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "JOIN region ON cn.n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND c_custkey = o_custkey)) "
+    "SELECT CAST(o_year AS INT) AS o_year, "
+    "coalesce(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END) "
+    "AS DOUBLE), 0.0) / CAST(sum(vol) AS DOUBLE) AS mkt_share, "
+    "CAST(sum(vol) AS DOUBLE) AS total_volume "
+    "FROM j GROUP BY o_year"
+)
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup by supplier nation × order year.
+
+    Documented schema deviation: this corpus has no partsupp table, so
+    Q9's ps_supplycost is replaced by a retail-anchored cost proxy
+    ``0.6 · p_retailprice · l_quantity`` — the aggregation shape (two
+    dim broadcasts into the fact stream, group on attributes from two
+    different dimensions, signed money sum) is what Q9 exercises.  The
+    per-row amount is one IEEE expression, decimal-cast BEFORE the sum
+    (signed decimal sum is order-independent — floats would not be)."""
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(amount).cast("double").alias("sum_profit"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_PRODUCT_PROFIT = (
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) "
+    "- 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) "
+    "AS sum_profit, count(*) AS n_lines "
+    "FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY 1, 2"
+)
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-share time series: the percentage of each
+    ship month's revenue that came from PROMO-type parts, over 1996.
+
+    The month filter pushes into the lineitem scan (min/max parquet
+    pruning at 100 TB when the table is date-partitioned); part
+    broadcasts; numerator and denominator come out of ONE grouped pass
+    via a CASE-gated decimal sum — no second scan, no self-join."""
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    agg = j.groupBy(F.month("l_shipdate").alias("l_month")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double").alias("_promo"),
+        F.sum(vol).cast("double").alias("total_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        "l_month",
+        (
+            F.lit(100.0) * F.coalesce(F.col("_promo"), F.lit(0.0))
+            / F.col("total_revenue")
+        ).alias("promo_pct"),
+        "total_revenue",
+        "n_lines",
+    )
+
+
+ORACLE_PROMO_REVENUE = (
+    "WITH j AS (SELECT month(l_shipdate) AS l_month, p_type, "
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS vol "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01') "
+    "SELECT CAST(l_month AS INT) AS l_month, "
+    "100.0 * coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol END) "
+    "AS DOUBLE), 0.0) / CAST(sum(vol) AS DOUBLE) AS promo_pct, "
+    "CAST(sum(vol) AS DOUBLE) AS total_revenue, count(*) AS n_lines "
+    "FROM j GROUP BY l_month"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -5540,6 +5880,12 @@ ORACLE_BM25_TOPK = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "promo_revenue": q_promo_revenue,
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
@@ -5809,6 +6155,12 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+    "market_share": ORACLE_MARKET_SHARE,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
 }
 
 # Driver-rotation ordering (r4 verdict item 3): the driver's correctness
@@ -5821,6 +6173,12 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "small_quantity_revenue", "large_volume_customers",  # new: Q17/Q18 shapes
+    "nation_trade_volume", "market_share",               # new: Q7/Q8 shapes
+    "product_profit", "promo_revenue",                   # new: Q9/Q14 shapes
+    "speed_spikes", "simplify_error", "colocation",      # new: trajectory QC/meet
+    "waiting_suppliers", "idle_customers",               # new: Q21/Q22 shapes
+    "cheapest_supplier",                                 # new: Q2-shaped argmin
     "staypoints", "track_simplify", "od_matrix",       # new: trajectory ops
     "stay_zones",                                      # new: trajectory × PIP compose
     "group_quantiles",                                 # new: aggregate-path quantiles
