@@ -115,6 +115,19 @@ BENCH_QUERIES = [
     # closing round-5 relational shapes
     "waiting_suppliers",
     "idle_customers",
+    # final round-5 extension: remaining TPC-H shapes, PQ retrieval,
+    # A-ES weighted sampling, entropy QC, hull geodesic measure
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "promo_revenue",
+    "ann_topk_pq",
+    "ann_topk_ivf_pq",
+    "weighted_sample",
+    "token_entropy",
+    "hull_perimeter",
 ]
 
 

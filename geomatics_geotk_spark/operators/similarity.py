@@ -501,6 +501,214 @@ def ann_topk_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — byte codes + ADC lookup scoring
+# ---------------------------------------------------------------------------
+
+
+def learn_pq_codebooks(embeddings: DataFrame, m: int = 8, n_codes: int = 256,
+                       vec_col: str = "embedding", dim: int = 64,
+                       iters: int = 5, sample_rows: int = 20_000,
+                       seed: int = 42) -> np.ndarray:
+    """Per-subspace codebooks ``(m, n_codes, dim/m)`` for product
+    quantization, trained by k-means on a bounded DRIVER-SIDE sample of
+    UNIT-NORMALIZED vectors (same contract as :func:`learn_centroids`:
+    the codebook trains on ~10^4 rows regardless of corpus size;
+    encoding stays fully distributed).  Deterministic: hash-ordered
+    sample, stride init, fixed iterations."""
+    if dim % m:
+        raise ValueError(f"learn_pq_codebooks: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    pdf = (
+        embeddings.select(F.xxhash64(F.to_json(F.struct(vec_col))).alias("_h"), vec_col)
+        .orderBy("_h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, n, out=mat, where=n > 0)
+    books = np.empty((m, min(n_codes, len(mat)), dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        c = books.shape[1]
+        cent = sub[:: max(1, len(sub) // c)][:c].copy()
+        for _ in range(iters):
+            # squared-L2 assignment: |x-c|² = |x|² - 2x·c + |c|² — the
+            # |x|² term is constant per row, so argmin over (|c|²-2x·c)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = d2.argmin(axis=1)
+            for ci in range(c):
+                mask = assign == ci
+                if mask.any():
+                    cent[ci] = sub[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def with_pq_codes(df: DataFrame, codebooks: np.ndarray,
+                  vec_col: str = "embedding", out: str = "codes") -> DataFrame:
+    """array<int> of ``m`` PQ code ids per vector (nearest codebook
+    entry per subspace of the unit-normalized vector) — Arrow batch
+    encode; at rest the codes column is m small ints vs dim floats, the
+    32-64x compression that makes a 100 TB vector corpus scannable."""
+    books = codebooks
+    m, _, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, n, out=mat, where=n > 0)
+        out_codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d2 = (books[s] * books[s]).sum(axis=1)[None, :] - 2.0 * (sub @ books[s].T)
+            out_codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out_codes))
+
+    return df.withColumn(out, encode(F.col(vec_col)))
+
+
+def ann_topk_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                pool: int = 50, id_col: str = "vec_id",
+                q_id_col: str = "q_id", vec_col: str = "embedding",
+                m: int = 8, n_codes: int = 256, dim: int = 64,
+                codebooks: np.ndarray | None = None) -> DataFrame:
+    """PQ-compressed retrieval: ADC coarse scan over byte codes + exact
+    rerank via join-back — the deepest compression tier of the ANN
+    family (int8 is 4-8×; PQ at m=8 over 64 float64 lanes is 64×).
+
+    Stage 1 (ADC — asymmetric distance computation): each query
+    precomputes one lookup table ``lut[s·n_codes + c] = q_sub(s) ·
+    codebook[s][c]`` (an Arrow batch over the small query side); the
+    corpus scan then scores every row with ``Σ_s lut[codes[s]]`` — pure
+    JVM Column math (zip_with index + element_at + aggregate over m=8
+    lanes), NO float vectors and NO Python in the corpus path.  The
+    approximate cosine is exact-up-to-quantization because both sides
+    are unit-normalized (corpus at encode time, query at LUT build).
+
+    Stage 2: the per-query candidate ``pool`` (salted two-phase
+    top-``pool`` on the ADC score) JOINS BACK to the vector store by id
+    for the exact double cosine — the scan pass never carries the float
+    vectors, and the join-back probe side is ≤ pool·|queries| rows, so
+    AQE broadcasts it into the store scan.  Final ranks use the same
+    expression as :func:`brute_topk`: results hash-match the
+    brute-force oracle whenever the ADC pool retains the true top-k."""
+    if codebooks is None:
+        codebooks = learn_pq_codebooks(embeddings, m, n_codes, vec_col, dim)
+    n_codes_eff = codebooks.shape[1]
+    books = codebooks
+    mm, _, dsub = books.shape
+
+    corpus = with_pq_codes(embeddings, books, vec_col).select(id_col, "codes")
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, n, out=mat, where=n > 0)
+        luts = np.empty((len(mat), mm * n_codes_eff), dtype=np.float64)
+        for s in range(mm):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            luts[:, s * n_codes_eff:(s + 1) * n_codes_eff] = sub @ books[s].T
+        return pd.Series(list(luts))
+
+    q = queries.select(
+        q_id_col, F.col(vec_col).alias("_qvec"), lut_of(F.col(vec_col)).alias("_lut")
+    )
+    idx = F.sequence(F.lit(0), F.lit(mm - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), idx,
+            lambda c, s: F.element_at("_lut", (s * n_codes_eff + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).withColumn("_adc", adc)
+    cand = _topk_per_query(
+        scored, pool, q_id_col, id_col, score_col="_adc", rank_col="_crank"
+    ).select(q_id_col, id_col, "_qvec")
+    store = embeddings.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
+    rer = cand.join(store, cand[id_col] == store["_sid"]).withColumn(
+        "cosine",
+        _safe_cos(
+            _dot(F.col("_svec"), F.col("_qvec")),
+            _norm(F.col("_svec")) * _norm(F.col("_qvec")),
+        ),
+    )
+    return _topk_per_query(rer, k, q_id_col, id_col).drop("_qvec", "_svec", "_sid")
+
+
+def ann_topk_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    pool: int = 50, id_col: str = "vec_id",
+                    q_id_col: str = "q_id", vec_col: str = "embedding",
+                    m: int = 8, n_codes: int = 256, dim: int = 64,
+                    n_centroids: int = 256, nprobe: int = 8,
+                    centroids: np.ndarray | None = None,
+                    codebooks: np.ndarray | None = None) -> DataFrame:
+    """IVF + PQ composition (the FAISS ``IVFx,PQy`` layout): coarse cell
+    pruning bounds the scan fraction at nprobe/n_centroids, ADC scoring
+    over byte codes bounds the scan WIDTH at m bytes/row, and the exact
+    rerank touches only pool·|queries| rows fetched by id join-back.
+    The stored 100 TB table this models carries exactly (id, cell,
+    codes) — bucket/partition by ``cell`` and the probe join needs zero
+    exchange on the corpus.
+
+    Everything between the scan and the rerank is JVM Column math over
+    ints (cell equi-join + LUT fold); Python appears only in the
+    constant-size encode/LUT Arrow batches."""
+    if centroids is None:
+        centroids = learn_centroids(embeddings, n_centroids, vec_col)
+    if codebooks is None:
+        codebooks = learn_pq_codebooks(embeddings, m, n_codes, vec_col, dim)
+    books = codebooks
+    mm, n_codes_eff, dsub = books.shape
+
+    corpus = with_pq_codes(
+        with_ivf_cell(embeddings, centroids, vec_col, nprobe=1), books, vec_col
+    ).select(id_col, "codes", F.element_at("cells", 1).alias("cell"))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, n, out=mat, where=n > 0)
+        luts = np.empty((len(mat), mm * n_codes_eff), dtype=np.float64)
+        for s in range(mm):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            luts[:, s * n_codes_eff:(s + 1) * n_codes_eff] = sub @ books[s].T
+        return pd.Series(list(luts))
+
+    q = with_ivf_cell(queries, centroids, vec_col, nprobe=nprobe).select(
+        q_id_col, F.col(vec_col).alias("_qvec"),
+        lut_of(F.col(vec_col)).alias("_lut"), F.explode("cells").alias("cell"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(mm - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), idx,
+            lambda c, s: F.element_at("_lut", (s * n_codes_eff + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.join(F.broadcast(q), "cell").withColumn("_adc", adc)
+    cand = _topk_per_query(
+        scored, pool, q_id_col, id_col, score_col="_adc", rank_col="_crank"
+    ).select(q_id_col, id_col, "_qvec")
+    store = embeddings.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
+    rer = cand.join(store, cand[id_col] == store["_sid"]).withColumn(
+        "cosine",
+        _safe_cos(
+            _dot(F.col("_svec"), F.col("_qvec")),
+            _norm(F.col("_svec")) * _norm(F.col("_qvec")),
+        ),
+    )
+    return _topk_per_query(rer, k, q_id_col, id_col).drop("_qvec", "_svec", "_sid")
+
+
 def ann_topk_ivf_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                       pool: int = 50, id_col: str = "vec_id",
                       q_id_col: str = "q_id", vec_col: str = "embedding",

@@ -217,6 +217,46 @@ def stratified_topk(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    denom: int = 1 << 40,
+    hash_fn: str = "xxhash64",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, the A-ES scheme): each row draws a
+    deterministic uniform ``u`` from its id hash and the ``k`` rows with
+    the largest ``ln(u)/w`` win — equivalent to ranking by ``u^(1/w)``,
+    so every row's inclusion probability is proportional to its weight
+    among the remaining rows, the textbook weighted-reservoir rule.
+
+    Scale shape: one per-row Column expression (hash → uniform → key),
+    then a GLOBAL top-k — ``orderBy(key).limit(k)``, which Spark executes
+    as TakeOrderedAndProject: each task keeps a k-row heap and the
+    driver merges task heaps, so no global sort and no single-partition
+    window at any corpus size.  Determinism: re-runnable and
+    layout-independent (same id ⇒ same u ⇒ same key on every run and
+    every cluster layout — the property ``df.sample`` cannot give).
+    ``u = (bucket + 0.5)/denom`` stays strictly inside (0,1), so the
+    key is finite for every positive weight.  hash_fn 'xxhash64' is the
+    production path; 'md5' is the DuckDB-mirrorable twin.
+
+    Weights must be positive; rows with ``weight <= 0`` are excluded
+    (matching the A-ES domain, where a zero-weight row can never win).
+    """
+    bucket = _id_bucket(id_col, denom, hash_fn)
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(denom))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    staged = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+    )
+    return staged.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+
+
 def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition features: ``dup_token_ratio`` (1 −
     distinct/total tokens) and ``dup_gram_ratio`` over NON-distinct word

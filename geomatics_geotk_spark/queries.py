@@ -3018,6 +3018,33 @@ def q_ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized retrieval (ADC scan over m=8 byte codes, 64×
+    narrower than the float64 vectors, then exact rerank via join-back)
+    over the same planted fixture: copies are positive scalings, so
+    they UNIT-NORMALIZE to the query's exact direction — their PQ codes
+    equal the query's own and their ADC score is the maximum attainable,
+    so the pool provably retains the truth and the final rows equal the
+    brute-force top-5."""
+    corpus, queries = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk_pq(corpus, queries, k=5, pool=50, m=8, n_codes=64)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (the FAISS-standard 100 TB layout: cell
+    pruning × byte-code ADC × pool rerank) over the planted fixture:
+    copies share the query's IVF cell (directional assignment) AND its
+    PQ codes (unit-normalization collapses positive scalings), so both
+    pruning stages provably retain the truth and the final rows equal
+    the brute-force top-5."""
+    corpus, queries = _ann_fixture(spark, sf_dir)
+    out = similarity.ann_topk_ivf_pq(
+        corpus, queries, k=5, pool=50, m=8, n_codes=64, n_centroids=32, nprobe=8
+    )
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
 # Fixed rotation target for the ADVERSARIAL near-dup fixture: a seeded
 # standard-normal direction, rounded to 4dp so the literal parses to the
 # SAME double in Spark and DuckDB.  Planted vectors are the base vector
@@ -5871,6 +5898,150 @@ ORACLE_PROMO_REVENUE = (
 )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample (md5 oracle twin of
+    ``text.weighted_sample``): the 50 documents winning the
+    length-weighted exponential-key lottery.  Global top-k is
+    TakeOrderedAndProject (per-task k-row heaps, no global sort);
+    the key is reported rounded 9 dp (JVM log vs DuckDB ln is 1-ulp
+    unstable) while ranking uses the unrounded key in both engines."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = text.weighted_sample(docs, "n_chars", k=50, hash_fn="md5")
+    return out.select(
+        "doc_id", "n_chars", F.round("es_key", 9).alias("es_key_r")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = (
+    "WITH b AS (SELECT doc_id, n_chars, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 1099511627776 AS bucket FROM documents WHERE n_chars > 0), "
+    "k AS (SELECT doc_id, n_chars, "
+    "ln((CAST(bucket AS DOUBLE) + 0.5) / 1099511627776.0) "
+    "/ CAST(n_chars AS DOUBLE) AS es_key FROM b) "
+    "SELECT doc_id, n_chars, round(es_key, 9) AS es_key_r FROM k "
+    "ORDER BY es_key DESC, doc_id ASC LIMIT 50"
+)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (whitespace-token) Shannon entropy in bits —
+    the vocabulary-flatness quality signal (near-zero entropy flags
+    repeated-token spam; high entropy at low length flags gibberish).
+
+    One explode + two partial-aggregable groupBys, both keyed by doc_id
+    so the second agg reuses the first's exchange.  The entropy is
+    algebraically folded to ``log2(n) − Σ c·log2(c) / n`` so each token's
+    contribution is one log of an INTEGER count — identical bits in both
+    engines — and the sum is rounded 9 dp before comparison."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("_s"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("_s") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("entropy_r"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY = (
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+    "AS token FROM documents), "
+    "tok AS (SELECT doc_id, token FROM t WHERE token <> ''), "
+    "tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, "
+    "sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s FROM tf GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, n_distinct, "
+    "round(log2(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 9) "
+    "AS entropy_r FROM a"
+)
+
+
+def q_hull_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic perimeter of each group's convex hull — the measure
+    companion to ``convex_hull_groups`` (same ellipse-parameterized
+    fixture, so the hull ring is analytically known and the oracle
+    replays it in angle order).  Each hull edge is a haversine leg
+    rounded to 2 dp (cm — far above libm mirror noise), integer-cent
+    summed so the ring traversal order cannot perturb the total (the
+    monotone-chain ring and the oracle's angle-order ring are the same
+    edge SET up to direction)."""
+    from .kernels import geometry as geom_k
+
+    k = F.col("c_custkey")
+    base = _read(spark, sf_dir, "customer").select(
+        k.alias("k"), (k % 20).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("k").asc())
+    wn = Window.partitionBy("grp")
+    b = base.withColumn("j", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    theta = F.lit(2.0) * F.lit(np.pi) * F.col("j") / F.col("n")
+    rs = F.when(F.col("j") % 3 == 0, F.lit(0.15)).otherwise(F.lit(1.0))
+    pts = b.select(
+        "grp", "j",
+        (F.lit(-123.0) + F.col("grp") * F.lit(0.01)
+         + F.lit(0.03) * rs * F.cos(theta)).alias("lon"),
+        (F.lit(49.5) + F.lit(0.02) * rs * F.sin(theta)).alias("lat"),
+    )
+    rad = 0.017453292519943295
+
+    def hull_perim(pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = np.column_stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()])
+        h = geom_k.convex_hull(coords)
+        cents = 0
+        if len(h) >= 2:
+            lon1, lat1 = h[:-1, 0], h[:-1, 1]
+            lon2, lat2 = h[1:, 0], h[1:, 1]
+            dlat = ((lat2 - lat1) * rad) / 2
+            dlon = ((lon2 - lon1) * rad) / 2
+            hs = np.sin(dlat) ** 2 + np.cos(lat1 * rad) * np.cos(lat2 * rad) * np.sin(dlon) ** 2
+            legs = 12742017.6 * np.arcsin(np.sqrt(np.minimum(hs, 1.0)))
+            cents = int(np.round(np.round(legs, 2) * 100).sum())
+        return pd.DataFrame({
+            "grp": [int(pdf["grp"].iloc[0])],
+            "hull_size": [max(0, len(h) - 1)],
+            "perimeter_m": [cents / 100.0],
+        })
+
+    return pts.groupBy("grp").applyInPandas(
+        hull_perim, "grp long, hull_size long, perimeter_m double"
+    )
+
+
+ORACLE_HULL_PERIMETER = (
+    "WITH b AS (SELECT c_custkey AS k, c_custkey % 20 AS grp, "
+    "row_number() OVER (PARTITION BY c_custkey % 20 ORDER BY c_custkey) - 1 AS j, "
+    "count(*) OVER (PARTITION BY c_custkey % 20) AS n FROM customer), "
+    "c AS (SELECT grp, j, 2.0 * pi() * j / n AS theta, "
+    "CASE WHEN j % 3 = 0 THEN 0.15 ELSE 1.0 END AS rs FROM b), "
+    "d AS (SELECT grp, j, (-123.0 + grp * 0.01) + 0.03 * rs * cos(theta) AS x, "
+    "49.5 + 0.02 * rs * sin(theta) AS y, rs FROM c), "
+    "e AS (SELECT grp, j, x, y, "
+    "coalesce(lead(x) OVER wb, first_value(x) OVER wb) AS nx, "
+    "coalesce(lead(y) OVER wb, first_value(y) OVER wb) AS ny "
+    "FROM d WHERE rs = 1.0 "
+    "WINDOW wb AS (PARTITION BY grp ORDER BY j)), "
+    "legs AS (SELECT grp, CAST(round("
+    + _haversine_sql("y", "x", "ny", "nx")
+    + ", 2) AS DECIMAL(18,6)) AS leg FROM e) "
+    "SELECT grp, count(*) AS hull_size, "
+    "CAST(sum(leg) AS DOUBLE) AS perimeter_m FROM legs GROUP BY grp"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -5886,6 +6057,9 @@ QUERIES = {
     "market_share": q_market_share,
     "product_profit": q_product_profit,
     "promo_revenue": q_promo_revenue,
+    "weighted_sample": q_weighted_sample,
+    "token_entropy": q_token_entropy,
+    "hull_perimeter": q_hull_perimeter,
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
@@ -5947,6 +6121,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_int8": q_ann_topk_ivf_int8,
+    "ann_topk_pq": q_ann_topk_pq,
+    "ann_topk_ivf_pq": q_ann_topk_ivf_pq,
     "geometry_join_lines": q_geometry_join_lines,
     "geometry_join_polys": q_geometry_join_polys,
     "geometry_join_within": q_geometry_join_within,
@@ -6101,6 +6277,8 @@ ORACLES = {
     "ann_topk": _ANN_PLANTED_SQL,
     "ann_topk_ivf": _ANN_PLANTED_SQL,
     "ann_topk_ivf_int8": _ANN_PLANTED_SQL,
+    "ann_topk_pq": _ANN_PLANTED_SQL,
+    "ann_topk_ivf_pq": _ANN_PLANTED_SQL,
     "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
     "semantic_dedup": _oracle_semantic_dedup(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
@@ -6161,6 +6339,9 @@ ORACLES = {
     "market_share": ORACLE_MARKET_SHARE,
     "product_profit": ORACLE_PRODUCT_PROFIT,
     "promo_revenue": ORACLE_PROMO_REVENUE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
+    "hull_perimeter": ORACLE_HULL_PERIMETER,
 }
 
 # Driver-rotation ordering (r4 verdict item 3): the driver's correctness
@@ -6176,6 +6357,9 @@ _R5_FRONT = [
     "small_quantity_revenue", "large_volume_customers",  # new: Q17/Q18 shapes
     "nation_trade_volume", "market_share",               # new: Q7/Q8 shapes
     "product_profit", "promo_revenue",                   # new: Q9/Q14 shapes
+    "ann_topk_pq", "ann_topk_ivf_pq",                    # new: PQ/ADC retrieval
+    "weighted_sample", "token_entropy",                  # new: A-ES sample, entropy QC
+    "hull_perimeter",                                    # new: hull geodesic measure
     "speed_spikes", "simplify_error", "colocation",      # new: trajectory QC/meet
     "waiting_suppliers", "idle_customers",               # new: Q21/Q22 shapes
     "cheapest_supplier",                                 # new: Q2-shaped argmin

@@ -310,6 +310,32 @@ substring greps):
     ))
 
     sections.append((
+        "PQ/ADC retrieval (ann_topk_pq)",
+        "Deepest-compression retrieval tier: the corpus scan carries ONLY "
+        "(id, codes) — m=8 ints per row, no float vectors — and the ADC "
+        "score is a JVM Column fold over broadcast per-query lookup "
+        "tables (zip_with index + element_at; Python appears only in the "
+        "constant-size encode/LUT Arrow batches).  The exact rerank "
+        "JOINS BACK to the vector store by id for the pool rows only, "
+        "so the wide float column is read for ≤ pool·Q rows; both "
+        "rankings are the salted two-phase top-k.  ann_topk_ivf_pq "
+        "composes the same ADC stage behind IVF cell pruning — the "
+        "FAISS IVFx,PQy layout where the stored table is bucketed by "
+        "cell and carries (id, cell, codes).",
+        _trim(plans.formatted_plan(queries.q_ann_topk_pq(spark, SF)), 40),
+    ))
+
+    sections.append((
+        "A-ES weighted sample (weighted_sample)",
+        "Weighted sampling without replacement: per-row Column expression "
+        "(id hash → uniform → ln(u)/w exponential key), then "
+        "TakeOrderedAndProject — per-task k-row heaps merged at the "
+        "driver, NO global sort and NO window at any corpus size; "
+        "deterministic and layout-independent unlike df.sample.",
+        _trim(plans.formatted_plan(queries.q_weighted_sample(spark, SF)), 25),
+    ))
+
+    sections.append((
         "BM25 retrieval (bm25_topk)",
         "Query-term isin folds into the token explode stage (only matching "
         "tokens shuffle); (N, avgdl) cross in as one broadcast row; global "

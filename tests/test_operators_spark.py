@@ -434,6 +434,32 @@ class TestSimilarity:
         )
         assert biggest8 < emb.count() * 0.8
 
+    def test_ann_pq_recall(self, spark):
+        """PQ/ADC coarse scan (64x-compressed codes) + exact rerank:
+        with pool=50 over a 500-row corpus the ADC pool must retain the
+        true top-5 almost everywhere even in the weak-cosine regime."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        exact = similarity.brute_topk(emb, queries, k=5)
+        approx = similarity.ann_topk_pq(emb, queries, k=5, pool=50, m=8, n_codes=64)
+        e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        print(f"ann_pq recall: {recall:.3f}")
+        assert recall >= 0.85
+        # rerank exactness: for every query whose ADC pool retained the
+        # FULL true top-5, the approximate ranks must equal the exact
+        # ranks (a pool miss shifts every rank below it, so partial
+        # queries prove nothing about the rerank)
+        er = {(r["q_id"], r["vec_id"]): r["rank"] for r in exact.collect()}
+        ar = {(r["q_id"], r["vec_id"]): r["rank"] for r in approx.collect()}
+        full = [q for q in {k[0] for k in er}
+                if all(k in ar for k in er if k[0] == q)]
+        assert full, "no query fully recalled — rerank exactness unprovable"
+        assert all(er[k] == ar[k] for k in er if k[0] in full)
+
 
 class TestBeyond:
     def test_beyond_is_complement_of_dwithin(self, spark):

@@ -363,3 +363,52 @@ class TestBM25:
         df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
         plan = text.bm25_topk(df, ["alpha"], k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWeightedSample:
+    def test_scale_invariance_and_determinism(self, spark):
+        """A-ES keys are ln(u)/w: scaling ALL weights by a constant
+        divides every key by it, so the selected SET is invariant —
+        and the deterministic u makes reruns identical."""
+        from geomatics_geotk_spark.operators import text
+
+        rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = {r["doc_id"] for r in text.weighted_sample(df, "w", k=20).collect()}
+        df2 = df.selectExpr("doc_id", "w * 3.0 AS w")
+        b = {r["doc_id"] for r in text.weighted_sample(df2, "w", k=20).collect()}
+        c = {r["doc_id"] for r in text.weighted_sample(df, "w", k=20).collect()}
+        assert a == b == c and len(a) == 20
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from geomatics_geotk_spark.operators import text
+
+        rows = [(1, 0.0), (2, -3.0), (3, 5.0), (4, 1.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in text.weighted_sample(df, "w", k=10).collect()}
+        assert got == {3, 4}
+
+    def test_plan_is_take_ordered(self, spark):
+        """Global weighted top-k must be TakeOrderedAndProject — no
+        single-partition sort at any corpus size."""
+        from geomatics_geotk_spark.operators import text
+
+        df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+        plan = (
+            text.weighted_sample(df, "w", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_heavier_rows_win_more(self, spark):
+        """Inclusion probability must track weight: with weights 100 vs
+        1 over a large pool, the heavy rows should dominate the sample
+        (deterministic check — the fixed hash realizes one draw, and at
+        this margin the law of large numbers makes the outcome stable)."""
+        from geomatics_geotk_spark.operators import text
+
+        rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = [r["doc_id"] for r in text.weighted_sample(df, "w", k=100).collect()]
+        heavy = sum(1 for d in got if d % 2 == 0)
+        assert heavy >= 90
