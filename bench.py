@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "token_entropy",
     "hull_perimeter",
+    "lm_logloss",
+    "map_match",
 ]
 
 

@@ -6042,6 +6042,124 @@ ORACLE_HULL_PERIMETER = (
 )
 
 
+def q_lm_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the perplexity-proxy
+    quality filter (a doc whose tokens are corpus-improbable reads as
+    gibberish; one whose tokens are all stop-words reads as boilerplate).
+    xent(d) = ln N − (Σ_tokens ln c_t)/n_d where c_t is the token's
+    CORPUS count and N the corpus token total — every log argument is an
+    INTEGER, so the per-token terms are bit-identical across engines and
+    only the small per-doc sum needs the 9 dp rounding.
+
+    Shape for 100 TB: ONE map-side-combined count exchange builds the
+    unigram table (vocabulary-sized — a dimension, broadcast back into
+    the token stream so the corpus never shuffles on token), N crosses
+    as a broadcast scalar, and the per-doc rollup is one doc_id
+    exchange."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("N"))
+    per_doc = (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("c").cast("double"))).alias("_s"),
+        )
+    )
+    xent = F.round(
+        F.log(F.col("N").cast("double")) - F.col("_s") / F.col("n_tokens").cast("double"),
+        9,
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .withColumn("xent_r", xent)
+        .select(
+            "doc_id", "n_tokens", "xent_r",
+            F.round(F.exp(F.col("xent_r")), 6).alias("ppl_r"),
+        )
+    )
+
+
+ORACLE_LM_LOGLOSS = (
+    "WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) "
+    "AS token FROM documents), "
+    "tok AS (SELECT doc_id, token FROM t WHERE token <> ''), "
+    "c AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+    "n AS (SELECT count(*) AS N FROM tok), "
+    "p AS (SELECT doc_id, count(*) AS n_tokens, "
+    "sum(ln(CAST(c AS DOUBLE))) AS s FROM tok JOIN c USING (token) "
+    "GROUP BY doc_id), "
+    "x AS (SELECT doc_id, n_tokens, "
+    "round(ln(CAST(N AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 9) AS xent_r "
+    "FROM p CROSS JOIN n) "
+    "SELECT doc_id, n_tokens, xent_r, round(exp(xent_r), 6) AS ppl_r FROM x"
+)
+
+
+# Fixture road network for the map-matching snap: 4 "avenues"
+# (meridional), 2 "streets" (zonal), 2 diagonals — spanning the same
+# lon/lat box the deterministic event positions fill, so projections
+# exercise both the interior and the clamped-endpoint branches.
+_ROAD_SEGS = [
+    (0, -123.4, 49.0, -123.4, 50.0),
+    (1, -123.2, 49.0, -123.2, 50.0),
+    (2, -123.0, 49.0, -123.0, 50.0),
+    (3, -122.8, 49.0, -122.8, 50.0),
+    (4, -123.5, 49.25, -122.5, 49.25),
+    (5, -123.5, 49.75, -122.5, 49.75),
+    (6, -123.5, 49.0, -122.5, 50.0),
+    (7, -123.5, 50.0, -122.5, 49.0),
+]
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap: every GPS fix to its nearest road segment
+    (`trajectory.snap_to_segments`) — planar point-to-segment projection
+    with clamped parameter, argmin with a deterministic (d2, seg_id)
+    tie-break.  The network rides as a literal struct array and the snap
+    is ONE per-row Column fold: zero joins, zero shuffles, zero Python
+    (the oracle replays every projection in SQL and takes the same
+    lexicographic argmin).  d2/t are +,*,/,min,max only — bit-identical
+    IEEE in both engines; rounding is belt-and-braces."""
+    from .operators import trajectory
+
+    pts = _event_pts(spark, sf_dir)
+    out = trajectory.snap_to_segments(pts, _ROAD_SEGS)
+    return out.select(
+        "event_id",
+        F.col("snap.sid").alias("seg_id"),
+        F.round("snap.t", 9).alias("t_r"),
+        F.round("snap.d2", 12).alias("d2_r"),
+    )
+
+
+def _oracle_map_match() -> str:
+    vals = ", ".join(
+        f"({sid}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+        for sid, ax, ay, bx, by in _ROAD_SEGS
+    )
+    return (
+        f"WITH segs(sid, ax, ay, bx, by) AS (VALUES {vals}), "
+        "pts AS (" + _EVENT_PTS_SQL + "), "
+        "proj AS (SELECT event_id, sid, "
+        "least(greatest(((lon - ax) * (bx - ax) + (lat - ay) * (by - ay)) "
+        "/ ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 0.0), 1.0) AS t "
+        "FROM pts CROSS JOIN segs), "
+        "d AS (SELECT p.event_id, p.sid, p.t, "
+        "(lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax))) "
+        "+ (lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay))) AS d2 "
+        "FROM proj p JOIN pts USING (event_id) JOIN segs USING (sid)) "
+        "SELECT event_id, sid AS seg_id, round(t, 9) AS t_r, "
+        "round(d2, 12) AS d2_r FROM d "
+        "QUALIFY row_number() OVER (PARTITION BY event_id "
+        "ORDER BY d2 ASC, sid ASC) = 1"
+    )
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -6060,6 +6178,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "token_entropy": q_token_entropy,
     "hull_perimeter": q_hull_perimeter,
+    "lm_logloss": q_lm_logloss,
+    "map_match": q_map_match,
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
@@ -6342,6 +6462,8 @@ ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "token_entropy": ORACLE_TOKEN_ENTROPY,
     "hull_perimeter": ORACLE_HULL_PERIMETER,
+    "lm_logloss": ORACLE_LM_LOGLOSS,
+    "map_match": _oracle_map_match(),
 }
 
 # Driver-rotation ordering (r4 verdict item 3): the driver's correctness
@@ -6360,6 +6482,7 @@ _R5_FRONT = [
     "ann_topk_pq", "ann_topk_ivf_pq",                    # new: PQ/ADC retrieval
     "weighted_sample", "token_entropy",                  # new: A-ES sample, entropy QC
     "hull_perimeter",                                    # new: hull geodesic measure
+    "lm_logloss", "map_match",                           # new: LM xent QC, segment snap
     "speed_spikes", "simplify_error", "colocation",      # new: trajectory QC/meet
     "waiting_suppliers", "idle_customers",               # new: Q21/Q22 shapes
     "cheapest_supplier",                                 # new: Q2-shaped argmin

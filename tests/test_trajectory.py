@@ -425,3 +425,59 @@ def test_simplify_error_smj_two_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+class TestSnapToSegments:
+    SEGS = [(0, 0.0, 0.0, 10.0, 0.0), (1, 5.0, -1.0, 5.0, 1.0)]
+
+    def test_projection_and_clamp(self, spark):
+        from geomatics_geotk_spark.operators import trajectory
+
+        pts = spark.createDataFrame(
+            [(1, 2.0, 0.3), (2, -4.0, 0.1), (3, 14.0, -0.2)],
+            "event_id long, lon double, lat double",
+        )
+        got = {
+            r["event_id"]: r["snap"]
+            for r in trajectory.snap_to_segments(pts, self.SEGS).collect()
+        }
+        # interior projection onto seg 0 at t=0.2
+        assert got[1]["sid"] == 0 and abs(got[1]["t"] - 0.2) < 1e-12
+        assert abs(got[1]["d2"] - 0.09) < 1e-12
+        # beyond segment start: clamped to t=0
+        assert got[2]["sid"] == 0 and got[2]["t"] == 0.0
+        # beyond segment end: clamped to t=1
+        assert got[3]["sid"] == 0 and got[3]["t"] == 1.0
+
+    def test_tiebreak_lowest_sid(self, spark):
+        from geomatics_geotk_spark.operators import trajectory
+
+        # (5, 0.5) is exactly 0.5 from seg 0 (projection (5,0)) and 0.5
+        # from seg 1 (projection (5,0.5) is ON seg 1 → d2=0) — pick a
+        # true tie instead: (4,0) lies ON seg 0 (d2=0) and 1.0² + ... —
+        # use a symmetric point: (5,0) is on BOTH segments (d2=0 each)
+        pts = spark.createDataFrame([(1, 5.0, 0.0)], "event_id long, lon double, lat double")
+        got = trajectory.snap_to_segments(pts, self.SEGS).collect()[0]["snap"]
+        assert got["d2"] == 0.0 and got["sid"] == 0
+
+    def test_degenerate_segment_raises(self, spark):
+        import pytest
+
+        from geomatics_geotk_spark.operators import trajectory
+
+        pts = spark.createDataFrame([(1, 0.0, 0.0)], "event_id long, lon double, lat double")
+        with pytest.raises(ValueError):
+            trajectory.snap_to_segments(pts, [(0, 1.0, 1.0, 1.0, 1.0)])
+
+    def test_plan_is_single_map_pass(self, spark):
+        """Zero exchanges, zero Python nodes — the snap must be one
+        scan-stage Column fold."""
+        from geomatics_geotk_spark.operators import trajectory
+
+        pts = spark.createDataFrame([(1, 5.0, 0.0)], "event_id long, lon double, lat double")
+        plan = (
+            trajectory.snap_to_segments(pts, self.SEGS)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
