@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "hull_perimeter",
     "lm_logloss",
     "map_match",
+    "pack_sequences",
 ]
 
 

@@ -257,6 +257,68 @@ def weighted_sample(
     return staged.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
 
 
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard pretraining
+    batcher: documents are laid out in one deterministic global order,
+    conceptually concatenated, and cut into fixed ``seq_len`` windows.
+    Adds ``seq_id`` (the training sequence this doc STARTS in),
+    ``seq_offset`` (token offset inside it), and ``n_seqs`` (how many
+    sequences the doc spans — >1 means it crosses a cut).
+
+    The naive form is a GLOBAL cumulative sum — one window partition at
+    100 TB.  This is the two-phase distributed prefix sum: the global
+    order is (pack_bucket, id) with pack_bucket a hash of the id, so
+    (1) per-bucket token totals reduce in ONE tiny map-side-combined
+    agg, (2) running bucket offsets need a window over ≤ ``buckets``
+    rows (bounded by construction — the same ~tiny-window contract as
+    ``budget_pack``), broadcast back, and (3) each row's global prefix
+    is its bucket offset plus a WITHIN-bucket running sum whose window
+    partition is ~1/buckets of the corpus.  All arithmetic is integer,
+    so the two-phase result equals the naive global cumsum EXACTLY.
+    Zero-length docs are excluded (they occupy no tokens and have no
+    well-defined sequence)."""
+    if seq_len <= 0:
+        raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
+    bucket = _id_bucket(id_col, buckets, hash_fn)
+    staged = (
+        df.where(F.col(len_col) > 0)
+        .withColumn("pack_bucket", bucket)
+    )
+    bt = staged.groupBy("pack_bucket").agg(F.sum(len_col).alias("_bt"))
+    wb = Window.orderBy("pack_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bt = (
+        bt.withColumn("_cum_after", F.sum("_bt").over(wb))
+        .select("pack_bucket", (F.col("_cum_after") - F.col("_bt")).alias("_boff"))
+    )
+    d = staged.join(F.broadcast(bt), "pack_bucket")
+    wi = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_intra_after", F.sum(len_col).over(wi))
+    prefix = (F.col("_boff") + F.col("_intra_after") - F.col(len_col)).cast("long")
+    last = prefix + F.col(len_col).cast("long") - F.lit(1)
+    return (
+        d.withColumn("seq_id", F.floor(prefix / F.lit(seq_len)))
+        .withColumn("seq_offset", F.pmod(prefix, F.lit(seq_len)))
+        .withColumn(
+            "n_seqs",
+            (F.floor(last / F.lit(seq_len)) - F.col("seq_id") + F.lit(1)).cast("long"),
+        )
+        .drop("_boff", "_intra_after")
+    )
+
+
 def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition features: ``dup_token_ratio`` (1 −
     distinct/total tokens) and ``dup_gram_ratio`` over NON-distinct word

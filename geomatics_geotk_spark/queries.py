@@ -6100,6 +6100,36 @@ ORACLE_LM_LOGLOSS = (
 )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing (`text.pack_sequences`) of the documents
+    into 256-token training sequences: per doc its sequence id, offset,
+    and span count.  The oracle runs the NAIVE global cumulative window
+    — the two-phase distributed prefix sum must match it row-for-row
+    (integer arithmetic, so exactly)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n_toks")
+    )
+    out = text.pack_sequences(docs, "n_toks", seq_len=256, hash_fn="md5")
+    return out.select("doc_id", "n_toks", "pack_bucket", "seq_id", "seq_offset", "n_seqs")
+
+
+ORACLE_PACK_SEQUENCES = (
+    "WITH d AS (SELECT doc_id, "
+    "len(string_split_regex(lower(text), '\\s+')) AS n_toks, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 "
+    "AS pack_bucket FROM documents), "
+    "p AS (SELECT doc_id, n_toks, pack_bucket, "
+    "coalesce(sum(n_toks) OVER (ORDER BY pack_bucket, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+    "FROM d WHERE n_toks > 0) "
+    "SELECT doc_id, CAST(n_toks AS INT) AS n_toks, pack_bucket, "
+    "CAST(prefix // 256 AS BIGINT) AS seq_id, "
+    "CAST(prefix % 256 AS BIGINT) AS seq_offset, "
+    "CAST((prefix + n_toks - 1) // 256 - prefix // 256 + 1 AS BIGINT) AS n_seqs "
+    "FROM p"
+)
+
+
 # Fixture road network for the map-matching snap: 4 "avenues"
 # (meridional), 2 "streets" (zonal), 2 diagonals — spanning the same
 # lon/lat box the deterministic event positions fill, so projections
@@ -6180,6 +6210,7 @@ QUERIES = {
     "hull_perimeter": q_hull_perimeter,
     "lm_logloss": q_lm_logloss,
     "map_match": q_map_match,
+    "pack_sequences": q_pack_sequences,
     "bloom_join": q_bloom_join,
     "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
@@ -6464,6 +6495,7 @@ ORACLES = {
     "hull_perimeter": ORACLE_HULL_PERIMETER,
     "lm_logloss": ORACLE_LM_LOGLOSS,
     "map_match": _oracle_map_match(),
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }
 
 # Driver-rotation ordering (r4 verdict item 3): the driver's correctness
@@ -6483,6 +6515,7 @@ _R5_FRONT = [
     "weighted_sample", "token_entropy",                  # new: A-ES sample, entropy QC
     "hull_perimeter",                                    # new: hull geodesic measure
     "lm_logloss", "map_match",                           # new: LM xent QC, segment snap
+    "pack_sequences",                                    # new: concat-split packer
     "speed_spikes", "simplify_error", "colocation",      # new: trajectory QC/meet
     "waiting_suppliers", "idle_customers",               # new: Q21/Q22 shapes
     "cheapest_supplier",                                 # new: Q2-shaped argmin

@@ -412,3 +412,35 @@ class TestWeightedSample:
         got = [r["doc_id"] for r in text.weighted_sample(df, "w", k=100).collect()]
         heavy = sum(1 for d in got if d % 2 == 0)
         assert heavy >= 90
+
+
+class TestPackSequences:
+    def test_two_phase_prefix_equals_sequential(self, spark):
+        """Reconstructing each doc's global prefix from (seq_id,
+        seq_offset) must reproduce the sequential concat exactly, and
+        n_seqs must match the analytic span count."""
+        from geomatics_geotk_spark.operators import text
+
+        rows = [(i, 1 + (i * 13) % 97) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        L = 64
+        got = text.pack_sequences(df, "n", seq_len=L, buckets=32).collect()
+        by_order = sorted(got, key=lambda r: (r["pack_bucket"], r["doc_id"]))
+        running = 0
+        for r in by_order:
+            prefix = r["seq_id"] * L + r["seq_offset"]
+            assert prefix == running, (r["doc_id"], prefix, running)
+            last = prefix + r["n"] - 1
+            assert r["n_seqs"] == last // L - prefix // L + 1
+            running += r["n"]
+
+    def test_zero_length_excluded_and_bad_seqlen(self, spark):
+        import pytest
+
+        from geomatics_geotk_spark.operators import text
+
+        df = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n long")
+        got = text.pack_sequences(df, "n", seq_len=8).collect()
+        assert [r["doc_id"] for r in got] == [2]
+        with pytest.raises(ValueError):
+            text.pack_sequences(df, "n", seq_len=0)
