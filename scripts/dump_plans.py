@@ -247,6 +247,15 @@ substring greps):
 - `oov_rate` / `minhash_est_jaccard`: vocab / signatures reduce to
   k-row or per-doc state that broadcasts or equi-joins back; the corpus
   token/pair stream never self-joins on data rows.
+- `pack_sequences`: the concat-and-split packer's global cumsum runs as
+  a two-phase DISTRIBUTED PREFIX SUM — per-bucket totals (tiny agg), a
+  ≤buckets-row offset window, then a within-bucket running sum whose
+  window partition is ~1/buckets of the corpus; integer math makes it
+  exactly equal the naive global window the oracle runs.
+- `weighted_sample` / `bm25_topk`: global top-k is
+  TakeOrderedAndProject (per-task heaps merged at the driver), never a
+  partition-less window over data rows; bm25's only global window ranks
+  the k≤10 survivors AFTER the limit.
 - Session-wide: `InferFiltersFromGenerate` is excluded (session.py,
   merged into caller sessions by `queries._read`) — the rule clones
   explode generators into scan Filters that re-run the tokenizer regex
