@@ -6190,6 +6190,178 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan-only revenue delta: lines shipped in one
+    year, inside a discount band, below a quantity cap — the purest
+    predicate-pushdown + map-side-aggregate shape in the suite (zero
+    joins, one partial-aggregable sum).  At 100 TB this is the query
+    whose entire cost is the parquet scan: the three predicates and the
+    two-column projection must reach the reader (plan-asserted in
+    tests/test_plans_tpch.py).  Discounts are exact hundredths
+    (0.00..0.10) so the band test is exact in IEEE doubles; revenue is
+    the engine money convention (per-row DECIMAL(18,6) product, decimal
+    sum, one final double cast)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    picked = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return picked.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_FORECAST_REVENUE = (
+    "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+    "AS DOUBLE) AS revenue, count(*) AS n_lines FROM lineitem "
+    "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+)
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: per-customer lost revenue
+    from 'R'-flagged lines of one order quarter, top 20 by revenue.
+
+    Shape for 100 TB: the quarter filter prunes orders at the scan; the
+    orders⋈lineitem join is the only fact-fact exchange (both sides
+    hash on orderkey); customer and nation broadcast; the final top-20
+    is TakeOrderedAndProject (never a global sort).  Ties broken by
+    c_custkey so the LIMIT is deterministic across engines."""
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    rev = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+ORACLE_RETURNED_ITEMS = (
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) "
+    "AS DOUBLE) AS revenue, count(*) AS n_lines "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+)
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped global-fraction HAVING: parts whose shipped
+    value (sum extendedprice·quantity over lineitem — the engine's
+    partsupp analog, the testdata has no partsupp table) exceeds
+    0.05 %% of the total shipped value.
+
+    Shape for 100 TB: ONE l_partkey exchange produces the per-part
+    values; the total side's structurally identical exchange is
+    AQE-reused at runtime (ReusedExchange — plan-asserted on the
+    EXECUTED plan in tests/test_plans_tpch.py), so lineitem is scanned
+    once, and the 1-row total joins back as a broadcast scalar
+    (crossJoin), so the threshold compare is map-side.  The per-part
+    value is decimal-summed (order-independent); the threshold compare
+    0.0005·total is one IEEE product against values ~6 orders above the
+    ulp band."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)").alias("_v"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("_v").cast("double").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double").alias("_total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(0.0005) * F.col("_total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = (
+    "WITH pv AS (SELECT l_partkey, "
+    "CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) "
+    "AS part_value FROM lineitem GROUP BY l_partkey), "
+    "t AS (SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) "
+    "AS total FROM pv) "
+    "SELECT l_partkey, part_value FROM pv, t "
+    "WHERE part_value > 0.0005 * total"
+)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-count report: for each (p_brand,
+    p_type, p_size) bucket outside one excluded brand, how many
+    DISTINCT suppliers shipped it (supplier-part pairs observed in
+    lineitem — the partsupp analog).
+
+    Shape for 100 TB: supplier multiplicity collapses FIRST
+    (dropDuplicates on (l_partkey, l_suppkey) — a partial-aggregable
+    exchange on the pair), then the part dim broadcasts in and the
+    count(*) per bucket needs no distinct machinery at all — the classic
+    rewrite of count(distinct) into dedupe-then-count that AQE cannot
+    derive on its own."""
+    pairs = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_brand") != "Brand#13")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    j = pairs.join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = (
+    "WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+    "SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt "
+    "FROM sp JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#13' "
+    "GROUP BY p_brand, p_type, p_size"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -6199,6 +6371,10 @@ def _oracle_map_match() -> str:
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "forecast_revenue": q_forecast_revenue,
+    "returned_items": q_returned_items,
+    "important_parts": q_important_parts,
+    "supplier_part_counts": q_supplier_part_counts,
     "small_quantity_revenue": q_small_quantity_revenue,
     "large_volume_customers": q_large_volume_customers,
     "nation_trade_volume": q_nation_trade_volume,
@@ -6484,6 +6660,10 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "returned_items": ORACLE_RETURNED_ITEMS,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
     "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
@@ -6508,6 +6688,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "forecast_revenue", "returned_items",                # new: Q6/Q10 shapes
+    "important_parts", "supplier_part_counts",           # new: Q11/Q16 shapes
     "small_quantity_revenue", "large_volume_customers",  # new: Q17/Q18 shapes
     "nation_trade_volume", "market_share",               # new: Q7/Q8 shapes
     "product_profit", "promo_revenue",                   # new: Q9/Q14 shapes
