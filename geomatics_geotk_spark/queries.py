@@ -6190,6 +6190,42 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster focal statistics (``raster.focal_stats``): per-cell 3x3
+    neighborhood mean/min/max/sum over the inline tile grid — the
+    distributed-convolution primitive, expressed as a scatter-explode
+    of literal offsets + ONE exchange on the target cell (map-side
+    partial combine absorbs the x9 row expansion wherever the grid is
+    spatially ordered; see operators/raster.py for why gather-join is
+    strictly worse).  Edge cells keep the shrinking-window rule
+    (n_nbrs 4/6/9 on the 32x32 fixture).  Values decimal-summed; the
+    oracle replays the identical offsets scatter in SQL."""
+    from .operators import raster
+
+    tiles = _inline_tiles(spark).select(
+        (F.col("tile_id") % 32).alias("i"),
+        F.floor(F.col("tile_id") / 32).alias("j"),
+        "value",
+    )
+    return raster.focal_stats(tiles, radius=1)
+
+
+ORACLE_FOCAL_MEAN = (
+    f"WITH t AS ({_TILES_SQL}), "
+    "o AS (SELECT a.range AS di, b.range AS dj "
+    "FROM range(-1, 2) a CROSS JOIN range(-1, 2) b), "
+    "c AS (SELECT (tile_id % 32) + di AS i, "
+    "CAST(floor(tile_id / 32) AS BIGINT) + dj AS j, "
+    "CAST(value AS DECIMAL(18,6)) AS v FROM t CROSS JOIN o), "
+    "a AS (SELECT i, j, count(*) AS n_nbrs, "
+    "CAST(sum(v) AS DOUBLE) AS focal_sum, "
+    "min(CAST(v AS DOUBLE)) AS focal_min, "
+    "max(CAST(v AS DOUBLE)) AS focal_max FROM c GROUP BY i, j) "
+    "SELECT i, j, n_nbrs, focal_sum, focal_sum / n_nbrs AS focal_mean, "
+    "focal_min, focal_max FROM a"
+)
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped scan-only revenue delta: lines shipped in one
     year, inside a discount band, below a quantity cap — the purest
@@ -6371,6 +6407,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "focal_mean": q_focal_mean,
     "forecast_revenue": q_forecast_revenue,
     "returned_items": q_returned_items,
     "important_parts": q_important_parts,
@@ -6660,6 +6697,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "focal_mean": ORACLE_FOCAL_MEAN,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
@@ -6688,6 +6726,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "focal_mean",                                        # new: raster focal stats
     "forecast_revenue", "returned_items",                # new: Q6/Q10 shapes
     "important_parts", "supplier_part_counts",           # new: Q11/Q16 shapes
     "small_quantity_revenue", "large_volume_customers",  # new: Q17/Q18 shapes
