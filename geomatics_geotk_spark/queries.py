@@ -6190,6 +6190,65 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar shoelace area + area-weighted centroid per ring
+    (``measures.ring_measures``) over the star-polygon fixture (the
+    hull_perimeter ellipse parameterization with ALL vertices kept —
+    star-shaped in angle order, hence simple).  One window exchange on
+    the ring gives each vertex its successor; the rollup reuses that
+    partitioning.  Edge cross terms are bit-identical IEEE expressions
+    rounded 5 orders above the libm ulp band then decimal-summed, so
+    the oracle (same generation + same window in SQL) is hash-exact;
+    the signed-area convention cancels orientation in the centroid."""
+    from .operators import measures
+
+    k = F.col("c_custkey")
+    base = _read(spark, sf_dir, "customer").select(
+        k.alias("k"), (k % 20).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("k").asc())
+    wn = Window.partitionBy("grp")
+    b = base.withColumn("j", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    theta = F.lit(2.0) * F.lit(np.pi) * F.col("j") / F.col("n")
+    rs = F.when(F.col("j") % 3 == 0, F.lit(0.15)).otherwise(F.lit(1.0))
+    pts = b.select(
+        F.col("grp").alias("ring_id"), F.col("j").alias("seq"),
+        (F.lit(-123.0) + F.col("grp") * F.lit(0.01)
+         + F.lit(0.03) * rs * F.cos(theta)).alias("lon"),
+        (F.lit(49.5) + F.lit(0.02) * rs * F.sin(theta)).alias("lat"),
+    )
+    return measures.ring_measures(pts)
+
+
+ORACLE_POLYGON_MEASURES = (
+    "WITH b AS (SELECT c_custkey AS k, c_custkey % 20 AS grp, "
+    "row_number() OVER (PARTITION BY c_custkey % 20 ORDER BY c_custkey) - 1 AS j, "
+    "count(*) OVER (PARTITION BY c_custkey % 20) AS n FROM customer), "
+    "c AS (SELECT grp, j, 2.0 * pi() * j / n AS theta, "
+    "CASE WHEN j % 3 = 0 THEN 0.15 ELSE 1.0 END AS rs FROM b), "
+    "d AS (SELECT grp AS ring_id, j, "
+    "(-123.0 + grp * 0.01) + 0.03 * rs * cos(theta) AS x, "
+    "49.5 + 0.02 * rs * sin(theta) AS y FROM c), "
+    "e AS (SELECT ring_id, x, y, "
+    "coalesce(lead(x) OVER wb, first_value(x) OVER wb) AS nx, "
+    "coalesce(lead(y) OVER wb, first_value(y) OVER wb) AS ny "
+    "FROM d WINDOW wb AS (PARTITION BY ring_id ORDER BY j)), "
+    "t AS (SELECT ring_id, "
+    "CAST(round(x * ny - nx * y, 9) AS DECIMAL(28,9)) AS t, "
+    "CAST(round((x + nx) * (x * ny - nx * y), 6) AS DECIMAL(28,6)) AS xt, "
+    "CAST(round((y + ny) * (x * ny - nx * y), 6) AS DECIMAL(28,6)) AS yt "
+    "FROM e), "
+    "a AS (SELECT ring_id, count(*) AS n_vertices, "
+    "CAST(sum(t) AS DOUBLE) AS s2a, CAST(sum(xt) AS DOUBLE) AS sx, "
+    "CAST(sum(yt) AS DOUBLE) AS sy FROM t GROUP BY ring_id) "
+    "SELECT ring_id, n_vertices, abs(s2a) / 2.0 AS area, "
+    "CASE WHEN abs(s2a) > 0 THEN sx / (3.0 * s2a) END AS cx, "
+    "CASE WHEN abs(s2a) > 0 THEN sy / (3.0 * s2a) END AS cy FROM a"
+)
+
+
 def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster focal statistics (``raster.focal_stats``): per-cell 3x3
     neighborhood mean/min/max/sum over the inline tile grid — the
@@ -6407,6 +6466,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "polygon_measures": q_polygon_measures,
     "focal_mean": q_focal_mean,
     "forecast_revenue": q_forecast_revenue,
     "returned_items": q_returned_items,
@@ -6697,6 +6757,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "polygon_measures": ORACLE_POLYGON_MEASURES,
     "focal_mean": ORACLE_FOCAL_MEAN,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "returned_items": ORACLE_RETURNED_ITEMS,
@@ -6726,6 +6787,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "polygon_measures",                                  # new: shoelace area/centroid
     "focal_mean",                                        # new: raster focal stats
     "forecast_revenue", "returned_items",                # new: Q6/Q10 shapes
     "important_parts", "supplier_part_counts",           # new: Q11/Q16 shapes
