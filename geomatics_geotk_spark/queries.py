@@ -6190,6 +6190,53 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation (``interpolate.idw_interpolate``):
+    estimate a per-doc field value from the 4 nearest POIs, weighted
+    1e6/d² with a 1 m exact-hit floor.  Candidates via broadcast POI
+    dim + the salted two-phase top-k (never a one-task-per-doc window);
+    the scaled weights make every DECIMAL(38,30) cast exact for any
+    Earth distance, so the sums are order-independent and the oracle
+    (same ranking + same weight algebra in SQL) is hash-exact.  POI
+    value = length(poi_id) — deterministic on both sides."""
+    from .operators import interpolate
+
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    pois = _pois_df(spark).withColumn(
+        "poi_value", F.length("poi_id").cast("double")
+    )
+    out = interpolate.idw_interpolate(pts, pois, k=4)
+    # decimal→double casts of 38-digit sums are 1-ulp engine-dependent
+    # (Java BigDecimal vs DuckDB int128 path); 6 dp sits 9 orders above
+    # that band at the fixture's ~11 magnitude
+    return out.select(
+        "doc_id", "n_nbrs",
+        F.round("idw_value", 6).alias("idw_value_r"),
+        "nearest_dist_m",
+    )
+
+
+ORACLE_IDW_INTERPOLATE = (
+    f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+    "c AS (SELECT doc_id, poi_id, CAST(length(poi_id) AS DOUBLE) AS v, "
+    f"round({_haversine_sql('lat', 'lon', 'poi_lat', 'poi_lon')}, 3) AS d "
+    f"FROM pts CROSS JOIN {_POIS_SQL}), "
+    "r AS (SELECT doc_id, v, d FROM c "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY d ASC, poi_id ASC) <= 4), "
+    "t AS (SELECT doc_id, d, "
+    "CAST(1000000.0 / (greatest(d, 1.0) * greatest(d, 1.0)) "
+    "AS DECIMAL(38,30)) AS w, "
+    "CAST(v * (1000000.0 / (greatest(d, 1.0) * greatest(d, 1.0))) "
+    "AS DECIMAL(38,28)) AS vw FROM r), "
+    "a AS (SELECT doc_id, count(*) AS n_nbrs, "
+    "CAST(sum(w) AS DOUBLE) AS sw, CAST(sum(vw) AS DOUBLE) AS svw, "
+    "min(d) AS nearest_dist_m FROM t GROUP BY doc_id) "
+    "SELECT doc_id, n_nbrs, round(svw / sw, 6) AS idw_value_r, "
+    "nearest_dist_m FROM a"
+)
+
+
 def q_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar shoelace area + area-weighted centroid per ring
     (``measures.ring_measures``) over the star-polygon fixture (the
@@ -6466,6 +6513,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "idw_interpolate": q_idw_interpolate,
     "polygon_measures": q_polygon_measures,
     "focal_mean": q_focal_mean,
     "forecast_revenue": q_forecast_revenue,
@@ -6757,6 +6805,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "idw_interpolate": ORACLE_IDW_INTERPOLATE,
     "polygon_measures": ORACLE_POLYGON_MEASURES,
     "focal_mean": ORACLE_FOCAL_MEAN,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
@@ -6787,6 +6836,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "idw_interpolate",                                   # new: IDW field estimate
     "polygon_measures",                                  # new: shoelace area/centroid
     "focal_mean",                                        # new: raster focal stats
     "forecast_revenue", "returned_items",                # new: Q6/Q10 shapes
