@@ -83,3 +83,80 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph given as
+    an edge list (either direction, duplicates and self-loops tolerated
+    — canonicalized internally).  Returns (node, n_triangles) for every
+    node in at least one triangle.
+
+    Algorithm (the distributed node-iterator++ / degree-ordered
+    orientation): orient every canonical edge from the endpoint that is
+    SMALLER in the total order (degree, id) to the larger.  Every
+    wedge-center then has out-degree O(sqrt(m)) regardless of hub skew —
+    a hub of degree d is the CENTER of no wedge unless both spokes have
+    even higher degree, so the self-join that enumerates wedges is
+    bounded by sum(outdeg^2) = O(m^1.5) total work, the classical bound,
+    instead of the d^2 blow-up a raw adjacency self-join suffers on hot
+    nodes.  Pipeline = 2 exchanges for degree + orientation, one
+    self-join on the wedge center, one equi-join of wedges onto the
+    oriented edge set to close them, and one count exchange per node —
+    every join key is (node pair), never a crossJoin.
+
+    The closing edge of a wedge (b, c) out of center a is oriented
+    b -> c whenever the wedge enumerates spokes in orientation order
+    (asserted by the strict rank inequality below), so closure is ONE
+    equi-join on the pair — no OR-of-directions join condition.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_degb"))
+    ranked = canon.join(da, "a").join(db, "b")
+    # total order: (deg, id) — a precedes b iff (dega, a) < (degb, b)
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("_dega")).otherwise(F.col("_degb")).alias("_dlo"),
+        F.when(a_first, F.col("_degb")).otherwise(F.col("_dega")).alias("_dhi"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("ctr"), F.col("hi").alias("w1"),
+        F.col("_dhi").alias("_d1"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("ctr"), F.col("hi").alias("w2"),
+        F.col("_dhi").alias("_d2"),
+    )
+    # spokes in orientation order: (d1, w1) < (d2, w2) strictly — each
+    # unordered wedge once, and the closing edge is oriented w1 -> w2
+    wedges = e1.join(e2, "ctr").where(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("w1") < F.col("w2")))
+    ).select("ctr", "w1", "w2")
+    closing = oriented.select(F.col("lo").alias("w1"), F.col("hi").alias("w2"))
+    tris = wedges.join(closing, ["w1", "w2"])
+    per_node = (
+        tris.select(F.col("ctr").alias("node"))
+        .unionAll(tris.select(F.col("w1").alias("node")))
+        .unionAll(tris.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

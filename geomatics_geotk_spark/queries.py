@@ -6190,6 +6190,49 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``graph.triangle_counts``) over the
+    pagerank fixture's deterministic 3-out link graph taken undirected —
+    the local-clustering ingredient of graph-based quality filtering.
+    Engine path = degree-ordered orientation (wedge work bounded
+    O(m^1.5) under ANY hub skew); the oracle is the structurally
+    DIFFERENT canonical triple-join (a<b<c), so the hash match checks
+    the orientation algebra, not a replay of it.  Integer-only output."""
+    from .operators import graph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id", "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 7919 + j * 104729 + 13) % _n").alias("dst"),
+        )
+    )
+    out = graph.triangle_counts(edges)
+    return out.select(F.col("node").alias("doc_id"), "n_triangles")
+
+
+ORACLE_TRIANGLE_COUNTS = (
+    "WITH nn AS (SELECT count(*) AS n FROM documents), "
+    "lanes AS (SELECT unnest([0, 1, 2]) AS j), "
+    "ed AS (SELECT doc_id AS src, (doc_id * 7919 + j * 104729 + 13) % n AS dst "
+    "FROM documents CROSS JOIN nn CROSS JOIN lanes), "
+    "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM ed WHERE src <> dst), "
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+    "FROM ce e1 JOIN ce e2 ON e2.a = e1.b "
+    "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "roles AS (SELECT x AS node FROM tri UNION ALL "
+    "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+    "SELECT node AS doc_id, count(*) AS n_triangles FROM roles GROUP BY node"
+)
+
+
 def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDW spatial interpolation (``interpolate.idw_interpolate``):
     estimate a per-doc field value from the 4 nearest POIs, weighted
@@ -6513,6 +6556,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "triangle_counts": q_triangle_counts,
     "idw_interpolate": q_idw_interpolate,
     "polygon_measures": q_polygon_measures,
     "focal_mean": q_focal_mean,
@@ -6805,6 +6849,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "idw_interpolate": ORACLE_IDW_INTERPOLATE,
     "polygon_measures": ORACLE_POLYGON_MEASURES,
     "focal_mean": ORACLE_FOCAL_MEAN,
@@ -6836,6 +6881,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "triangle_counts",                                   # new: degree-ordered triangles
     "idw_interpolate",                                   # new: IDW field estimate
     "polygon_measures",                                  # new: shoelace area/centroid
     "focal_mean",                                        # new: raster focal stats
