@@ -6190,6 +6190,170 @@ def _oracle_map_match() -> str:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event_type —
+    the telemetry/market resample primitive: open/close by (ts,
+    event_id) order via max_by/min_by on an UNAMBIGUOUS integer order
+    key (epoch-micros·2^20 + event_id — ties impossible), high/low/sum
+    as plain aggregates.  ONE map-side-combined exchange on (event_type,
+    hour); no window, no sort — at 100 TB this beats the
+    first()/last()-over-window formulation by the whole sort cost.
+    Bucket = integer epoch-micros division (no float at bar edges)."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    # collision-proof integer (ts, event_id) order key: rebase micros to
+    # the fixture epoch so the 2^20 shift cannot overflow BIGINT (valid
+    # for any ts within ±101 days of the base; the generator spans ~30)
+    base = 1_700_000_000_000_000
+    okey = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(base)) * F.lit(1048576)
+        + F.col("event_id")
+    ).alias("_ok")
+    b = ev.select(
+        "event_type", "value",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("bar"),
+        okey,
+    )
+    return b.groupBy("event_type", "bar").agg(
+        F.count("*").alias("n_events"),
+        F.min_by("value", "_ok").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "_ok").alias("close"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_OHLC_BARS = (
+    "WITH b AS (SELECT event_type, value, "
+    "epoch_us(ts) // 3600000000 AS bar, "
+    "(epoch_us(ts) - 1700000000000000) * 1048576 + event_id AS ok FROM events) "
+    "SELECT event_type, bar, count(*) AS n_events, "
+    "min_by(value, ok) AS open, max(value) AS high, min(value) AS low, "
+    "max_by(value, ok) AS close, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM b GROUP BY event_type, bar"
+)
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid hotspot detection: per-cell point counts standardized
+    against the occupied-cell population (z = (c − μ)/σ — the
+    Getis-Ord-flavored first pass of spatial anomaly detection),
+    reporting cells with z > 2.  Shape: ONE cell-count exchange; μ and
+    σ re-aggregate the (tiny) per-cell frame — AQE reuses the cell
+    exchange — and cross back as a broadcast scalar.  σ² is computed
+    from integer sums (Σc, Σc², n are all BIGINT — bit-stable), so the
+    only float ops are two divides, a sqrt, and the final compare, all
+    on identical inputs in both engines; the z>2 cut sits far from any
+    cell's value at the fixture's scales (counts are small integers, z
+    gaps ~0.1)."""
+    base_pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    # planted hotspot: every customer key also drops a point inside one
+    # ~0.016x0.031 deg cell (jitter < half a cell) — the uniform orders
+    # background alone never crosses z>2, so the cut would select nothing
+    ck = F.col("c_custkey")
+    planted = _read(spark, sf_dir, "customer").select(
+        (F.lit(-123.25) + ((ck % 97) / F.lit(97.0)) * F.lit(0.0078)).alias("lon"),
+        (F.lit(49.3) + (((ck * 31) % 89) / F.lit(89.0)) * F.lit(0.0156)).alias("lat"),
+    )
+    pts = base_pts.select("lon", "lat").unionAll(planted)
+    # 64x32 grid over the fixture's 1-degree box (a world grid would
+    # fold the whole box into one cell: zero variance, no z-scores)
+    nx, ny = 1 << 6, 1 << 5
+    xi = F.least(
+        F.greatest(F.floor((F.col("lon") + F.lit(123.5)) * F.lit(float(nx))), F.lit(0)),
+        F.lit(nx - 1),
+    )
+    yi = F.least(
+        F.greatest(F.floor((F.col("lat") - F.lit(49.0)) * F.lit(float(ny))), F.lit(0)),
+        F.lit(ny - 1),
+    )
+    cells = pts.select((xi * F.lit(ny) + yi).cast("long").alias("cell"))
+    counts = cells.groupBy("cell").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.count("*").alias("_n"),
+        F.sum("c").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+    )
+    j = counts.crossJoin(F.broadcast(stats))
+    mu = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mu * mu
+    z = (F.col("c") - mu) / F.sqrt(var)
+    return j.select("cell", "c", F.round(z, 9).alias("z_r")).where(
+        F.col("z_r") > 2.0
+    )
+
+
+ORACLE_HOTSPOT_CELLS = (
+    f"WITH bg AS ({_pts_sql('orders', 'o_orderkey')}), "
+    "pl AS (SELECT -123.25 + ((c_custkey % 97) / 97.0) * 0.0078 AS lon, "
+    "49.3 + (((c_custkey * 31) % 89) / 89.0) * 0.0156 AS lat FROM customer), "
+    "pts AS (SELECT lon, lat FROM bg UNION ALL SELECT lon, lat FROM pl), "
+    "cl AS (SELECT CAST(least(greatest(floor((lon + 123.5) * 64.0), 0), 63) "
+    "* 32 + least(greatest(floor((lat - 49.0) * 32.0), 0), 31) AS BIGINT) "
+    "AS cell FROM pts), "
+    "co AS (SELECT cell, count(*) AS c FROM cl GROUP BY cell), "
+    "st AS (SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM co) "
+    "SELECT cell, c, round((c - s / n) / sqrt(ss / n - (s / n) * (s / n)), 9) "
+    "AS z_r FROM co, st "
+    "WHERE round((c - s / n) / sqrt(ss / n - (s / n) * (s / n)), 9) > 2.0"
+)
+
+
+def q_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user compass rose: initial spherical bearing of every
+    consecutive trajectory leg, binned into eight 45° sectors — the
+    heading-distribution feature of movement classification (a commuter
+    track is bimodal, a survey grid quadrimodal).  Bearing =
+    atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ) — one
+    fixed JVM Column expression per leg, no Python.  Counts are
+    integers; the nearest 45° boundary sits ~1e-13° from any leg's
+    bearing odds-wise (continuous fixture, libm drift ~1e-15 rel), so
+    the histogram is engine-stable.  Shape: ONE window exchange on
+    user_id (lag), rollup reuses it."""
+    pts = _event_pts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+    rad = F.lit(0.017453292519943295)
+    phi1, phi2 = F.col("plat") * rad, F.col("lat") * rad
+    dl = (F.col("lon") - F.col("plon")) * rad  # same IEEE sequence as the oracle
+    theta = F.atan2(
+        F.sin(dl) * F.cos(phi2),
+        F.cos(phi1) * F.sin(phi2) - F.sin(phi1) * F.cos(phi2) * F.cos(dl),
+    )
+    deg = F.degrees(theta)
+    bearing = F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg)
+    sector = F.least(F.floor(bearing / F.lit(45.0)), F.lit(7)).cast("long")
+    return (
+        legs.select("user_id", sector.alias("sector"))
+        .groupBy("user_id", "sector")
+        .agg(F.count("*").alias("n_legs"))
+    )
+
+
+ORACLE_BEARING_HISTOGRAM = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, lat, lon, lag(lat) OVER w AS plat, "
+    "lag(lon) OVER w AS plon FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "b AS (SELECT user_id, degrees(atan2("
+    "sin((lon - plon) * 0.017453292519943295) "
+    "* cos(lat * 0.017453292519943295), "
+    "cos(plat * 0.017453292519943295) * sin(lat * 0.017453292519943295) "
+    "- sin(plat * 0.017453292519943295) * cos(lat * 0.017453292519943295) "
+    "* cos((lon - plon) * 0.017453292519943295))) AS deg "
+    "FROM lg WHERE plat IS NOT NULL), "
+    "s AS (SELECT user_id, least(CAST(floor("
+    "(CASE WHEN deg < 0 THEN deg + 360.0 ELSE deg END) / 45.0) AS BIGINT), 7) "
+    "AS sector FROM b) "
+    "SELECT user_id, sector, count(*) AS n_legs FROM s GROUP BY user_id, sector"
+)
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (``graph.triangle_counts``) over the
     pagerank fixture's deterministic 3-out link graph taken undirected —
@@ -6556,6 +6720,9 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "ohlc_bars": q_ohlc_bars,
+    "hotspot_cells": q_hotspot_cells,
+    "bearing_histogram": q_bearing_histogram,
     "triangle_counts": q_triangle_counts,
     "idw_interpolate": q_idw_interpolate,
     "polygon_measures": q_polygon_measures,
@@ -6849,6 +7016,9 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "ohlc_bars": ORACLE_OHLC_BARS,
+    "hotspot_cells": ORACLE_HOTSPOT_CELLS,
+    "bearing_histogram": ORACLE_BEARING_HISTOGRAM,
     "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "idw_interpolate": ORACLE_IDW_INTERPOLATE,
     "polygon_measures": ORACLE_POLYGON_MEASURES,
@@ -6881,6 +7051,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "ohlc_bars", "hotspot_cells", "bearing_histogram",   # new: resample/hotspot/rose
     "triangle_counts",                                   # new: degree-ordered triangles
     "idw_interpolate",                                   # new: IDW field estimate
     "polygon_measures",                                  # new: shoelace area/centroid
