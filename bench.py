@@ -131,6 +131,20 @@ BENCH_QUERIES = [
     "lm_logloss",
     "map_match",
     "pack_sequences",
+    # continuation round-5 extension: raster focal stats, shoelace ring
+    # measures, IDW interpolation, degree-ordered triangles, OHLC bars,
+    # hotspot z-scores, bearing roses, and the Q6/Q10/Q11/Q16 shapes
+    "focal_mean",
+    "polygon_measures",
+    "idw_interpolate",
+    "triangle_counts",
+    "ohlc_bars",
+    "hotspot_cells",
+    "bearing_histogram",
+    "forecast_revenue",
+    "returned_items",
+    "important_parts",
+    "supplier_part_counts",
 ]
 
 
