@@ -65,3 +65,72 @@ def ring_measures(vertices: DataFrame, ring_col: str = "ring_id",
         F.when(safe, F.col("_sx") / (F.lit(3.0) * s2a)).alias("cx"),
         F.when(safe, F.col("_sy") / (F.lit(3.0) * s2a)).alias("cy"),
     )
+
+
+# mean Earth radius (m), squared — the spherical-excess area scale
+_R_MEAN = 6371008.8
+
+
+def ring_geodesic_area(vertices: DataFrame, ring_col: str = "ring_id",
+                       seq_col: str = "seq", lon_col: str = "lon",
+                       lat_col: str = "lat") -> DataFrame:
+    """Per-ring area ON THE SPHERE (m²) via signed spherical excess:
+    the ring's solid angle is the sum over fan triangles (anchor, vᵢ,
+    vᵢ₊₁) of the Van Oosterom–Strackee signed term
+    2·atan2(A·(B×C), 1 + A·B + A·C + B·C), anchored at the ring's
+    first vertex — the two fan triangles containing the anchor are
+    exactly degenerate (numerator 0), so the fold runs over ALL
+    consecutive pairs incl. the wrap edge, same row-wise window shape
+    as ``ring_measures`` (one exchange, rollup reuses it).
+
+    Engine stability: unlike the planar shoelace (whose edge terms are
+    trig-free and bit-identical across engines), every excess term here
+    passes through cos/sin/atan2 — JVM Math vs libm drift by ~1 ulp of
+    the UNIT-scale intermediates (~5e-17 absolute on the term).  The
+    terms are therefore QUANTIZED: scaled by 1e9 and cast to a 1e-2
+    decimal grid — ~9 orders above the drift (so both engines land on
+    the same grid point; grid midpoints are non-dyadic, hence never hit
+    exactly) and ~2 orders below the fixture's per-term signal, a
+    documented ~1e-4 relative quantization of the area, then
+    decimal-summed (order-independent, SQL-replayable).  Signed sum
+    cancels orientation under abs().  Valid for rings small enough that
+    the fan triangles are well-conditioned (anything city- to
+    country-sized; not hemisphere-scale)."""
+    w = Window.partitionBy(ring_col).orderBy(F.col(seq_col).asc())
+    wp = Window.partitionBy(ring_col).orderBy(F.col(seq_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rad = F.lit(0.017453292519943295)
+
+    def xyz(lon, lat):
+        return (F.cos(lat * rad) * F.cos(lon * rad),
+                F.cos(lat * rad) * F.sin(lon * rad),
+                F.sin(lat * rad))
+
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    nlon = F.coalesce(F.lead(lon_col).over(w), F.first(lon_col).over(wp))
+    nlat = F.coalesce(F.lead(lat_col).over(w), F.first(lat_col).over(wp))
+    alon = F.first(lon_col).over(wp)
+    alat = F.first(lat_col).over(wp)
+    ax, ay, az = xyz(alon, alat)
+    bx, by, bz = xyz(lon, lat)
+    cx, cy, cz = xyz(nlon, nlat)
+    det = (ax * (by * cz - bz * cy)
+           + ay * (bz * cx - bx * cz)
+           + az * (bx * cy - by * cx))
+    dots = (F.lit(1.0) + (ax * bx + ay * by + az * bz)
+            + (ax * cx + ay * cy + az * cz)
+            + (bx * cx + by * cy + bz * cz))
+    term9 = F.lit(2.0e9) * F.atan2(det, dots)
+    edges = vertices.select(
+        F.col(ring_col).alias("ring_id"),
+        term9.cast("decimal(38,2)").alias("_t9"),
+    )
+    agg = edges.groupBy("ring_id").agg(
+        F.count("*").alias("n_vertices"),
+        F.sum("_t9").cast("double").alias("_s9"),
+    )
+    return agg.select(
+        "ring_id", "n_vertices",
+        (F.abs(F.col("_s9")) / F.lit(1.0e9) * F.lit(_R_MEAN * _R_MEAN))
+        .alias("area_m2"),
+    )

@@ -6503,6 +6503,84 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-excess ring area (``measures.ring_geodesic_area``) over
+    the same star-polygon fixture as ``polygon_measures`` — the
+    on-sphere companion to the planar shoelace (Van Oosterom–Strackee
+    signed solid-angle fan, anchor-degenerate wrap edges included).
+    Terms are quantized to a grid ~9 orders above JVM-vs-libm trig
+    drift and ~2 below the per-term signal, then decimal-summed, so the
+    SQL replay lands on the same grid points and the hash check is
+    exact.  Same one-exchange window shape as polygon_measures."""
+    from .operators import measures
+
+    k = F.col("c_custkey")
+    base = _read(spark, sf_dir, "customer").select(
+        k.alias("k"), (k % 20).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("k").asc())
+    wn = Window.partitionBy("grp")
+    b = base.withColumn("j", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    theta = F.lit(2.0) * F.lit(np.pi) * F.col("j") / F.col("n")
+    rs = F.when(F.col("j") % 3 == 0, F.lit(0.15)).otherwise(F.lit(1.0))
+    pts = b.select(
+        F.col("grp").alias("ring_id"), F.col("j").alias("seq"),
+        (F.lit(-123.0) + F.col("grp") * F.lit(0.01)
+         + F.lit(0.03) * rs * F.cos(theta)).alias("lon"),
+        (F.lit(49.5) + F.lit(0.02) * rs * F.sin(theta)).alias("lat"),
+    )
+    out = measures.ring_geodesic_area(pts)
+    # area ~3.5e6 m2; 1 dp sits far above the quantization floor and far
+    # below any engine-visible difference on the decimal-summed terms
+    return out.select(
+        "ring_id", "n_vertices", F.round("area_m2", 1).alias("area_m2_r")
+    )
+
+
+_GEOD_XYZ = (
+    "cos({lat} * 0.017453292519943295) * cos({lon} * 0.017453292519943295)",
+    "cos({lat} * 0.017453292519943295) * sin({lon} * 0.017453292519943295)",
+    "sin({lat} * 0.017453292519943295)",
+)
+
+
+def _oracle_geodesic_area() -> str:
+    ax, ay, az = (c.format(lon="alon", lat="alat") for c in _GEOD_XYZ)
+    bx, by, bz = (c.format(lon="x", lat="y") for c in _GEOD_XYZ)
+    cx, cy, cz = (c.format(lon="nx", lat="ny") for c in _GEOD_XYZ)
+    return (
+        "WITH b AS (SELECT c_custkey AS k, c_custkey % 20 AS grp, "
+        "row_number() OVER (PARTITION BY c_custkey % 20 ORDER BY c_custkey) - 1 AS j, "
+        "count(*) OVER (PARTITION BY c_custkey % 20) AS n FROM customer), "
+        "c AS (SELECT grp, j, 2.0 * pi() * j / n AS theta, "
+        "CASE WHEN j % 3 = 0 THEN 0.15 ELSE 1.0 END AS rs FROM b), "
+        "d AS (SELECT grp AS ring_id, j, "
+        "(-123.0 + grp * 0.01) + 0.03 * rs * cos(theta) AS x, "
+        "49.5 + 0.02 * rs * sin(theta) AS y FROM c), "
+        "e AS (SELECT ring_id, x, y, "
+        "coalesce(lead(x) OVER wb, first_value(x) OVER wb) AS nx, "
+        "coalesce(lead(y) OVER wb, first_value(y) OVER wb) AS ny, "
+        "first_value(x) OVER wb AS alon, first_value(y) OVER wb AS alat "
+        "FROM d WINDOW wb AS (PARTITION BY ring_id ORDER BY j)), "
+        "v AS (SELECT ring_id, "
+        f"({ax}) AS ax, ({ay}) AS ay, ({az}) AS az, "
+        f"({bx}) AS bx, ({by}) AS by, ({bz}) AS bz, "
+        f"({cx}) AS cx, ({cy}) AS cy, ({cz}) AS cz FROM e), "
+        "t AS (SELECT ring_id, CAST(2000000000.0 * atan2("
+        "ax * (by * cz - bz * cy) + ay * (bz * cx - bx * cz) "
+        "+ az * (bx * cy - by * cx), "
+        "1.0 + (ax * bx + ay * by + az * bz) + (ax * cx + ay * cy + az * cz) "
+        "+ (bx * cx + by * cy + bz * cz)) AS DECIMAL(38,2)) AS t9 FROM v), "
+        "a AS (SELECT ring_id, count(*) AS n_vertices, "
+        "CAST(sum(t9) AS DOUBLE) AS s9 FROM t GROUP BY ring_id) "
+        "SELECT ring_id, n_vertices, "
+        "round(abs(s9) / 1000000000.0 * 40589753129677.44, 1) AS area_m2_r "
+        "FROM a"
+    )
+
+
 def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster focal statistics (``raster.focal_stats``): per-cell 3x3
     neighborhood mean/min/max/sum over the inline tile grid — the
@@ -6720,6 +6798,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "geodesic_area": q_geodesic_area,
     "ohlc_bars": q_ohlc_bars,
     "hotspot_cells": q_hotspot_cells,
     "bearing_histogram": q_bearing_histogram,
@@ -7016,6 +7095,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "geodesic_area": _oracle_geodesic_area(),
     "ohlc_bars": ORACLE_OHLC_BARS,
     "hotspot_cells": ORACLE_HOTSPOT_CELLS,
     "bearing_histogram": ORACLE_BEARING_HISTOGRAM,
@@ -7051,6 +7131,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "geodesic_area",                                     # new: spherical-excess area
     "ohlc_bars", "hotspot_cells", "bearing_histogram",   # new: resample/hotspot/rose
     "triangle_counts",                                   # new: degree-ordered triangles
     "idw_interpolate",                                   # new: IDW field estimate

@@ -51,3 +51,37 @@ class TestRingMeasures:
         # the rollup must reuse the window's ring_id hash partitioning
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestGeodesicArea:
+    def test_small_square_matches_analytic(self, spark):
+        # 0.01 x 0.01 deg square at lat 49.5: spherical area ~
+        # (s·rad)^2 · cos(mid_lat) · R^2, good to ~1e-4 relative
+        import math
+        s = 0.01
+        rows = [("q", 0, -123.0, 49.5), ("q", 1, -123.0 + s, 49.5),
+                ("q", 2, -123.0 + s, 49.5 + s), ("q", 3, -123.0, 49.5 + s)]
+        (r,) = measures.ring_geodesic_area(_rings(spark, rows)).collect()
+        rad = math.pi / 180.0
+        want = (s * rad) ** 2 * math.cos((49.5 + s / 2) * rad) * 6371008.8 ** 2
+        assert abs(r.area_m2 - want) / want < 1e-3
+        assert r.n_vertices == 4
+
+    def test_orientation_cancels_spherical(self, spark):
+        ccw = [("a", i, x, y) for i, (x, y) in enumerate(
+            [(-123.0, 49.5), (-122.98, 49.5), (-122.98, 49.52), (-123.0, 49.52)])]
+        cw = [("b", i, x, y) for i, (x, y) in enumerate(
+            [(-123.0, 49.5), (-123.0, 49.52), (-122.98, 49.52), (-122.98, 49.5)])]
+        out = {r.ring_id: r.area_m2 for r in
+               measures.ring_geodesic_area(_rings(spark, ccw + cw)).collect()}
+        assert abs(out["a"] - out["b"]) / out["a"] < 1e-6
+
+    def test_agrees_with_planar_shoelace_for_tiny_ring(self, spark):
+        import math
+        rows = [("t", 0, -123.0, 49.5), ("t", 1, -122.99, 49.502),
+                ("t", 2, -122.995, 49.51)]
+        (g,) = measures.ring_geodesic_area(_rings(spark, rows)).collect()
+        (p,) = measures.ring_measures(_rings(spark, rows)).collect()
+        rad = math.pi / 180.0
+        approx = p.area * rad * rad * math.cos(49.504 * rad) * 6371008.8 ** 2
+        assert abs(g.area_m2 - approx) / approx < 1e-3
