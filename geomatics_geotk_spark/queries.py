@@ -6503,6 +6503,135 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: per user,
+    each step's timestamp is the EARLIEST occurrence strictly after the
+    previous step (min-over-filtered, not sequence scan).  All three
+    step aggregates and the join-backs hash on user_id — one logical
+    exchange reused by AQE — and the final report is a 3-row rollup.
+    Integer counts; step times compare as exact micros."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    t1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    rows = [
+        t1.agg(F.lit(1).alias("step"), F.lit("signup").alias("name"),
+               F.count("*").alias("n_users")),
+        t2.agg(F.lit(2).alias("step"), F.lit("click").alias("name"),
+               F.count("*").alias("n_users")),
+        t3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("name"),
+               F.count("*").alias("n_users")),
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return out
+
+
+ORACLE_EVENT_FUNNEL = (
+    "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), "
+    "t1 AS (SELECT user_id, min(us) AS t1 FROM ev "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "t2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN t1 USING (user_id) "
+    "WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id), "
+    "t3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN t2 USING (user_id) "
+    "WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id) "
+    "SELECT 1 AS step, 'signup' AS name, count(*) AS n_users FROM t1 "
+    "UNION ALL SELECT 2, 'click', count(*) FROM t2 "
+    "UNION ALL SELECT 3, 'purchase', count(*) FROM t3"
+)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by FIRST-event day, then
+    distinct-user activity per (cohort_day, day_offset) — the classic
+    triangle matrix.  The first-day table hashes on user_id, joins back
+    on the same key (AQE-reused exchange), and the matrix rollup
+    dedupes (cohort, offset, user) BEFORE counting — dedupe-then-count,
+    no count-distinct Expand.  Day arithmetic is integer epoch-days."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .dropDuplicates(["cohort_day", "day_offset", "user_id"])
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+ORACLE_RETENTION_COHORTS = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), "
+    "f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id), "
+    "a AS (SELECT DISTINCT cohort_day, day - cohort_day AS day_offset, ev.user_id "
+    "FROM ev JOIN f USING (user_id)) "
+    "SELECT cohort_day, day_offset, count(*) AS n_users FROM a "
+    "GROUP BY cohort_day, day_offset"
+)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix: for every source pair,
+    how many distinct tokens both emit — the corpus-mixing diagnostic
+    (two crawls sharing most of their vocabulary are near-duplicate
+    feeds).  Engine path: dedupe (token, source), ONE exchange on token,
+    then the per-token source set expands to its C(s,2) ordered pairs in
+    pure Column higher-order math (sorted set → slice/transform fan) —
+    bounded by the SOURCE-count squared per token, never by corpus size
+    — and the pair rollup is map-side combinable.  The oracle is the
+    structurally different distinct-pair self-join."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("token")
+        )
+        .where(F.length("token") >= 3)
+        .dropDuplicates(["token", "source"])
+    )
+    sets = toks.groupBy("token").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (s, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), t -> "
+                "struct(s AS s1, t AS s2))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2")).agg(
+        F.count("*").alias("n_shared_tokens")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = (
+    "WITH toks AS (SELECT DISTINCT source, t.token FROM documents, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token) "
+    "WHERE length(t.token) >= 3) "
+    "SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared_tokens "
+    "FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source "
+    "GROUP BY a.source, b.source"
+)
+
+
 def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical-excess ring area (``measures.ring_geodesic_area``) over
     the same star-polygon fixture as ``polygon_measures`` — the
@@ -6798,6 +6927,9 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "source_overlap": q_source_overlap,
     "geodesic_area": q_geodesic_area,
     "ohlc_bars": q_ohlc_bars,
     "hotspot_cells": q_hotspot_cells,
@@ -7095,6 +7227,9 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
     "geodesic_area": _oracle_geodesic_area(),
     "ohlc_bars": ORACLE_OHLC_BARS,
     "hotspot_cells": ORACLE_HOTSPOT_CELLS,
@@ -7131,6 +7266,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "event_funnel", "retention_cohorts",                 # new: funnel/retention
+    "source_overlap",                                    # new: vocab overlap matrix
     "geodesic_area",                                     # new: spherical-excess area
     "ohlc_bars", "hotspot_cells", "bearing_histogram",   # new: resample/hotspot/rose
     "triangle_counts",                                   # new: degree-ordered triangles
