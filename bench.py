@@ -145,6 +145,13 @@ BENCH_QUERIES = [
     "returned_items",
     "important_parts",
     "supplier_part_counts",
+    "geodesic_area",
+    "event_funnel",
+    "retention_cohorts",
+    "source_overlap",
+    "rolling_revenue",
+    "customer_quartiles",
+    "event_transitions",
 ]
 
 

@@ -6503,6 +6503,101 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue per order day — the RANGE-frame window
+    (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over integer epoch-days)
+    on the PRE-AGGREGATED daily table: the corpus collapses to ≤ #days
+    rows in one map-side-combined exchange first, so the range window
+    sorts thousands of rows, not billions.  Daily sums are DECIMAL;
+    the trailing sum stays decimal until one final double cast."""
+    li = _read(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_p"),
+    )
+    daily = li.groupBy("day").agg(
+        F.sum("_p").alias("_rev"), F.count("*").alias("n_orders")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "n_orders",
+        F.col("_rev").cast("double").alias("day_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("trailing_7d_revenue"),
+    )
+
+
+ORACLE_ROLLING_REVENUE = (
+    "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, "
+    "count(*) AS n_orders FROM orders GROUP BY day) "
+    "SELECT day, n_orders, CAST(rev AS DOUBLE) AS day_revenue, "
+    "CAST(sum(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING "
+    "AND CURRENT ROW) AS DOUBLE) AS trailing_7d_revenue FROM d"
+)
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue quartiles: per-customer order totals (one
+    map-side-combined exchange), NTILE(4) over (revenue, custkey) — the
+    tie-broken total order makes the quartile assignment deterministic
+    across engines — then a 4-row quartile profile.  The NTILE window is
+    the one global sort; it runs on the pre-aggregated customer frame,
+    orders of magnitude below the fact table."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("_p")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("_p").cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").asc(), F.col("o_custkey").asc())
+    q = per_cust.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("revenue_sum"),
+        F.min("revenue").alias("revenue_min"),
+        F.max("revenue").alias("revenue_max"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+
+
+ORACLE_CUSTOMER_QUARTILES = (
+    "WITH pc AS (SELECT o_custkey, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_orders FROM orders GROUP BY o_custkey), "
+    "q AS (SELECT *, ntile(4) OVER (ORDER BY revenue ASC, o_custkey ASC) "
+    "AS quartile FROM pc) "
+    "SELECT quartile, count(*) AS n_customers, "
+    "CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue_sum, "
+    "min(revenue) AS revenue_min, max(revenue) AS revenue_max, "
+    "CAST(sum(n_orders) AS BIGINT) AS n_orders FROM q GROUP BY quartile"
+)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition bigrams (lag over the (ts,
+    event_id) order within user) rolled up corpus-wide — the Markov
+    transition matrix of behavioral modeling.  ONE window exchange on
+    user_id; the 25-cell rollup is map-side combinable.  Integer
+    counts."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return tr.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+
+
+ORACLE_EVENT_TRANSITIONS = (
+    "WITH tr AS (SELECT lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS from_type, "
+    "event_type AS to_type FROM events) "
+    "SELECT from_type, to_type, count(*) AS n FROM tr "
+    "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
+)
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: per user,
     each step's timestamp is the EARLIEST occurrence strictly after the
@@ -6927,6 +7022,9 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "rolling_revenue": q_rolling_revenue,
+    "customer_quartiles": q_customer_quartiles,
+    "event_transitions": q_event_transitions,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "source_overlap": q_source_overlap,
@@ -7227,6 +7325,9 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "rolling_revenue": ORACLE_ROLLING_REVENUE,
+    "customer_quartiles": ORACLE_CUSTOMER_QUARTILES,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
@@ -7266,6 +7367,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "rolling_revenue", "customer_quartiles",             # new: range frame / ntile
+    "event_transitions",                                 # new: Markov bigrams
     "event_funnel", "retention_cohorts",                 # new: funnel/retention
     "source_overlap",                                    # new: vocab overlap matrix
     "geodesic_area",                                     # new: spherical-excess area
