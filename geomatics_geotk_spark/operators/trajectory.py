@@ -464,3 +464,56 @@ def snap_to_segments(
         F.lit(0.0).alias("t"),
     )
     return pts.withColumn(out, F.aggregate(arr, init, step))
+
+
+def resample_track(
+    pts: DataFrame,
+    period_s: int = 21600,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Fixed-period track regularization: one interpolated position per
+    entity at every epoch-aligned grid tick covered by the track — the
+    resampler that turns irregular GPS fixes into the uniform sequence
+    models want.
+
+    Each leg (prev fix, cur fix] owns the grid ticks strictly after prev
+    and at-or-before cur (integer epoch-bucket arithmetic — every tick
+    assigned exactly once, no float at bucket edges), and emits them via
+    a per-leg sequence() explode; position is linear interpolation in
+    time.  Shape: ONE window exchange on the entity (lag), then the
+    generator runs map-side — output volume is duration/period per
+    entity, independent of fix density, and a tick-dense leg explodes
+    only its own row (no skew coupling across entities).  All arithmetic
+    is integer-derived doubles (no trig), so the oracle replay is
+    bit-exact unrounded.
+    """
+    us_per = int(period_s) * 1_000_000
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    legs = pts.select(
+        F.col(entity_col).alias("entity"),
+        us.alias("_t"), F.col(lon_col).alias("_x"), F.col(lat_col).alias("_y"),
+        F.lag(us).over(w).alias("_pt"),
+        F.lag(lon_col).over(w).alias("_px"),
+        F.lag(lat_col).over(w).alias("_py"),
+    ).where(F.col("_pt").isNotNull())
+    lo = F.expr(f"_pt DIV {us_per} + 1")
+    hi = F.expr(f"_t DIV {us_per}")
+    ticks = legs.withColumn(
+        "_k",
+        F.explode(
+            F.when(hi >= lo, F.sequence(lo, hi))
+            .otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
+    f = (F.col("_k") * F.lit(us_per) - F.col("_pt")) / (F.col("_t") - F.col("_pt"))
+    return ticks.select(
+        F.col("entity").alias(entity_col),
+        (F.col("_k") * F.lit(us_per)).alias("tick_us"),
+        (F.col("_px") + f * (F.col("_x") - F.col("_px"))).alias("lon"),
+        (F.col("_py") + f * (F.col("_y") - F.col("_py"))).alias("lat"),
+    )

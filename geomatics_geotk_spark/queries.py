@@ -6503,6 +6503,35 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-period track regularization (``trajectory.resample_track``):
+    one linearly interpolated position per user at every 6-hour
+    epoch-aligned grid tick covered by the track.  Each leg owns the
+    ticks in (prev, cur] by integer bucket arithmetic (every tick
+    emitted exactly once); the generator runs map-side after ONE lag
+    window exchange.  No trig — all doubles derive from the same
+    integers, so the oracle is bit-exact unrounded."""
+    from .operators import trajectory
+
+    return trajectory.resample_track(_event_pts(spark, sf_dir), period_s=21600)
+
+
+ORACLE_RESAMPLE_TRACK = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "lg AS (SELECT user_id, epoch_us(ts) AS t, lon AS x, lat AS y, "
+    "lag(epoch_us(ts)) OVER w AS pt, lag(lon) OVER w AS px, "
+    "lag(lat) OVER w AS py FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "tk AS (SELECT user_id, t, x, y, pt, px, py, unnest("
+    "CASE WHEN t // 21600000000 >= pt // 21600000000 + 1 "
+    "THEN generate_series(pt // 21600000000 + 1, t // 21600000000) "
+    "ELSE [] END) AS k FROM lg WHERE pt IS NOT NULL) "
+    "SELECT user_id, k * 21600000000 AS tick_us, "
+    "px + ((k * 21600000000 - pt) / (t - pt)) * (x - px) AS lon, "
+    "py + ((k * 21600000000 - pt) / (t - pt)) * (y - py) AS lat FROM tk"
+)
+
+
 def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing revenue per order day — the RANGE-frame window
     (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over integer epoch-days)
@@ -7022,6 +7051,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "resample_track": q_resample_track,
     "rolling_revenue": q_rolling_revenue,
     "customer_quartiles": q_customer_quartiles,
     "event_transitions": q_event_transitions,
@@ -7325,6 +7355,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "resample_track": ORACLE_RESAMPLE_TRACK,
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
     "customer_quartiles": ORACLE_CUSTOMER_QUARTILES,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
@@ -7367,6 +7398,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "resample_track",                                    # new: track regularization
     "rolling_revenue", "customer_quartiles",             # new: range frame / ntile
     "event_transitions",                                 # new: Markov bigrams
     "event_funnel", "retention_cohorts",                 # new: funnel/retention

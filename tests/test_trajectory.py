@@ -481,3 +481,55 @@ class TestSnapToSegments:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestResampleTrack:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, lon double, lat double"
+        )
+
+    def test_ticks_owned_once_and_interpolated(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, 1, t0, 0.0, 0.0),
+            (1, 2, t0 + dt.timedelta(seconds=100), 10.0, 20.0),
+            (1, 3, t0 + dt.timedelta(seconds=250), 40.0, 50.0),
+        ]
+        from geomatics_geotk_spark.operators import trajectory
+        out = sorted(
+            trajectory.resample_track(self._pts(spark, rows), period_s=50).collect(),
+            key=lambda r: r.tick_us,
+        )
+        base = int(t0.timestamp()) * 1_000_000
+        # grid ticks at +50s, +100s (owned by leg 1: (0,100]), +150, +200,
+        # +250 (owned by leg 2: (100,250]) — five ticks, each exactly once
+        assert [r.tick_us - base for r in out] == [
+            50_000_000, 100_000_000, 150_000_000, 200_000_000, 250_000_000]
+        assert (out[0].lon, out[0].lat) == (5.0, 10.0)    # midpoint of leg 1
+        assert (out[1].lon, out[1].lat) == (10.0, 20.0)   # endpoint tick
+        assert abs(out[2].lon - 20.0) < 1e-12             # 1/3 into leg 2
+        assert (out[4].lon, out[4].lat) == (40.0, 50.0)
+
+    def test_same_bucket_leg_emits_nothing(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 10)
+        rows = [(1, 1, t0, 0.0, 0.0),
+                (1, 2, t0 + dt.timedelta(seconds=5), 1.0, 1.0)]
+        from geomatics_geotk_spark.operators import trajectory
+        assert trajectory.resample_track(self._pts(spark, rows), period_s=3600).count() == 0
+
+    def test_single_window_exchange_no_python(self, spark):
+        import datetime as dt
+        import re
+        from geomatics_geotk_spark import plans
+        from geomatics_geotk_spark.operators import trajectory
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, 1, t0, 0.0, 0.0),
+                (1, 2, t0 + dt.timedelta(hours=13), 1.0, 1.0)]
+        plan = plans.formatted_plan(
+            trajectory.resample_track(self._pts(spark, rows), period_s=21600))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Generate" in plan  # the map-side sequence explode
