@@ -353,6 +353,52 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_bm25_topk(spark, SF))),
     ))
 
+    sections.append((
+        "Raster focal stats (focal_mean)",
+        "Scatter-explode of a LITERAL offset array (Generate node, "
+        "map-side) → ONE exchange on the target cell with partial "
+        "aggregation absorbing the x9 expansion; the gather-join "
+        "alternative would shuffle both sides and cannot pre-combine.",
+        _trim(plans.formatted_plan(queries.q_focal_mean(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Shoelace ring measures (polygon_measures)",
+        "Vertex rows: ONE window exchange on ring_id (lead + first_value "
+        "share the sort), edge cross terms as Column math, and the rollup "
+        "REUSES the window's hash partitioning — no second exchange.  "
+        "ring_geodesic_area is the same shape with trig terms.",
+        _trim(plans.formatted_plan(queries.q_polygon_measures(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Triangle counting (triangle_counts)",
+        "Degree-ordered orientation: canonical-edge dedupe + degree "
+        "aggregate, wedge self-join keyed on the orientation-minimal "
+        "center (bounded O(m^1.5) under hub skew), closing-pair equi-join, "
+        "per-node rollup.  Every join is a key equi-join; no crossJoin.",
+        _trim(plans.formatted_plan(queries.q_triangle_counts(spark, SF)), 40),
+    ))
+
+    sections.append((
+        "Track regularization (resample_track)",
+        "ONE lag window exchange on the entity; the per-leg sequence() "
+        "tick generator is a map-side Generate node, so output volume is "
+        "duration/period per entity and a tick-dense leg explodes only "
+        "its own row.  No Python anywhere.",
+        _trim(plans.formatted_plan(queries.q_resample_track(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "IDW interpolation (idw_interpolate)",
+        "Broadcast observation dim (BroadcastNestedLoopJoin at dim size) "
+        "→ salted two-phase top-k (never one task per doc) → decimal "
+        "weight rollup reusing the ranking exchange.  Corpus-scale "
+        "observation tables swap the candidate stage for knn_join's "
+        "cell-ring equi-join and keep the same weighting tail.",
+        _trim(plans.formatted_plan(queries.q_idw_interpolate(spark, SF)), 35),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
