@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "rolling_revenue",
     "customer_quartiles",
     "event_transitions",
+    "embedding_stats",
+    "resample_track",
 ]
 
 

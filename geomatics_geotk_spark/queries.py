@@ -6503,6 +6503,60 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean / var / min / max / L2
+    mass) — the feature-scaling statistics every normalization or
+    whitening pass needs.  posexplode → (dim, value) rows → ONE
+    map-side-combined exchange on the 64 dims; float32 inputs widen to
+    double EXACTLY, per-row decimal casts make the sums
+    order-independent, and the mean/var divides run on identical
+    decimal-derived doubles in both engines.  At 100 TB the shuffle
+    carries 64 partial-agg rows per TASK, not per document — the
+    explode never leaves the map side."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    staged = emb.select(
+        "dim",
+        F.col("v").cast("double").alias("vd"),
+        F.col("v").cast("double").cast("decimal(18,9)").alias("_v"),
+        (F.col("v").cast("double") * F.col("v").cast("double"))
+        .cast("decimal(28,15)").alias("_v2"),
+    )
+    agg = staged.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("_v").cast("double").alias("_s"),
+        F.sum("_v2").cast("double").alias("_ss"),
+        F.min("vd").alias("dim_min"),
+        F.max("vd").alias("dim_max"),
+    )
+    mean = F.col("_s") / F.col("n")
+    return agg.select(
+        "dim", "n",
+        F.round(mean, 9).alias("dim_mean"),
+        F.round(F.col("_ss") / F.col("n") - mean * mean, 9).alias("dim_var"),
+        "dim_min", "dim_max",
+    )
+
+
+ORACLE_EMBEDDING_STATS = (
+    # fixture embeddings are 64-d (the engine side reads the length
+    # dynamically via posexplode; the SQL mirror pins the fixture dim)
+    "WITH e AS (SELECT embedding[CAST(i AS INT)] AS v, i - 1 AS dim "
+    "FROM embeddings CROSS JOIN range(1, 65) t(i)), "
+    "s AS (SELECT dim, CAST(v AS DOUBLE) AS vd, "
+    "CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) AS dv, "
+    "CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,15)) AS dv2 "
+    "FROM e), "
+    "a AS (SELECT dim, count(*) AS n, CAST(sum(dv) AS DOUBLE) AS sv, "
+    "CAST(sum(dv2) AS DOUBLE) AS svv, min(vd) AS dim_min, max(vd) AS dim_max "
+    "FROM s GROUP BY dim) "
+    "SELECT dim, n, round(sv / n, 9) AS dim_mean, "
+    "round(svv / n - (sv / n) * (sv / n), 9) AS dim_var, "
+    "dim_min, dim_max FROM a"
+)
+
+
 def q_resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-period track regularization (``trajectory.resample_track``):
     one linearly interpolated position per user at every 6-hour
@@ -7051,6 +7105,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "embedding_stats": q_embedding_stats,
     "resample_track": q_resample_track,
     "rolling_revenue": q_rolling_revenue,
     "customer_quartiles": q_customer_quartiles,
@@ -7355,6 +7410,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "embedding_stats": ORACLE_EMBEDDING_STATS,
     "resample_track": ORACLE_RESAMPLE_TRACK,
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
     "customer_quartiles": ORACLE_CUSTOMER_QUARTILES,
@@ -7398,6 +7454,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "embedding_stats",                                   # new: per-dim moments
     "resample_track",                                    # new: track regularization
     "rolling_revenue", "customer_quartiles",             # new: range frame / ntile
     "event_transitions",                                 # new: Markov bigrams
