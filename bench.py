@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "embedding_stats",
     "resample_track",
+    "geohash_cells",
 ]
 
 

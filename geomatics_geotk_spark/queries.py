@@ -6503,6 +6503,51 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell histogram (``functions.geohash_col``, precision 5):
+    the interop twin of the native Z-order ``cell_histogram`` — same
+    bit-interleave, industry base-32 alphabet, emitted as a plan-time
+    unrolled shift/mask Column program (no UDF, codegen-friendly,
+    golden-tested against the canonical u4pruy vector).  Pure integer
+    math on identical doubles ⇒ the SQL mirror is bit-exact.  ONE
+    map-side-combined exchange."""
+    from .functions import geohash_col
+
+    pts = _pts_from_key(_read(spark, sf_dir, "orders"), "o_orderkey")
+    gh = pts.select(geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh"))
+    return gh.groupBy("gh").agg(F.count("*").alias("n_points"))
+
+
+def _oracle_geohash_cells(precision: int = 5) -> str:
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    xi = (f"CAST(least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)}), 0), "
+          f"{(1 << lon_bits) - 1}) AS BIGINT)")
+    yi = (f"CAST(least(greatest(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)}), 0), "
+          f"{(1 << lat_bits) - 1}) AS BIGINT)")
+    bits = []
+    for k in range(nbits):
+        j = k // 2
+        if k % 2 == 0:
+            bits.append(f"((xi // {1 << (lon_bits - 1 - j)}) % 2) * {1 << (nbits - 1 - k)}")
+        else:
+            bits.append(f"((yi // {1 << (lat_bits - 1 - j)}) % 2) * {1 << (nbits - 1 - k)}")
+    g = " + ".join(bits)
+    chars = " || ".join(
+        f"substring('{alpha}', CAST((g // {1 << (5 * (precision - 1 - c))}) % 32 AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"WITH pts AS ({_pts_sql('orders', 'o_orderkey')}), "
+        f"q AS (SELECT {xi} AS xi, {yi} AS yi FROM pts), "
+        f"ig AS (SELECT {g} AS g FROM q), "
+        f"gh AS (SELECT {chars} AS gh FROM ig) "
+        "SELECT gh, count(*) AS n_points FROM gh GROUP BY gh"
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding moments (mean / var / min / max / L2
     mass) — the feature-scaling statistics every normalization or
@@ -7105,6 +7150,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "geohash_cells": q_geohash_cells,
     "embedding_stats": q_embedding_stats,
     "resample_track": q_resample_track,
     "rolling_revenue": q_rolling_revenue,
@@ -7410,6 +7456,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "geohash_cells": _oracle_geohash_cells(),
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "resample_track": ORACLE_RESAMPLE_TRACK,
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
@@ -7454,6 +7501,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "geohash_cells",                                     # new: interop cell index
     "embedding_stats",                                   # new: per-dim moments
     "resample_track",                                    # new: track regularization
     "rolling_revenue", "customer_quartiles",             # new: range frame / ntile

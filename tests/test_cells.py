@@ -80,3 +80,46 @@ def test_pyramid_parent_by_morton_shift_matches_direct_encode():
         derived = ((np.uint64(r) << np.uint64(58)) | (morton >> np.uint64(2 * (12 - r)))).astype(np.int64)
         direct = cells.cell_of(lon, lat, r)
         assert np.array_equal(derived, direct)
+
+
+class TestGeohash:
+    def test_canonical_vector(self, spark):
+        """Wikipedia's worked example: (57.64911N, 10.40744E) -> u4pruydqqvj."""
+        from pyspark.sql import functions as F
+        from geomatics_geotk_spark.functions import geohash_col
+        df = spark.createDataFrame([(10.40744, 57.64911)], "lon double, lat double")
+        for p in (1, 6, 9, 11):
+            (r,) = df.select(geohash_col(F.col("lon"), F.col("lat"), p).alias("g")).collect()
+            assert r.g == "u4pruydqqvj"[:p], (p, r.g)
+
+    def test_poles_and_antimeridian_clamp(self, spark):
+        from pyspark.sql import functions as F
+        from geomatics_geotk_spark.functions import geohash_col
+        df = spark.createDataFrame(
+            [(180.0, 90.0), (-180.0, -90.0), (0.0, 0.0)], "lon double, lat double"
+        )
+        out = [r.g for r in df.select(
+            geohash_col(F.col("lon"), F.col("lat"), 4).alias("g")).collect()]
+        assert out[0] == "zzzz" and out[1] == "0000" and out[2] == "s000"
+
+    def test_precision_validation(self):
+        import pytest
+        from pyspark.sql import functions as F
+        from geomatics_geotk_spark.functions import geohash_col
+        with pytest.raises(ValueError):
+            geohash_col(F.lit(0.0), F.lit(0.0), 0)
+        with pytest.raises(ValueError):
+            geohash_col(F.lit(0.0), F.lit(0.0), 13)
+
+    def test_prefix_nesting(self, spark):
+        """A finer geohash is always an extension of the coarser one —
+        the hierarchical-containment property tile pruning relies on."""
+        from pyspark.sql import functions as F
+        from geomatics_geotk_spark.functions import geohash_col
+        pts = [(-123.5 + i * 0.037, 49.0 + (i * 7 % 13) * 0.07) for i in range(40)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        rows = df.select(
+            geohash_col(F.col("lon"), F.col("lat"), 4).alias("g4"),
+            geohash_col(F.col("lon"), F.col("lat"), 7).alias("g7"),
+        ).collect()
+        assert all(r.g7.startswith(r.g4) for r in rows)
