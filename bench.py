@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "embedding_stats",
     "resample_track",
     "geohash_cells",
+    "zonal_weighted",
 ]
 
 

@@ -6503,6 +6503,66 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal mean: each tile contributes to a zone in
+    proportion to the OVERLAP area (closed-form rect∩rect — pure Column
+    clamps, no geometry kernel needed for the axis-aligned raster case),
+    the standard correction for tiles straddling zone borders that the
+    plain ``zonal_stats`` count-weighting ignores.  Same broadcast
+    covering-cell join as zonal_pairs feeds it; weights and weighted
+    values are identical doubles in both engines (no trig), decimal-
+    summed, one rollup exchange.  Tiles with zero-area touch-only
+    overlap drop out arithmetically (w = 0 excluded to keep the weight
+    sum positive)."""
+    pairs = zonal.zonal_join(_inline_tiles(spark), _shifted_zone_rects(spark), res=10)
+    zr = _shifted_zone_rects(spark).select(
+        F.col("zone_id").alias("z_id"),
+        F.element_at("exterior", 1).getField("x").alias("zxmin"),
+        F.element_at("exterior", 1).getField("y").alias("zymin"),
+        F.element_at("exterior", 3).getField("x").alias("zxmax"),
+        F.element_at("exterior", 3).getField("y").alias("zymax"),
+    )
+    j = pairs.join(F.broadcast(zr), pairs["zone_id"] == zr["z_id"])
+    iw = F.greatest(
+        F.least(F.col("xmax"), F.col("zxmax")) - F.greatest(F.col("xmin"), F.col("zxmin")),
+        F.lit(0.0),
+    )
+    ih = F.greatest(
+        F.least(F.col("ymax"), F.col("zymax")) - F.greatest(F.col("ymin"), F.col("zymin")),
+        F.lit(0.0),
+    )
+    w = iw * ih
+    staged = j.select(
+        "zone_id",
+        w.cast("decimal(28,18)").alias("_w"),
+        (F.col("value") * w).cast("decimal(28,18)").alias("_vw"),
+    ).where(F.col("_w") > 0)
+    agg = staged.groupBy("zone_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("_w").cast("double").alias("_sw"),
+        F.sum("_vw").cast("double").alias("_svw"),
+    )
+    return agg.select(
+        "zone_id", "n_tiles",
+        F.round(F.col("_svw") / F.col("_sw"), 9).alias("weighted_mean"),
+    )
+
+
+ORACLE_ZONAL_WEIGHTED = (
+    f"WITH t AS ({_TILES_SQL}), z AS ({_ZRECT_SQL}), "
+    "c AS (SELECT zone_id, value, "
+    "greatest(least(xmax, zxmax) - greatest(xmin, zxmin), 0.0) "
+    "* greatest(least(ymax, zymax) - greatest(ymin, zymin), 0.0) AS w "
+    "FROM t JOIN z ON xmin < zxmax AND xmax > zxmin "
+    "AND ymin < zymax AND ymax > zymin), "
+    "s AS (SELECT zone_id, CAST(w AS DECIMAL(28,18)) AS dw, "
+    "CAST(value * w AS DECIMAL(28,18)) AS dvw FROM c WHERE w > 0) "
+    "SELECT zone_id, count(*) AS n_tiles, "
+    "round(CAST(sum(dvw) AS DOUBLE) / CAST(sum(dw) AS DOUBLE), 9) "
+    "AS weighted_mean FROM s GROUP BY zone_id"
+)
+
+
 def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash cell histogram (``functions.geohash_col``, precision 5):
     the interop twin of the native Z-order ``cell_histogram`` — same
@@ -7150,6 +7210,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "zonal_weighted": q_zonal_weighted,
     "geohash_cells": q_geohash_cells,
     "embedding_stats": q_embedding_stats,
     "resample_track": q_resample_track,
@@ -7456,6 +7517,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "zonal_weighted": ORACLE_ZONAL_WEIGHTED,
     "geohash_cells": _oracle_geohash_cells(),
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "resample_track": ORACLE_RESAMPLE_TRACK,
@@ -7501,6 +7563,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "zonal_weighted",                                    # new: overlay-area zonal
     "geohash_cells",                                     # new: interop cell index
     "embedding_stats",                                   # new: per-dim moments
     "resample_track",                                    # new: track regularization
