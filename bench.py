@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "resample_track",
     "geohash_cells",
     "zonal_weighted",
+    "clustering_coeff",
+    "robust_stats",
+    "integrity_audit",
 ]
 
 

@@ -6503,6 +6503,155 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the 3-out link graph: per-node
+    triangles / C(deg, 2) — the graph-quality feature that separates
+    community hubs from spam hubs.  Composes ``graph.triangle_counts``
+    with the canonical-edge degree table (same canonicalization, LEFT
+    join so triangle-free nodes report 0); the coefficient is an exact
+    rational of two integers rendered at 9 dp — identical in both
+    engines.  Only nodes with deg ≥ 2 (coefficient defined)."""
+    from .operators import graph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id", "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 7919 + j * 104729 + 13) % _n").alias("dst"),
+        )
+    )
+    u, v = F.col("src"), F.col("dst")
+    canon = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    tri = graph.triangle_counts(edges)
+    j = deg.where(F.col("deg") >= 2).join(tri, "node", "left").select(
+        "node", "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_tri"),
+    )
+    return j.select(
+        F.col("node").alias("doc_id"), "deg", "n_tri",
+        F.round(
+            F.col("n_tri") * F.lit(2.0) / (F.col("deg") * (F.col("deg") - 1)),
+            9,
+        ).alias("coeff_r"),
+    )
+
+
+ORACLE_CLUSTERING_COEFF = (
+    "WITH nn AS (SELECT count(*) AS n FROM documents), "
+    "lanes AS (SELECT unnest([0, 1, 2]) AS j), "
+    "ed AS (SELECT doc_id AS src, (doc_id * 7919 + j * 104729 + 13) % n AS dst "
+    "FROM documents CROSS JOIN nn CROSS JOIN lanes), "
+    "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM ed WHERE src <> dst), "
+    "dg AS (SELECT node, count(*) AS deg FROM "
+    "(SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node), "
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+    "FROM ce e1 JOIN ce e2 ON e2.a = e1.b "
+    "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "tc AS (SELECT node, count(*) AS n_tri FROM "
+    "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY node) "
+    "SELECT dg.node AS doc_id, deg, coalesce(n_tri, 0) AS n_tri, "
+    "round(coalesce(n_tri, 0) * 2.0 / (deg * (deg - 1)), 9) AS coeff_r "
+    "FROM dg LEFT JOIN tc ON dg.node = tc.node WHERE deg >= 2"
+)
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clamp n_chars to the
+    per-group [p10, p90] band (exact continuous-interpolation
+    percentiles — same rule in Spark `percentile` and DuckDB
+    `quantile_cont`), then report the robust mean next to the raw mean.
+    Two map-side-combined exchanges on lang (percentile agg + clamp
+    rollup, the second reusing the first's broadcast join-back);
+    integer inputs make every percentile an exact rational."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+    )
+    j = docs.join(F.broadcast(q), "lang")
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p10")), F.col("p90"))
+    agg = j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 9).alias("winsor_mean"),
+        F.round(F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+                / F.count("*"), 9).alias("raw_mean"),
+        F.min("p10").alias("p10"), F.min("p90").alias("p90"),
+    )
+    return agg
+
+
+ORACLE_ROBUST_STATS = (
+    "WITH q AS (SELECT lang, quantile_cont(n_chars, 0.1) AS p10, "
+    "quantile_cont(n_chars, 0.9) AS p90 FROM documents GROUP BY lang), "
+    "j AS (SELECT d.lang, n_chars, p10, p90, "
+    "least(greatest(CAST(n_chars AS DOUBLE), p10), p90) AS cl "
+    "FROM documents d JOIN q USING (lang)) "
+    "SELECT lang, count(*) AS n_docs, "
+    "round(CAST(sum(CAST(cl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) "
+    "AS winsor_mean, "
+    "round(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*), 9) "
+    "AS raw_mean, min(p10) AS p10, min(p90) AS p90 "
+    "FROM j GROUP BY lang"
+)
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned lineitems (no order),
+    childless orders (no lineitem), customers without orders, and
+    orders pointing at missing customers — four LEFT-ANTI probes, each
+    a single count, unioned into one report.  The anti-joins hash on
+    their FK; the build sides are key-only projections so the exchange
+    carries 8 bytes/row.  The quality gate every warehouse load runs."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    checks = [
+        ("orphan_lineitems",
+         li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")),
+        ("childless_orders",
+         o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")),
+        ("customers_no_orders",
+         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")),
+        ("orders_missing_customer",
+         o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(F.lit(name).alias("check"), F.count("*").alias("n_bad"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+ORACLE_INTEGRITY_AUDIT = (
+    "SELECT 'orphan_lineitems' AS check, count(*) AS n_bad FROM lineitem "
+    "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) "
+    "UNION ALL SELECT 'childless_orders', count(*) FROM orders "
+    "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) "
+    "UNION ALL SELECT 'customers_no_orders', count(*) FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+    "UNION ALL SELECT 'orders_missing_customer', count(*) FROM orders "
+    "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+)
+
+
 def q_zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Area-weighted zonal mean: each tile contributes to a zone in
     proportion to the OVERLAP area (closed-form rect∩rect — pure Column
@@ -7210,6 +7359,9 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "clustering_coeff": q_clustering_coeff,
+    "robust_stats": q_robust_stats,
+    "integrity_audit": q_integrity_audit,
     "zonal_weighted": q_zonal_weighted,
     "geohash_cells": q_geohash_cells,
     "embedding_stats": q_embedding_stats,
@@ -7517,6 +7669,9 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "clustering_coeff": ORACLE_CLUSTERING_COEFF,
+    "robust_stats": ORACLE_ROBUST_STATS,
+    "integrity_audit": ORACLE_INTEGRITY_AUDIT,
     "zonal_weighted": ORACLE_ZONAL_WEIGHTED,
     "geohash_cells": _oracle_geohash_cells(),
     "embedding_stats": ORACLE_EMBEDDING_STATS,
@@ -7563,6 +7718,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "clustering_coeff", "robust_stats",                  # new: graph QC / winsorize
+    "integrity_audit",                                   # new: FK orphan probes
     "zonal_weighted",                                    # new: overlay-area zonal
     "geohash_cells",                                     # new: interop cell index
     "embedding_stats",                                   # new: per-dim moments
