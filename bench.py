@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "clustering_coeff",
     "robust_stats",
     "integrity_audit",
+    "source_kl",
 ]
 
 

@@ -6503,6 +6503,67 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: KL(source unigram ‖ corpus unigram)
+    = (1/n_s)·Σ_t c_st·(ln c_st − ln n_s − ln c_t + ln N) — every log
+    argument is an INTEGER count, so the per-token terms are
+    bit-identical across engines (the lm_logloss trick) and only the
+    per-source sum needs the 9 dp rounding + decimal fold.  Shape: one
+    (source, token) count exchange; corpus token counts re-aggregate
+    that (small) frame and join back on token; the n_s/N scalars
+    broadcast.  The feed-drift monitor of corpus mixing."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("token")
+    ).where(F.length("token") >= 1)
+    st = toks.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_tot = ct.agg(F.sum("c_t").alias("n_tot"))
+    j = (
+        st.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # round the LOG-SUM (drift ~1e-14) at 6 dp BEFORE the integer count
+    # multiplies it — rounding after would shrink the margin by c_st
+    lns = F.round(
+        F.log(F.col("c_st")) - F.log(F.col("n_s"))
+        - F.log(F.col("c_t")) + F.log(F.col("n_tot")),
+        6,
+    ).cast("decimal(18,6)")
+    staged = j.select(
+        "source", "n_s",
+        (lns * F.col("c_st")).cast("decimal(38,6)").alias("_t"),
+    )
+    agg = staged.groupBy("source", "n_s").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("_t").cast("double").alias("_s"),
+    )
+    return agg.select(
+        "source", F.col("n_s").alias("n_tokens"), "n_terms",
+        F.round(F.col("_s") / F.col("n_s"), 9).alias("kl_nats_r"),
+    )
+
+
+ORACLE_SOURCE_KL = (
+    "WITH toks AS (SELECT source, t.token FROM documents, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token) "
+    "WHERE length(t.token) >= 1), "
+    "st AS (SELECT source, token, count(*) AS c_st FROM toks "
+    "GROUP BY source, token), "
+    "ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token), "
+    "ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source), "
+    "nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM ct), "
+    "t AS (SELECT source, n_s, CAST(CAST(round(ln(c_st) - ln(n_s) "
+    "- ln(c_t) + ln(n_tot), 6) AS DECIMAL(18,6)) * c_st AS DECIMAL(38,6)) "
+    "AS term FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nt) "
+    "SELECT source, n_s AS n_tokens, count(*) AS n_terms, "
+    "round(CAST(sum(term) AS DOUBLE) / n_s, 9) AS kl_nats_r "
+    "FROM t GROUP BY source, n_s"
+)
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient over the 3-out link graph: per-node
     triangles / C(deg, 2) — the graph-quality feature that separates
@@ -7359,6 +7420,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "source_kl": q_source_kl,
     "clustering_coeff": q_clustering_coeff,
     "robust_stats": q_robust_stats,
     "integrity_audit": q_integrity_audit,
@@ -7669,6 +7731,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "source_kl": ORACLE_SOURCE_KL,
     "clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "robust_stats": ORACLE_ROBUST_STATS,
     "integrity_audit": ORACLE_INTEGRITY_AUDIT,
@@ -7718,6 +7781,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "source_kl",                                         # new: feed-drift KL
     "clustering_coeff", "robust_stats",                  # new: graph QC / winsorize
     "integrity_audit",                                   # new: FK orphan probes
     "zonal_weighted",                                    # new: overlay-area zonal
