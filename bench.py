@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "robust_stats",
     "integrity_audit",
     "source_kl",
+    "containment_pairs",
 ]
 
 

@@ -621,3 +621,80 @@ def dup_components(docs: DataFrame, edges: DataFrame, id_col: str = "doc_id",
         F.count("*").over(w).alias("cluster_size"),
         (F.col(id_col) == F.min(id_col).over(w)).alias("is_keeper"),
     )
+
+
+def ngram_containment_pairs(df: DataFrame, threshold: float = 0.6,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            shingle_n: int = 3,
+                            max_shingle_df: int | None = None) -> DataFrame:
+    """EXACT directed containment C(A→B) = |A∩B| / |A| ≥ threshold over
+    word-shingle sets — the ASYMMETRIC near-dup semantic Jaccard misses:
+    a paragraph quoted inside a much larger page has high containment but
+    tiny Jaccard, and training-data curation wants exactly those
+    subset/quote relations (keep the superset, drop the shard).
+
+    Candidate generation is the asymmetric ppjoin prefix rule: C(A→B) ≥ t
+    forces A to share an element within the first |A| − ceil(t·|A|) + 1 of
+    its sorted shingles with B's FULL set — no constraint on |B|, which is
+    the point — so the probe side explodes only prefixes while the index
+    side explodes full sets (the same inverted-index shuffle the BM25 /
+    inverted_index family already pays).  The per-hit positional bound
+    min(i)+1+(|A|−i−1) ≥ t·|A| prunes inside the join; survivors dedupe to
+    directed pairs, rejoin their complete sets, and the full
+    array_intersect decides — row set identical to the naive join.
+
+    ``max_shingle_df``: optionally drop shingles appearing in more than
+    this many docs from the CANDIDATE index (hot-bucket guard for corpora
+    where a boilerplate shingle would pair everything with everything —
+    the same documented recall trade as ``cap_buckets`` in the LSH path;
+    None = fully exact).
+
+    Returns (src_id, dst_id, containment) — src contained in dst.
+    """
+    t = float(threshold)
+    eps = 1e-9
+    base = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"),
+        F.array_sort("shingles").alias("shingles"),
+        F.size("shingles").alias("n_sh"),
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1
+    ).cast("int")
+    probe = base.select(
+        F.col("id").alias("src"), F.col("n_sh").alias("n_src"),
+        F.posexplode(F.slice("shingles", F.lit(1), prefix_len)).alias("pos", "shingle"),
+    )
+    index = base.select(
+        F.col("id").alias("dst"), F.explode("shingles").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            index.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df).select("shingle")
+        )
+        index = index.join(hot, "shingle", "left_anti")
+    # positional bound: elements of src strictly after pos can contribute
+    # at most n_src - pos - 1 to the intersection, plus this hit
+    pos_bound = F.col("n_src") - F.col("pos")
+    cand = (
+        probe.join(index, "shingle")
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (pos_bound >= F.lit(t) * F.col("n_src") - F.lit(eps))
+        )
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    a = base.select(F.col("id").alias("src"), F.col("shingles").alias("_sa"),
+                    F.col("n_sh").alias("n_src"))
+    b = base.select(F.col("id").alias("dst"), F.col("shingles").alias("_sb"))
+    full = cand.join(a, "src").join(b, "dst")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    out = full.select(
+        "src", "dst",
+        (inter / F.col("n_src")).alias("containment"),
+    ).where(F.col("containment") >= F.lit(t) - F.lit(eps))
+    return out.select(
+        F.col("src").alias("src_id"), F.col("dst").alias("dst_id"), "containment"
+    )

@@ -6503,6 +6503,34 @@ ORACLE_POLYGON_MEASURES = (
 )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.6
+    (``dedup.ngram_containment_pairs``): the asymmetric near-dup
+    semantic — a doc quoted inside a larger one has high containment
+    but low Jaccard, and curation wants exactly those subset relations.
+    Asymmetric ppjoin prefixes probe a full inverted index; the exact
+    array_intersect decides.  Containment is an exact rational of two
+    integers — hash-stable unrounded."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_containment_pairs(docs, threshold=0.6, shingle_n=3)
+
+
+ORACLE_CONTAINMENT_PAIRS = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(tk) - 2, 1)), "
+    "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles FROM toks), "
+    "ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle "
+    "FROM sh), "
+    "ov AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, "
+    "a.n_sh AS n_src, count(*) AS inter FROM ex a JOIN ex b "
+    "ON a.shingle = b.shingle AND a.doc_id <> b.doc_id GROUP BY 1, 2, 3) "
+    "SELECT src_id, dst_id, inter / n_src AS containment FROM ov "
+    "WHERE inter / n_src >= 0.6 - 1e-9"
+)
+
+
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary drift: KL(source unigram ‖ corpus unigram)
     = (1/n_s)·Σ_t c_st·(ln c_st − ln n_s − ln c_t + ln N) — every log
@@ -7420,6 +7448,7 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "containment_pairs": q_containment_pairs,
     "source_kl": q_source_kl,
     "clustering_coeff": q_clustering_coeff,
     "robust_stats": q_robust_stats,
@@ -7731,6 +7760,7 @@ ORACLES = {
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "source_kl": ORACLE_SOURCE_KL,
     "clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "robust_stats": ORACLE_ROBUST_STATS,
@@ -7781,6 +7811,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5
+    "containment_pairs",                                 # new: asymmetric near-dup
     "source_kl",                                         # new: feed-drift KL
     "clustering_coeff", "robust_stats",                  # new: graph QC / winsorize
     "integrity_audit",                                   # new: FK orphan probes

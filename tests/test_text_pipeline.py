@@ -444,3 +444,50 @@ class TestPackSequences:
         assert [r["doc_id"] for r in got] == [2]
         with pytest.raises(ValueError):
             text.pack_sequences(df, "n", seq_len=0)
+
+
+class TestContainmentPairs:
+    def test_quote_inside_larger_doc(self, spark):
+        """The asymmetric case Jaccard misses: a 10-shingle snippet fully
+        quoted inside a 100-word page -> containment 1.0 one way, tiny
+        Jaccard, nothing in the reverse direction."""
+        from pyspark.sql import functions as F
+        from geomatics_geotk_spark.operators import dedup
+        snippet = " ".join(f"quote{i}" for i in range(12))
+        page = snippet + " " + " ".join(f"filler{i}" for i in range(100))
+        other = " ".join(f"noise{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(1, snippet), (2, page), (3, other)], "doc_id long, text string"
+        )
+        out = {(r.src_id, r.dst_id): r.containment
+               for r in dedup.ngram_containment_pairs(docs, threshold=0.6).collect()}
+        assert out == {(1, 2): 1.0}
+        jac = dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+        assert jac == []  # symmetric Jaccard never sees the quote
+
+    def test_prefix_filter_is_exact(self, spark):
+        """Candidate pruning must not change the row set: compare against
+        the naive all-shingle join via the hot-shingle-cap-off path."""
+        from geomatics_geotk_spark.operators import dedup
+        import itertools
+        words = [f"w{i}" for i in range(30)]
+        docs = []
+        for d in range(12):
+            start = (d * 3) % 20
+            docs.append((d, " ".join(words[start:start + 8 + d % 5])))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.src_id, r.dst_id): round(r.containment, 9)
+               for r in dedup.ngram_containment_pairs(df, threshold=0.5).collect()}
+        # naive reference in python
+        def shingles(t):
+            tk = t.split()
+            if len(tk) < 3:
+                return {" ".join(tk)}
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+        sets = {d: shingles(t) for d, t in docs}
+        want = {}
+        for a, b in itertools.permutations(sets, 2):
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= 0.5 - 1e-9:
+                want[(a, b)] = round(c, 9)
+        assert got == want and len(want) > 0
