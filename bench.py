@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "integrity_audit",
     "source_kl",
     "containment_pairs",
+    "linestatus_priority",
+    "dominant_suppliers",
 ]
 
 

@@ -7439,6 +7439,131 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 )
 
 
+def q_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-branch priority audit: for each line status
+    (this schema's ship-mode stand-in — no l_shipmode column), how many
+    1998-shipped lines belong to urgent/high-priority orders vs the
+    rest.
+
+    Shape for 100 TB: the date band pushes to the lineitem scan and the
+    projection is two columns; the orders side prunes to (key,
+    priority) before the join.  Both sides are fact-sized, so the join
+    is the suite's canonical single fact-fact shuffle on the order key;
+    the two conditional counts are ONE partial-aggregable pass over the
+    join output (group cardinality 2), so the post-join exchange moves
+    at most 2·shuffle_partitions rows.  The priority test is collapsed
+    to a 0/1 flag BEFORE the aggregate: sum(flag)/sum(1-flag) instead
+    of two count(CASE)s keeps the agg bufferless-simple and
+    map-combinable."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_linestatus", hi.alias("_hi")
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum("_hi").alias("high_line_count"),
+        F.sum(F.lit(1) - F.col("_hi")).alias("low_line_count"),
+    )
+
+
+ORACLE_LINESTATUS_PRIORITY = (
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= DATE '1998-01-01' "
+    "AND l_shipdate < DATE '1999-01-01' "
+    "GROUP BY l_linestatus"
+)
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominance semi-join chain: name the suppliers
+    in one nation who shipped MORE THAN HALF of some red-prefixed
+    part's total 1998 volume (the partsupp-availability test of Q20
+    re-expressed over observed shipments — this schema has no partsupp
+    table).
+
+    Shape for 100 TB: the name-prefix part filter broadcasts into the
+    date-pruned lineitem scan FIRST (the selective dim cuts the fact
+    before any wide exchange); per-(part, supplier) volumes aggregate
+    on the pair, and the per-part totals RE-AGGREGATE THE PAIR ROWS
+    (Σ supplier volumes ≡ part volume — never a second fact scan), so
+    the fact is read once.  The dominance test is division-free integer
+    decimal math (2·supp_qty > part_qty — no 0.5·x double rounding),
+    the winning pair rows collapse to distinct supplier keys BEFORE
+    touching the supplier dim, and nation filter + supplier name arrive
+    by broadcast.  Q20's nested IN( IN() ) becomes: broadcast-semi on
+    parts, agg, self-join-back on part, semi up to supplier."""
+    p = (
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red "))
+        .select("p_partkey")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("supp_qty")
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").cast("decimal(28,6)").alias("part_qty")
+    )
+    dom = (
+        ps.join(tot, "l_partkey")
+        .where(F.col("supp_qty") * F.lit(2) > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = (
+        _read(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        s.join(dom, s["s_suppkey"] == dom["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = (
+    "WITH li AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01' "
+    "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')), "
+    "ps AS (SELECT l_partkey, l_suppkey, "
+    "sum(CAST(l_quantity AS DECIMAL(18,6))) AS supp_qty FROM li "
+    "GROUP BY l_partkey, l_suppkey), "
+    "tot AS (SELECT l_partkey, CAST(sum(supp_qty) AS DECIMAL(28,6)) "
+    "AS part_qty FROM ps GROUP BY l_partkey), "
+    "dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN tot USING (l_partkey) "
+    "WHERE supp_qty * 2 > part_qty) "
+    "SELECT s_suppkey, s_name FROM supplier "
+    "WHERE s_suppkey IN (SELECT l_suppkey FROM dom) "
+    "AND s_nationkey IN (SELECT n_nationkey FROM nation "
+    "WHERE n_name = 'NATION_3')"
+)
+
+
 # ===========================================================================
 # Catalog
 # ===========================================================================
@@ -7448,6 +7573,8 @@ ORACLE_SUPPLIER_PART_COUNTS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "linestatus_priority": q_linestatus_priority,
+    "dominant_suppliers": q_dominant_suppliers,
     "containment_pairs": q_containment_pairs,
     "source_kl": q_source_kl,
     "clustering_coeff": q_clustering_coeff,
@@ -7784,6 +7911,8 @@ ORACLES = {
     "polygon_measures": ORACLE_POLYGON_MEASURES,
     "focal_mean": ORACLE_FOCAL_MEAN,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "linestatus_priority": ORACLE_LINESTATUS_PRIORITY,
+    "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

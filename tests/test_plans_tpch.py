@@ -78,3 +78,31 @@ class TestTpchPlans:
         assert "Expand" not in plan  # no count-distinct expansion
         assert _nodes(plan, "BroadcastHashJoin") == 1
         assert _no_python(plan)
+
+    def test_linestatus_priority_pushdown_and_pruning(self, spark):
+        """Q12 shape: the ship-date band reaches the lineitem scan as
+        PushedFilters, only the three needed lineitem columns are read,
+        and the post-join aggregate is partial (2 HashAggregates over a
+        2-row group space — never a pre-shuffle of raw join rows)."""
+        df = queries.q_linestatus_priority(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "l_shipdate" in plan and "PushedFilters" in plan
+        cols = plans.scan_read_schema(df)
+        assert set(cols) <= {"l_orderkey", "l_linestatus", "l_shipdate"}
+        assert _nodes(plan, "HashAggregate") == 2
+
+    def test_dominant_suppliers_single_fact_scan(self, spark):
+        """Q20 shape: the per-part totals re-aggregate the (part,
+        supplier) rows — the static plan prints the ps subtree twice,
+        but execution replaces the second with a ReusedExchange of the
+        pair-key hash exchange, so lineitem is scanned ONCE per run;
+        the part name filter arrives as a broadcast semi-join below the
+        first aggregate and no Python enters the plan."""
+        df = queries.q_dominant_suppliers(spark, SF)
+        static = plans.formatted_plan(df)
+        assert _no_python(static)
+        assert "BroadcastHashJoin LeftSemi" in static  # part/supplier/nation semis
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed
