@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "linestatus_priority",
     "dominant_suppliers",
+    "heavy_hitters",
 ]
 
 

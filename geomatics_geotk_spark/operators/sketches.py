@@ -322,3 +322,115 @@ def bloom_filtered_join(
         terms.append(f"pmod({h}, {m}) IN ({csv})")
     hit = F.expr(" AND ".join(terms))
     return probe.where(hit).join(build, key, how)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries (Frequent) heavy hitters — candidate pruning + exact recount
+# ---------------------------------------------------------------------------
+
+
+def mg_summaries(df: DataFrame, col: str, k: int = 128) -> DataFrame:
+    """Per-partition mergeable Misra-Gries ("Frequent") summaries over a
+    STRING column: at most ``k`` (item, residual) rows per partition,
+    plus one ``item IS NULL`` row carrying the partition's non-null row
+    count.
+
+    The per-partition reduction is the batched MG merge (Agarwal et al.
+    2012, "Mergeable Summaries"): add the batch's EXACT value counts
+    (one vectorized ``value_counts`` per Arrow batch — no per-row
+    Python), and whenever more than ``k`` items are held, subtract the
+    (k+1)-th largest residual from every counter and drop the
+    non-positive.  Each trim removes at least (k+1)·cut total mass, so
+    the summed cuts — and therefore any item's undercount — are at most
+    n_p/(k+1) for a partition of n_p rows.  Hence every item with
+    partition count > n_p/(k+1) keeps a positive residual, and by
+    pigeonhole every item with GLOBAL count > N/(k+1) survives in at
+    least one partition's summary — the no-false-negative candidate
+    guarantee :func:`heavy_hitters_exact` builds on.  State is ≤ k
+    counters per task regardless of vocabulary size; NULLs are ignored.
+    """
+    if k < 1:
+        raise ValueError(f"mg_summaries: k must be >= 1, got {k}")
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(col, T.StringType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("part_rows", T.LongType()),
+    ])
+
+    def summarize(batches):
+        counters = None
+        total = 0
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            total += int(vc.sum())
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        items = counters.index.to_numpy() if counters is not None else []
+        ests = counters.to_numpy() if counters is not None else []
+        yield pd.DataFrame({
+            col: list(items) + [None],
+            "est": [int(v) for v in ests] + [0],
+            "part_rows": [0] * len(items) + [total],
+        })
+
+    return df.select(col).mapInPandas(summarize, schema)
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, threshold: float,
+                        k: int = 128) -> DataFrame:
+    """EXACT heavy hitters — every item occurring in at least
+    ``threshold`` fraction of non-null rows, with its exact count — via
+    two passes: Misra-Gries candidate pruning, then an exact recount of
+    candidates only.
+
+    Why not one ``groupBy(col).count()``: at 10^12 rows that shuffles
+    the full vocabulary (post-combine, one row per distinct item per
+    task — trillions of rows for open vocabularies like n-grams).  Pass
+    1 reduces each partition to ≤ k counters map-side
+    (:func:`mg_summaries`); the union of partition candidates provably
+    contains every item above ``threshold`` whenever ``threshold >
+    1/(k+1)`` (enforced), so pass 2's broadcast semi-join recount —
+    whose shuffle carries only candidate items, ≤ partitions·k distinct
+    — yields EXACTLY the items and counts a full exact groupBy would.
+    The summaries collect is bounded at partitions·(k+1) rows (the same
+    bounded-driver-traffic contract as the bloom-bits collect above).
+
+    Returns (col, n) — exact counts, SQL-oracle-replayable by plain
+    ``GROUP BY ... HAVING count(*) >= ceil(threshold · total)``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"heavy_hitters_exact: threshold must be in (0, 1], got {threshold}")
+    if threshold <= 1.0 / (k + 1):
+        raise ValueError(
+            f"heavy_hitters_exact: completeness needs threshold > 1/(k+1); "
+            f"got threshold={threshold} with k={k} — raise k to at least "
+            f"{math.ceil(1.0 / threshold)}"
+        )
+    # bounded collect: ≤ partitions·(k+1) rows by construction
+    rows = mg_summaries(df, col, k).collect()
+    n_total = sum(r["part_rows"] for r in rows if r[col] is None)
+    cand = sorted({r[col] for r in rows if r[col] is not None})
+    need = max(1, math.ceil(threshold * n_total))
+    spark = df.sparkSession
+    if not cand or n_total == 0:
+        return (
+            df.select(col).limit(0)
+            .withColumn("n", F.lit(0).cast("long"))
+        )
+    from pyspark.sql import types as T
+
+    cand_df = spark.createDataFrame(
+        [(c,) for c in cand], T.StructType([T.StructField(col, T.StringType())])
+    )
+    return (
+        df.join(F.broadcast(cand_df), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= F.lit(need))
+    )

@@ -4687,6 +4687,59 @@ ORACLE_CMS_VOCAB = (
 )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter word bigrams via Misra-Gries candidate pruning
+    + exact recount (`sketches.heavy_hitters_exact`): every bigram in ≥
+    1% of all bigram occurrences, with its exact count.
+
+    Substrate: word bigrams of documents ∪ 20 planted hot docs (the
+    first 20 doc_ids rewritten to a repeated "hot spark" phrase) — the
+    synthetic corpus's 31-word vocabulary yields ~960 distinct bigrams
+    at near-uniform ~0.1% each, so only the planted phrase's two
+    bigrams cross the 1% line; with k=128 counters the per-partition MG
+    trims do real work (960 ≫ 128) while the threshold (0.01 > 1/129)
+    keeps the no-false-negative guarantee.  The oracle is the plain
+    exact GROUP BY ... HAVING — the pruning provably cannot change the
+    answer, which is the operator's whole contract.  Shape at 100 TB:
+    pass 1 is map-only (≤ k counters per task, one bounded
+    partitions·(k+1)-row collect), pass 2 shuffles only candidate
+    bigrams instead of the open n-gram vocabulary."""
+    from .operators import sketches
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = (
+        docs.orderBy("doc_id").limit(20)
+        .select(F.lit(("hot spark " * 50).strip()).alias("text"))
+    )
+    corpus = docs.select("text").unionByName(hot)
+    toks = corpus.select(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(slice(toks, 1, size(toks) - 1), "
+        "(t, i) -> concat(t, ' ', element_at(toks, i + 2))) "
+        "ELSE array() END"
+    )
+    items = toks.select(F.explode(bigrams).alias("item"))
+    out = sketches.heavy_hitters_exact(items, "item", threshold=0.01, k=128)
+    return out.select("item", "n")
+
+
+ORACLE_HEAVY_HITTERS = (
+    "WITH d AS (SELECT text FROM documents "
+    "UNION ALL SELECT trim(repeat('hot spark ', 50)) AS text "
+    "FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)), "
+    "t AS (SELECT list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '') AS a FROM d), "
+    "u AS (SELECT a, unnest(range(1, len(a))) AS i FROM t), "
+    "b AS (SELECT a[i] || ' ' || a[i + 1] AS item FROM u), "
+    "tot AS (SELECT count(*) AS n FROM b) "
+    "SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item "
+    "HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))"
+)
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup via Bloom filter — dedup an incoming
     batch against a historical corpus WITHOUT joining the corpus: only
@@ -7573,6 +7626,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
     "linestatus_priority": q_linestatus_priority,
     "dominant_suppliers": q_dominant_suppliers,
     "containment_pairs": q_containment_pairs,
@@ -7913,6 +7967,7 @@ ORACLES = {
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "linestatus_priority": ORACLE_LINESTATUS_PRIORITY,
     "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

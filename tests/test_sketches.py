@@ -184,3 +184,62 @@ class TestBloomFilteredJoin:
         import re as _re
         assert len(_re.findall(r"\w*Join", plan)) == 1
         assert "Filter" in plan
+
+
+class TestMisraGries:
+    """Misra-Gries two-pass exact heavy hitters: the candidate pass must
+    never miss a true heavy hitter (the no-false-negative guarantee the
+    exact recount builds on), each partition summary must stay bounded
+    at k item rows, and the final output must EQUAL the plain exact
+    groupBy — at any parallelism."""
+
+    def _skewed(self, spark, partitions):
+        # 6,000 rows: 'hot' 600x (10%), 'warm' 300x (5%), 5,100 distinct
+        # singletons — vocabulary (5,102) far above k, so trims happen
+        # in every partition.
+        base = spark.range(6000).select(
+            F.when(F.col("id") % 10 == 0, "hot")
+            .when(F.col("id") % 20 == 1, "warm")
+            .otherwise(F.concat(F.lit("r"), F.col("id")))
+            .alias("item")
+        )
+        return base.repartition(partitions)
+
+    def test_candidates_contain_all_true_heavies(self, spark):
+        df = self._skewed(spark, 8)
+        rows = sketches.mg_summaries(df, "item", k=32).collect()
+        cand = {r["item"] for r in rows if r["item"] is not None}
+        assert "hot" in cand and "warm" in cand  # both above n/(k+1)
+        n_total = sum(r["part_rows"] for r in rows if r["item"] is None)
+        assert n_total == 6000
+
+    def test_summary_bounded_per_partition(self, spark):
+        df = self._skewed(spark, 4)
+        per_part = (
+            sketches.mg_summaries(df, "item", k=32)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.sum(F.when(F.col("item").isNotNull(), 1).otherwise(0)).alias("n_items"))
+            .collect()
+        )
+        assert per_part and all(r["n_items"] <= 32 for r in per_part)
+
+    @pytest.mark.parametrize("partitions", [1, 4, 16])
+    def test_exact_output_any_parallelism(self, spark, partitions):
+        df = self._skewed(spark, partitions)
+        got = {
+            (r["item"], r["n"])
+            for r in sketches.heavy_hitters_exact(df, "item", 0.04, k=32).collect()
+        }
+        truth = {
+            (r["item"], r["n"])
+            for r in df.groupBy("item").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 240)  # ceil(0.04 * 6000)
+            .collect()
+        }
+        assert got == truth == {("hot", 600), ("warm", 300)}
+
+    def test_threshold_below_guarantee_rejected(self, spark):
+        df = self._skewed(spark, 2)
+        with pytest.raises(ValueError, match="1/\\(k\\+1\\)"):
+            sketches.heavy_hitters_exact(df, "item", 0.001, k=32)
