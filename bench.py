@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "linestatus_priority",
     "dominant_suppliers",
     "heavy_hitters",
+    "grid_clusters",
 ]
 
 

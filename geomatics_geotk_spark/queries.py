@@ -4740,6 +4740,49 @@ ORACLE_HEAVY_HITTERS = (
 )
 
 
+def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the event positions
+    (`clustering.grid_dbscan`): density clusters as connected
+    components of 8-adjacent DENSE cells (eps=0.05°, min_pts=30), every
+    dense-cell point labeled with its component, sparse-cell points
+    dropped as noise.  Engine side: one map-side-combined per-cell
+    count is the only data-sized exchange; adjacency is an 8-offset
+    explode + equi-join on the packed cell key over DENSE CELLS ONLY;
+    components via pointer-doubling min-label propagation.  Oracle:
+    same integer binning and HAVING, recursive-CTE transitive closure —
+    viable only at oracle scale, which is why the engine side uses
+    label propagation.  All arithmetic integer/IEEE-shared (lon/0.05 is
+    the same double op in both engines), so labels are bit-exact."""
+    from .operators import clustering
+
+    pts = _event_pts(spark, sf_dir)
+    return clustering.grid_dbscan(
+        pts, eps=0.05, min_pts=30, id_col="event_id"
+    )
+
+
+ORACLE_GRID_CLUSTERS = (
+    "WITH RECURSIVE pts AS (" + _EVENT_PTS_SQL + "), "
+    "b AS (SELECT event_id, CAST(floor(lon / 0.05) AS BIGINT) AS cx, "
+    "CAST(floor(lat / 0.05) AS BIGINT) AS cy FROM pts), "
+    "dense AS (SELECT cx, cy FROM b GROUP BY cx, cy "
+    "HAVING count(*) >= 30), "
+    "k AS (SELECT cx, cy, cx * 1000000 + cy AS key FROM dense), "
+    "e AS (SELECT k1.key AS a, k2.key AS b FROM k k1 JOIN k k2 "
+    "ON abs(k1.cx - k2.cx) <= 1 AND abs(k1.cy - k2.cy) <= 1 "
+    "AND k1.key <> k2.key), "
+    "reach(a, b) AS (SELECT a, b FROM e "
+    "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a "
+    "WHERE e.b <> r.a), "
+    "comp AS (SELECT a AS node, least(a, min(b)) AS component "
+    "FROM reach GROUP BY a), "
+    "lab AS (SELECT k.cx, k.cy, coalesce(c.component, k.key) AS cluster "
+    "FROM k LEFT JOIN comp c ON k.key = c.node) "
+    "SELECT b.event_id, b.cx, b.cy, lab.cluster "
+    "FROM b JOIN lab ON b.cx = lab.cx AND b.cy = lab.cy"
+)
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup via Bloom filter — dedup an incoming
     batch against a historical corpus WITHOUT joining the corpus: only
@@ -7626,6 +7669,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "grid_clusters": q_grid_clusters,
     "heavy_hitters": q_heavy_hitters,
     "linestatus_priority": q_linestatus_priority,
     "dominant_suppliers": q_dominant_suppliers,
@@ -7968,6 +8012,7 @@ ORACLES = {
     "linestatus_priority": ORACLE_LINESTATUS_PRIORITY,
     "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "grid_clusters": ORACLE_GRID_CLUSTERS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

@@ -67,3 +67,41 @@ class TestKmeans:
         got = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
         assert 3 not in got                      # cluster 3 starved by tie-break
         assert cents[3] == [pytest.approx(0.0), pytest.approx(10.0)]  # seed kept
+
+
+class TestGridDbscan:
+    """Grid DBSCAN semantics on a constructed layout: two dense blobs
+    bridged by a dense diagonal-neighbor cell merge into ONE cluster, a
+    separated dense blob is its own cluster, and sparse-cell points are
+    noise (absent from the output)."""
+
+    def _pts(self, spark):
+        # eps=1.0 cells. Cell (0,0): 5 pts, cell (1,1): 5 pts (diagonal
+        # neighbors — must merge), cell (5,5): 5 pts (isolated), cell
+        # (9,9): 2 pts (sparse -> noise). min_pts=4.
+        rows = []
+        i = 0
+        for (cx, cy, n) in [(0, 0, 5), (1, 1, 5), (5, 5, 5), (9, 9, 2)]:
+            for j in range(n):
+                rows.append((i, cx + 0.1 + 0.05 * j, cy + 0.2 + 0.05 * j))
+                i += 1
+        return spark.createDataFrame(rows, "event_id long, lon double, lat double")
+
+    def test_merge_isolate_and_noise(self, spark):
+        out = clustering.grid_dbscan(
+            self._pts(spark), eps=1.0, min_pts=4
+        ).collect()
+        by_id = {r["event_id"]: r["cluster"] for r in out}
+        # noise dropped: the two (9,9) points (ids 15, 16) are absent
+        assert len(by_id) == 15 and 15 not in by_id and 16 not in by_id
+        # diagonal-neighbor dense cells share one component label
+        blob_a = {by_id[i] for i in range(0, 10)}
+        assert len(blob_a) == 1
+        # the isolated dense cell is a different component (self-labeled)
+        blob_b = {by_id[i] for i in range(10, 15)}
+        assert len(blob_b) == 1 and blob_b != blob_a
+        assert blob_b == {5 * 1_000_000 + 5}
+
+    def test_eps_packing_bound_rejected(self, spark):
+        with pytest.raises(ValueError, match="1e-3"):
+            clustering.grid_dbscan(self._pts(spark), eps=1e-4, min_pts=4)
