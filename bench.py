@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "dominant_suppliers",
     "heavy_hitters",
     "grid_clusters",
+    "fuzzy_name_pairs",
 ]
 
 

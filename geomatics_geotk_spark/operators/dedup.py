@@ -698,3 +698,81 @@ def ngram_containment_pairs(df: DataFrame, threshold: float = 0.6,
     return out.select(
         F.col("src").alias("src_id"), F.col("dst").alias("dst_id"), "containment"
     )
+
+
+def fuzzy_edit_join(df: DataFrame, id_col: str, name_col: str,
+                    d: int = 1, q: int = 3) -> DataFrame:
+    """Threshold edit-distance self-join: all pairs (id_a < id_b) with
+    ``levenshtein(name_a, name_b) <= d`` — EXACT, never all-pairs.
+
+    Blocking is the ED-Join prefix filter (Xiao, Wang & Lin 2008):
+    every edit destroys at most ``q`` of a string's q-grams, so two
+    strings within distance d share ≥ max(|G_a|,|G_b|) − d·q distinct
+    grams; ordering grams by (global frequency, gram) and indexing only
+    each string's ``d·q + 1`` RAREST grams, any qualifying pair must
+    share a prefix gram (standard prefix-filter pigeonhole).  Rarity
+    ordering is what makes serial/templated corpora tractable: the
+    constant template grams ("Customer#…") are the most frequent, so
+    they never enter a prefix and the blocking key is the
+    discriminative tail.
+
+    Scale shape: gram explode is map-side; global gram frequencies are
+    ONE map-side-combined exchange; the per-string rarest-gram pick is
+    a window over ≤ |name| rows per string (skew-free by construction);
+    the candidate join is a gram equi-join over prefix grams only, with
+    pair dedup as a MAP-SIDE filter on the carried prefix arrays (the
+    pair survives only at its lexicographically minimal shared gram —
+    no dropDuplicates exchange); the length filter and the exact JVM
+    ``levenshtein`` refine run inside the join stage.
+
+    Completeness caveat (documented contract): strings with fewer than
+    q characters produce no grams and are excluded; strings with ≤ d·q
+    grams index ALL their grams, which preserves the guarantee whenever
+    a qualifying pair still shares at least one gram (always true for
+    |name| ≥ q + d·q, e.g. 6 chars at d=1,q=3).
+    """
+    if d < 0 or q < 1:
+        raise ValueError(f"fuzzy_edit_join: need d >= 0 and q >= 1, got d={d} q={q}")
+    plen = d * q + 1
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")
+    ).where(F.length("_nm") >= q)
+    grams = base.select(
+        "_id", "_nm",
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, length(_nm) - {q} + 1), "
+            f"i -> substring(_nm, i, {q}))"
+        ))).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("_gf"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_gf"), F.asc("gram"))
+    prefix = (
+        grams.join(freq, "gram")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= plen)
+    )
+    # each side carries its full prefix-gram array for the map-side
+    # pair dedup (same pattern as embedding_near_dups' bucket arrays)
+    sides = prefix.groupBy("_id", "_nm").agg(
+        F.sort_array(F.collect_list("gram")).alias("_pg")
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_nm").alias("_na"),
+        F.col("_pg").alias("_pa"), F.explode("_pg").alias("gram"),
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_nm").alias("_nb"),
+        F.col("_pg").alias("_pb"), F.explode("_pg").alias("gram"),
+    )
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("gram")
+               == F.array_min(F.array_intersect("_pa", "_pb")))
+        .where(F.abs(F.length("_na") - F.length("_nb")) <= d)
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_na", "_nb").cast("long"))
+        .where(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )

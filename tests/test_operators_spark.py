@@ -678,3 +678,56 @@ class TestGroupQuantiles:
         for g, exp in expect.items():
             for a, b in zip(got[g], exp):
                 assert abs(a - b) < 1e-9, (g, got[g], exp)
+
+
+class TestFuzzyEditJoin:
+    """ED-Join prefix-filtered edit-distance self-join: EXACT equality
+    with a brute-force reference on a fixture containing substitution,
+    insertion, AND deletion edits (the length filter and prefix bound
+    must admit all three), and robustness to sub-q-gram strings."""
+
+    def test_matches_bruteforce_all_edit_kinds(self, spark):
+        names = [
+            "alpha-node-017", "alpha-node-018",   # substitution (dist 1)
+            "alpha-node-0170",                    # insertion vs 017
+            "alpha-node-17",                      # deletion vs 017... dist 1
+            "beta-node-017",                      # dist >1 from alpha family
+            "gamma-rod", "gamma-rods", "gamma-rd",
+            "zz",                                 # shorter than q: excluded
+        ]
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "id long, name string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.fuzzy_edit_join(df, "id", "name", d=1, q=3).collect()
+        }
+
+        def lev(a, b):
+            m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                m[i][0] = i
+            for j in range(len(b) + 1):
+                m[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    m[i][j] = min(
+                        m[i - 1][j] + 1, m[i][j - 1] + 1,
+                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return m[len(a)][len(b)]
+
+        want = {
+            (i, j, lev(names[i], names[j]))
+            for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 1
+            and len(names[i]) >= 3 and len(names[j]) >= 3
+        }
+        assert got == want and len(want) >= 4
+
+    def test_invalid_params_rejected(self, spark):
+        df = spark.createDataFrame([(1, "abcdef")], "id long, name string")
+        with pytest.raises(ValueError):
+            dedup.fuzzy_edit_join(df, "id", "name", d=-1)
+        with pytest.raises(ValueError):
+            dedup.fuzzy_edit_join(df, "id", "name", q=0)
