@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "grid_clusters",
     "fuzzy_name_pairs",
+    "track_cells",
 ]
 
 

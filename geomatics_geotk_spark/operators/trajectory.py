@@ -507,3 +507,65 @@ def resample_track(
         (F.col("_px") + f * (F.col("_x") - F.col("_px"))).alias("lon"),
         (F.col("_py") + f * (F.col("_y") - F.col("_py"))).alias("lat"),
     )
+
+
+def leg_cells(
+    legs: DataFrame,
+    cell_deg: float,
+    x1_col: str = "plon",
+    y1_col: str = "plat",
+    x2_col: str = "lon",
+    y2_col: str = "lat",
+) -> DataFrame:
+    """Supercover line rasterization: one row per (leg, grid cell) for
+    every ``cell_deg``-sided cell the leg's segment touches — the
+    raster-coverage twin of point tile assignment (a moving object
+    covers the cells its LEGS cross, not just the cells its fixes land
+    in).  Touching a cell edge counts as traversal.
+
+    Shape for 100 TB: candidates are the leg's bbox cells (two nested
+    map-side ``sequence`` explodes — output volume is the leg's own
+    bbox, no skew coupling across legs), and the keep test is the
+    Liang-Barsky slab intersection in pure Column arithmetic
+    (+,−,·,/, least/greatest with CASE-guarded zero deltas) — zero
+    joins, zero shuffles, zero Python; every op is shared-IEEE so a SQL
+    oracle replays it bit-exactly.  A pathologically long leg explodes
+    only its own row; cap leg length upstream if the use case allows.
+    """
+    if cell_deg <= 0:
+        raise ValueError(f"leg_cells: cell_deg must be positive, got {cell_deg}")
+    g = float(cell_deg)
+    x1, y1 = F.col(x1_col), F.col(y1_col)
+    x2, y2 = F.col(x2_col), F.col(y2_col)
+    cx0 = F.floor(F.least(x1, x2) / g).cast("long")
+    cx1 = F.floor(F.greatest(x1, x2) / g).cast("long")
+    cy0 = F.floor(F.least(y1, y2) / g).cast("long")
+    cy1 = F.floor(F.greatest(y1, y2) / g).cast("long")
+    staged = (
+        legs.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+    )
+    lox, hix = F.col("cx") * g, (F.col("cx") + 1) * g
+    loy, hiy = F.col("cy") * g, (F.col("cy") + 1) * g
+    dx, dy = x2 - x1, y2 - y1
+    # slab entry/exit parameters; a zero delta degenerates to "always
+    # inside" (0..1) when the fixed coordinate lies in the slab, else
+    # "never" (2..-1) — candidates come from the bbox so the inside
+    # branch is the one taken, but the guard keeps the operator total
+    tx_a, tx_b = (lox - x1) / dx, (hix - x1) / dx
+    ty_a, ty_b = (loy - y1) / dy, (hiy - y1) / dy
+    tx_enter = F.when(dx != 0, F.least(tx_a, tx_b)).otherwise(
+        F.when((x1 >= lox) & (x1 <= hix), F.lit(0.0)).otherwise(F.lit(2.0))
+    )
+    tx_exit = F.when(dx != 0, F.greatest(tx_a, tx_b)).otherwise(
+        F.when((x1 >= lox) & (x1 <= hix), F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+    ty_enter = F.when(dy != 0, F.least(ty_a, ty_b)).otherwise(
+        F.when((y1 >= loy) & (y1 <= hiy), F.lit(0.0)).otherwise(F.lit(2.0))
+    )
+    ty_exit = F.when(dy != 0, F.greatest(ty_a, ty_b)).otherwise(
+        F.when((y1 >= loy) & (y1 <= hiy), F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+    t_enter = F.greatest(tx_enter, ty_enter, F.lit(0.0))
+    t_exit = F.least(tx_exit, ty_exit, F.lit(1.0))
+    return staged.where(t_enter <= t_exit)

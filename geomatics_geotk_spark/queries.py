@@ -4740,6 +4740,62 @@ ORACLE_HEAVY_HITTERS = (
 )
 
 
+def q_track_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user track raster coverage (`trajectory.leg_cells`): every
+    0.1°-grid cell each user's trajectory LEGS cross (supercover line
+    rasterization — a moving object covers the cells its legs traverse,
+    not just the cells its fixes land in), rolled up to (user, cell) →
+    leg-crossing count.  One window exchange builds the legs; the
+    bbox-candidate explode and the Liang-Barsky keep test are map-side
+    Column arithmetic (shared-IEEE, so the oracle replays the slab test
+    bit-exactly); the rollup is one map-side-combined exchange."""
+    from .operators import trajectory
+
+    pts = _event_pts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+    cov = trajectory.leg_cells(legs, 0.1)
+    return cov.groupBy("user_id", "cx", "cy").agg(
+        F.count("*").alias("n_legs")
+    )
+
+
+ORACLE_TRACK_CELLS = (
+    "WITH pts AS (" + _EVENT_PTS_SQL + "), "
+    "lg AS (SELECT user_id, lat, lon, "
+    "lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat, "
+    "lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon "
+    "FROM pts), "
+    "l AS (SELECT user_id, plon AS x1, plat AS y1, lon AS x2, lat AS y2 "
+    "FROM lg WHERE plat IS NOT NULL), "
+    "cxs AS (SELECT *, unnest(range(CAST(floor(least(x1, x2) / 0.1) AS BIGINT), "
+    "CAST(floor(greatest(x1, x2) / 0.1) AS BIGINT) + 1)) AS cx FROM l), "
+    "cys AS (SELECT *, unnest(range(CAST(floor(least(y1, y2) / 0.1) AS BIGINT), "
+    "CAST(floor(greatest(y1, y2) / 0.1) AS BIGINT) + 1)) AS cy FROM cxs), "
+    "t AS (SELECT user_id, cx, cy, "
+    "CASE WHEN x2 - x1 <> 0 THEN least((cx * 0.1 - x1) / (x2 - x1), "
+    "((cx + 1) * 0.1 - x1) / (x2 - x1)) "
+    "WHEN x1 >= cx * 0.1 AND x1 <= (cx + 1) * 0.1 THEN 0.0 ELSE 2.0 END AS txe, "
+    "CASE WHEN x2 - x1 <> 0 THEN greatest((cx * 0.1 - x1) / (x2 - x1), "
+    "((cx + 1) * 0.1 - x1) / (x2 - x1)) "
+    "WHEN x1 >= cx * 0.1 AND x1 <= (cx + 1) * 0.1 THEN 1.0 ELSE -1.0 END AS txx, "
+    "CASE WHEN y2 - y1 <> 0 THEN least((cy * 0.1 - y1) / (y2 - y1), "
+    "((cy + 1) * 0.1 - y1) / (y2 - y1)) "
+    "WHEN y1 >= cy * 0.1 AND y1 <= (cy + 1) * 0.1 THEN 0.0 ELSE 2.0 END AS tye, "
+    "CASE WHEN y2 - y1 <> 0 THEN greatest((cy * 0.1 - y1) / (y2 - y1), "
+    "((cy + 1) * 0.1 - y1) / (y2 - y1)) "
+    "WHEN y1 >= cy * 0.1 AND y1 <= (cy + 1) * 0.1 THEN 1.0 ELSE -1.0 END AS tyx "
+    "FROM cys) "
+    "SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS n_legs FROM t "
+    "WHERE greatest(txe, tye, 0.0) <= least(txx, tyx, 1.0) "
+    "GROUP BY user_id, cx, cy"
+)
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity-resolution self-join (`dedup.fuzzy_edit_join`):
     all customer-name pairs within Levenshtein distance 1 — on the
@@ -7695,6 +7751,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "track_cells": q_track_cells,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "grid_clusters": q_grid_clusters,
     "heavy_hitters": q_heavy_hitters,
@@ -8041,6 +8098,7 @@ ORACLES = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "grid_clusters": ORACLE_GRID_CLUSTERS,
     "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
+    "track_cells": ORACLE_TRACK_CELLS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

@@ -533,3 +533,49 @@ class TestResampleTrack:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "Generate" in plan  # the map-side sequence explode
+
+
+class TestLegCells:
+    """Supercover rasterization semantics: the diagonal leg covers
+    exactly the cells the segment passes through (not the full bbox),
+    axis-aligned and degenerate legs stay total, and edge-touching
+    counts as traversal."""
+
+    def test_diagonal_covers_crossed_cells_only(self, spark):
+        from geomatics_geotk_spark.operators import trajectory
+        # leg (0.05, 0.05) -> (0.25, 0.15) on a 0.1 grid: bbox is 3x2
+        # cells but the segment only passes through (0,0),(1,0),(1,1),(2,1)
+        legs = spark.createDataFrame(
+            [(1, 0.05, 0.05, 0.25, 0.15)],
+            "leg_id long, plon double, plat double, lon double, lat double",
+        )
+        got = {
+            (r["cx"], r["cy"])
+            for r in trajectory.leg_cells(legs, 0.1).collect()
+        }
+        assert got == {(0, 0), (1, 0), (1, 1), (2, 1)}
+
+    def test_vertical_leg_and_point_leg(self, spark):
+        from geomatics_geotk_spark.operators import trajectory
+        legs = spark.createDataFrame(
+            [
+                (1, 0.15, 0.05, 0.15, 0.35),  # vertical: dx == 0
+                (2, 0.45, 0.45, 0.45, 0.45),  # zero-length: both deltas 0
+            ],
+            "leg_id long, plon double, plat double, lon double, lat double",
+        )
+        out = trajectory.leg_cells(legs, 0.1).collect()
+        v = {(r["cx"], r["cy"]) for r in out if r["leg_id"] == 1}
+        p = {(r["cx"], r["cy"]) for r in out if r["leg_id"] == 2}
+        assert v == {(1, 0), (1, 1), (1, 2), (1, 3)}
+        assert p == {(4, 4)}
+
+    def test_bad_cell_size_rejected(self, spark):
+        import pytest as _pytest
+        from geomatics_geotk_spark.operators import trajectory
+        legs = spark.createDataFrame(
+            [(1, 0.0, 0.0, 1.0, 1.0)],
+            "leg_id long, plon double, plat double, lon double, lat double",
+        )
+        with _pytest.raises(ValueError, match="positive"):
+            trajectory.leg_cells(legs, 0.0)
