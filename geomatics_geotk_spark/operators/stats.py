@@ -89,3 +89,72 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
         group_col, "n",
         *[F.col("_q")[i].alias(name(p)) for i, p in enumerate(probs)],
     )
+
+
+def skyline2(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), MINIMIZING both columns: rows for
+    which no other row is ≤ in both dimensions and < in at least one.
+    Ties survive together (neither of two equal points dominates), so
+    the result equals the classic ``NOT EXISTS`` formulation exactly.
+    To maximize a dimension, pass its negation and keep the original
+    column in the output (the operator carries all input columns).
+
+    Divide-and-conquer shape (Börzsönyi et al. 2001, "The Skyline
+    Operator", distributed form): pass 1 computes each PARTITION's
+    skyline map-side — a vectorized sort + group-min + cumulative-min
+    prune per Arrow batch group, O(n log n), no Python row loop — and
+    pass 2 re-runs the identical prune over the UNION OF SURVIVORS in
+    one task.  Correctness: a globally undominated row is undominated
+    in its partition (so it survives pass 1), and
+    skyline(∪ local skylines) = skyline(whole) because a dominating
+    witness can always be chosen from the skyline itself (dominance is
+    transitive).  Scale contract: survivors are tiny for independent or
+    correlated dimensions (≈ O(log² n) expected per partition); fully
+    ANTI-correlated dimensions degrade the frontier to O(n) — at that
+    shape, pre-partition by an x-range grid so pass 2 sees per-range
+    frontiers, same as any D&C skyline.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = df.schema
+
+    def _prune_one(pdf):
+        if pdf.empty:
+            return pdf
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        order = np.lexsort((y, x))  # x asc, then y asc
+        xs, ys = x[order], y[order]
+        new_x = np.empty(len(xs), dtype=bool)
+        new_x[0] = True
+        new_x[1:] = xs[1:] != xs[:-1]
+        # index of each row's x-run start (run starts are increasing)
+        run_start = np.maximum.accumulate(np.where(new_x, np.arange(len(xs)), 0))
+        # group min y per distinct x = first y of the run (y asc in-run)
+        group_min = ys[run_start]
+        # m1 = min y over all strictly-smaller x = cumulative min up to
+        # the row just before the current run; inf for the first run
+        cummin = np.minimum.accumulate(ys)
+        m1 = np.where(
+            run_start > 0, cummin[np.maximum(run_start - 1, 0)], np.inf
+        )
+        keep_sorted = (ys == group_min) & (ys < m1)
+        keep = np.zeros(len(xs), dtype=bool)
+        keep[order] = keep_sorted
+        return pdf[keep]
+
+    def _prune(batches):
+        # survivors-only accumulation: each Arrow batch is pruned alone,
+        # then the concatenated survivors are pruned once more — peak
+        # pandas memory is one batch + the (small) frontier, never the
+        # whole partition
+        surv = [_prune_one(pdf) for pdf in batches]
+        surv = [s for s in surv if not s.empty]
+        if not surv:
+            return
+        yield _prune_one(pd.concat(surv, ignore_index=True))
+
+    local = df.mapInPandas(_prune, out_schema)
+    # pass 2: exact skyline of the (small) survivor union in ONE task
+    return local.coalesce(1).mapInPandas(_prune, out_schema)

@@ -4740,6 +4740,32 @@ ORACLE_HEAVY_HITTERS = (
 )
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (`stats.skyline2`): parts not dominated
+    on (price ↓, size ↑) — no other part is both cheaper-or-equal and
+    larger-or-equal with one strict.  Maximized size enters the
+    minimize-minimize operator negated.  Engine: divide-and-conquer
+    skyline — per-partition vectorized prune map-side, exact re-prune
+    of the survivor union in one task.  Oracle: the literal NOT EXISTS
+    formulation (O(n²), oracle-scale only — the point of the D&C)."""
+    from .operators import stats
+
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size",
+        (-F.col("p_size")).alias("_negsize"),
+    )
+    out = stats.skyline2(p, "p_retailprice", "_negsize")
+    return out.select("p_partkey", "p_retailprice", "p_size")
+
+
+ORACLE_PARETO_PARTS = (
+    "SELECT p_partkey, p_retailprice, p_size FROM part p "
+    "WHERE NOT EXISTS (SELECT 1 FROM part q "
+    "WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+    "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"
+)
+
+
 def q_track_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user track raster coverage (`trajectory.leg_cells`): every
     0.1°-grid cell each user's trajectory LEGS cross (supercover line
@@ -4809,8 +4835,17 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, which is the point of the blocking."""
     from .operators import dedup
 
-    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return dedup.fuzzy_edit_join(cust, "c_custkey", "c_name", d=1, q=3)
+    # the customer dim is one parquet split locally; the operator's
+    # parallelism follows the input partitioning (its explodes and the
+    # levenshtein refine are map-side), so spread the tiny input first —
+    # the one-time 15k-row shuffle is what a multi-file table gives for
+    # free at real scale
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return dedup.fuzzy_edit_join(cust, "c_custkey", "c_name", d=1)
 
 
 ORACLE_FUZZY_NAME_PAIRS = (
@@ -7751,6 +7786,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "pareto_parts": q_pareto_parts,
     "track_cells": q_track_cells,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "grid_clusters": q_grid_clusters,
@@ -8099,6 +8135,7 @@ ORACLES = {
     "grid_clusters": ORACLE_GRID_CLUSTERS,
     "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
     "track_cells": ORACLE_TRACK_CELLS,
+    "pareto_parts": ORACLE_PARETO_PARTS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

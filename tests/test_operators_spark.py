@@ -680,54 +680,109 @@ class TestGroupQuantiles:
                 assert abs(a - b) < 1e-9, (g, got[g], exp)
 
 
-class TestFuzzyEditJoin:
-    """ED-Join prefix-filtered edit-distance self-join: EXACT equality
-    with a brute-force reference on a fixture containing substitution,
-    insertion, AND deletion edits (the length filter and prefix bound
-    must admit all three), and robustness to sub-q-gram strings."""
+def _lev(a, b):
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1, m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
 
-    def test_matches_bruteforce_all_edit_kinds(self, spark):
-        names = [
-            "alpha-node-017", "alpha-node-018",   # substitution (dist 1)
-            "alpha-node-0170",                    # insertion vs 017
-            "alpha-node-17",                      # deletion vs 017... dist 1
-            "beta-node-017",                      # dist >1 from alpha family
-            "gamma-rod", "gamma-rods", "gamma-rd",
-            "zz",                                 # shorter than q: excluded
-        ]
-        df = spark.createDataFrame(
-            [(i, n) for i, n in enumerate(names)], "id long, name string"
+
+class TestFuzzyEditJoin:
+    """Edit-distance self-join: EXACT equality with a brute-force
+    reference on a fixture containing substitution, insertion, AND
+    deletion edits, on BOTH blocking paths (d=1 symmetric-delete
+    neighborhoods; d=2 ED-Join rarest-gram prefix filter)."""
+
+    NAMES = [
+        "alpha-node-017", "alpha-node-018",   # substitution (dist 1)
+        "alpha-node-0170",                    # insertion vs 017
+        "alpha-node-17",                      # deletion vs 017... dist 1
+        "beta-node-017",                      # dist >1 from alpha family
+        "gamma-rod", "gamma-rods", "gamma-rd",
+        "zz",                                 # shorter than q (gram path)
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, n) for i, n in enumerate(self.NAMES)], "id long, name string"
         )
+
+    def test_delete_path_matches_bruteforce(self, spark):
+        """d=1 takes the symmetric-delete path — complete for ALL
+        non-empty strings, including ones below the gram length."""
+        names = self.NAMES
         got = {
             (r["id_a"], r["id_b"], r["dist"])
-            for r in dedup.fuzzy_edit_join(df, "id", "name", d=1, q=3).collect()
+            for r in dedup.fuzzy_edit_join(self._df(spark), "id", "name", d=1).collect()
         }
-
-        def lev(a, b):
-            m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
-            for i in range(len(a) + 1):
-                m[i][0] = i
-            for j in range(len(b) + 1):
-                m[0][j] = j
-            for i in range(1, len(a) + 1):
-                for j in range(1, len(b) + 1):
-                    m[i][j] = min(
-                        m[i - 1][j] + 1, m[i][j - 1] + 1,
-                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
-                    )
-            return m[len(a)][len(b)]
-
         want = {
-            (i, j, lev(names[i], names[j]))
+            (i, j, _lev(names[i], names[j]))
             for i in range(len(names)) for j in range(i + 1, len(names))
-            if lev(names[i], names[j]) <= 1
-            and len(names[i]) >= 3 and len(names[j]) >= 3
+            if _lev(names[i], names[j]) <= 1
         }
         assert got == want and len(want) >= 4
+
+    def test_gram_path_matches_bruteforce(self, spark):
+        """d=2 takes the rarest-gram prefix path; strings shorter than
+        q are excluded by its documented contract."""
+        names = self.NAMES
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.fuzzy_edit_join(
+                self._df(spark), "id", "name", d=2, q=3
+            ).collect()
+        }
+        want = {
+            (i, j, _lev(names[i], names[j]))
+            for i in range(len(names)) for j in range(i + 1, len(names))
+            if _lev(names[i], names[j]) <= 2
+            and len(names[i]) >= 3 and len(names[j]) >= 3
+        }
+        assert got == want and len(want) > len(
+            {w for w in want if w[2] <= 1}
+        )  # d=2 admits strictly more than d=1
 
     def test_invalid_params_rejected(self, spark):
         df = spark.createDataFrame([(1, "abcdef")], "id long, name string")
         with pytest.raises(ValueError):
             dedup.fuzzy_edit_join(df, "id", "name", d=-1)
         with pytest.raises(ValueError):
-            dedup.fuzzy_edit_join(df, "id", "name", q=0)
+            dedup.fuzzy_edit_join(df, "id", "name", d=2, q=0)
+
+
+class TestSkyline:
+    """2-D skyline semantics: equals the NOT EXISTS brute force on a
+    fixture with dominated points, frontier ties, and exact duplicates,
+    at any parallelism (local-prune/global-prune decomposition)."""
+
+    POINTS = [
+        (0, 1.0, 5.0), (1, 2.0, 3.0), (2, 3.0, 1.0),   # the frontier
+        (3, 2.0, 3.0),                                   # duplicate of 1: survives
+        (4, 2.0, 4.0), (5, 3.0, 3.0), (6, 9.0, 9.0),    # dominated
+        (7, 1.0, 6.0),                                   # dominated by 0
+    ]
+
+    @pytest.mark.parametrize("partitions", [1, 3, 8])
+    def test_matches_bruteforce(self, spark, partitions):
+        from geomatics_geotk_spark.operators import stats
+        df = spark.createDataFrame(
+            self.POINTS, "id long, x double, y double"
+        ).repartition(partitions)
+        got = {r["id"] for r in stats.skyline2(df, "x", "y").collect()}
+        pts = self.POINTS
+        want = {
+            i for (i, x, y) in pts
+            if not any(
+                qx <= x and qy <= y and (qx < x or qy < y)
+                for (j, qx, qy) in pts if j != i
+            )
+        }
+        assert got == want == {0, 1, 2, 3}
