@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "track_cells",
     "pareto_parts",
+    "kmv_vocab",
+    "kmv_overlap",
 ]
 
 

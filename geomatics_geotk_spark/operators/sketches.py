@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 from .dedup import md5_long15 as _h60  # the ONE md5-hex-to-long definition
@@ -433,4 +433,99 @@ def heavy_hitters_exact(df: DataFrame, col: str, threshold: float,
         .groupBy(col)
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= F.lit(need))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch — distinct counts AND intersections
+# ---------------------------------------------------------------------------
+
+
+def kmv_registers(df: DataFrame, group_cols: list[str], value_col: str,
+                  k: int = 256, salts: int = 16) -> DataFrame:
+    """KMV sketch per group: the ``k`` smallest DISTINCT 60-bit hashes
+    of ``value_col``, as rows (group, rank, h) — the order-statistics
+    cousin of the HLL registers whose extra power is SET ALGEBRA: two
+    groups' registers compose into intersection/union estimates
+    (theta-sketch style), where HLL intersection via inclusion-exclusion
+    loses all precision once |A∩B| ≪ |A∪B|.
+
+    Mergeable by construction (k smallest of a union = k smallest of
+    the per-part k-smallest).  Shape: one map-side-combinable dedup
+    exchange on (group, hash), then the engine's salted two-phase k-min
+    — local k-min per (group, salt), global k-min over k·salts
+    survivors — so a billion-token group never funnels through one
+    sorting task.  Hash is the md5-60-bit idiom: every register replays
+    bit-exactly in DuckDB.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_registers: k must be >= 2, got {k}")
+    h = _h60(F.col(value_col).cast("string"))
+    distinct = (
+        df.select(*group_cols, h.alias("h"))
+        .groupBy(*group_cols, "h").agg(F.lit(1).alias("_one")).drop("_one")
+    )
+    salt = F.pmod(F.col("h"), F.lit(salts))
+    w1 = Window.partitionBy(*group_cols, "_s").orderBy(F.asc("h"))
+    survivors = (
+        distinct.withColumn("_s", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .drop("_rk", "_s")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+_KMV_DOMAIN = float(1 << 60)  # md5_long15 hashes are uniform in [0, 2^60)
+
+
+def kmv_distinct_estimate(registers: DataFrame,
+                          group_cols: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate from KMV registers: (k−1)/θ̂ with
+    θ̂ = h_(k)/2^60 (the classic unbiased KMV estimator); groups holding
+    fewer than k distinct hashes are EXACT (their register count IS the
+    distinct count).  Pure Column arithmetic over ≤ k rows per group —
+    SQL-replayable to the bit."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_reg"), F.max("h").alias("h_k")
+    )
+    est = F.when(
+        F.col("n_reg") < k, F.col("n_reg").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("h_k").cast("double")
+    )
+    return agg.select(*group_cols, "n_reg", "h_k", est.alias("kmv_est"))
+
+
+def kmv_intersection_estimate(reg_a: DataFrame, reg_b: DataFrame,
+                              k: int = 256) -> DataFrame:
+    """Theta-sketch intersection estimate from two single-group KMV
+    register sets: θ = min(θ_a, θ_b) (each side's θ is its k-th min
+    when full, else the open domain), and
+    |A∩B| ≈ |{h ∈ reg_a ∩ reg_b : h < θ}| / (θ/2^60).
+    The register join is k-vs-k rows — broadcast-trivial; the estimate
+    inherits KMV's ±O(1/√k) relative error INDEPENDENT of how small
+    the true intersection is relative to the union (the
+    inclusion-exclusion failure mode this sketch exists to avoid)."""
+    a_th = reg_a.agg(
+        F.when(F.count("*") >= k, F.max("h")).otherwise(F.lit(1 << 60)).alias("_ta")
+    )
+    b_th = reg_b.agg(
+        F.when(F.count("*") >= k, F.max("h")).otherwise(F.lit(1 << 60)).alias("_tb")
+    )
+    shared = reg_a.select("h").join(reg_b.select("h"), "h")
+    theta = F.least(F.col("_ta"), F.col("_tb")).cast("double")
+    return (
+        shared.crossJoin(F.broadcast(a_th)).crossJoin(F.broadcast(b_th))
+        .where(F.col("h") < F.least(F.col("_ta"), F.col("_tb")))
+        .agg(
+            F.count("*").alias("n_shared"),
+            (F.count("*").cast("double")
+             / (F.min(theta) / F.lit(_KMV_DOMAIN))).alias("inter_est"),
+        )
     )

@@ -4857,6 +4857,125 @@ ORACLE_FUZZY_NAME_PAIRS = (
 )
 
 
+def _lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, item) word-bigram occurrences — the shared substrate of
+    the KMV queries (per-language vocabulary richness)."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks")
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(slice(toks, 1, size(toks) - 1), "
+        "(t, i) -> concat(t, ' ', element_at(toks, i + 2))) "
+        "ELSE array() END"
+    )
+    return toks.select("lang", F.explode(bigrams).alias("item"))
+
+
+_LANG_BIGRAMS_SQL = (
+    "t AS (SELECT lang, list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '') AS a FROM documents), "
+    "u AS (SELECT lang, a, unnest(range(1, len(a))) AS i FROM t), "
+    "bg AS (SELECT lang, a[i] || ' ' || a[i + 1] AS item FROM u)"
+)
+
+
+def q_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-bigram estimate per language
+    (`sketches.kmv_registers` + `kmv_distinct_estimate`, k=256) —
+    reported against the exact distinct count, the HLL-twin pattern
+    with the sketch that additionally supports set intersection.
+    Registers are the k smallest md5-60 hashes (bit-exact in DuckDB);
+    the salted two-phase k-min keeps a mega-vocabulary group off a
+    single sorting task; the estimator (k−1)/θ̂ runs over ≤ k rows per
+    group."""
+    from .operators import sketches
+
+    bg = _lang_bigrams(spark, sf_dir)
+    reg = sketches.kmv_registers(bg, ["lang"], "item", k=256)
+    est = sketches.kmv_distinct_estimate(reg, ["lang"], k=256)
+    exact = bg.groupBy("lang").agg(
+        F.count_distinct("item").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n_reg", "h_k", F.round("kmv_est", 6).alias("kmv_est"),
+        "exact_distinct",
+    )
+
+
+ORACLE_KMV_VOCAB = (
+    "WITH " + _LANG_BIGRAMS_SQL + ", "
+    "dh AS (SELECT DISTINCT lang, "
+    "('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM bg), "
+    "r AS (SELECT lang, h, row_number() OVER "
+    "(PARTITION BY lang ORDER BY h) AS rank FROM dh), "
+    "agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_reg, max(h) AS h_k "
+    "FROM r WHERE rank <= 256 GROUP BY lang), "
+    "ex AS (SELECT lang, CAST(count(DISTINCT item) AS BIGINT) "
+    "AS exact_distinct FROM bg GROUP BY lang) "
+    "SELECT lang, n_reg, h_k, "
+    "round(CASE WHEN n_reg < 256 THEN CAST(n_reg AS DOUBLE) "
+    "ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END, 6) "
+    "AS kmv_est, exact_distinct FROM agg JOIN ex USING (lang)"
+)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (`sketches.kmv_intersection_estimate`):
+    estimated distinct-bigram overlap between the two lexicographically
+    first languages, against the exact intersection — the set-algebra
+    capability HLL registers cannot compose (inclusion-exclusion error
+    explodes when the intersection is small).  The register join is
+    k×k rows; everything downstream is scalar."""
+    from .operators import sketches
+
+    bg = _lang_bigrams(spark, sf_dir)
+    langs = [r["lang"] for r in bg.select("lang").distinct().orderBy("lang").limit(2).collect()]
+    la, lb = langs[0], langs[1]
+    reg = sketches.kmv_registers(bg, ["lang"], "item", k=256)
+    ra = reg.where(F.col("lang") == la).select("rank", "h")
+    rb = reg.where(F.col("lang") == lb).select("rank", "h")
+    est = sketches.kmv_intersection_estimate(ra, rb, k=256)
+    exact = (
+        bg.where(F.col("lang") == la).select("item").distinct()
+        .join(bg.where(F.col("lang") == lb).select("item").distinct(), "item")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return est.crossJoin(exact).select(
+        "n_shared", F.round("inter_est", 6).alias("inter_est"), "exact_inter"
+    )
+
+
+ORACLE_KMV_OVERLAP = (
+    "WITH " + _LANG_BIGRAMS_SQL + ", "
+    "pick AS (SELECT lang, row_number() OVER (ORDER BY lang) AS pr "
+    "FROM (SELECT DISTINCT lang FROM bg) ORDER BY lang LIMIT 2), "
+    "dh AS (SELECT DISTINCT lang, "
+    "('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM bg "
+    "WHERE lang IN (SELECT lang FROM pick)), "
+    "r AS (SELECT lang, h, row_number() OVER "
+    "(PARTITION BY lang ORDER BY h) AS rank FROM dh), "
+    "reg AS (SELECT (SELECT pr FROM pick WHERE pick.lang = r.lang) AS side, "
+    "h FROM r WHERE rank <= 256), "
+    "th AS (SELECT side, CASE WHEN count(*) >= 256 THEN max(h) "
+    "ELSE 1152921504606846976 END AS theta FROM reg GROUP BY side), "
+    "tmin AS (SELECT min(theta) AS th FROM th), "
+    "sh AS (SELECT h FROM reg WHERE side = 1 INTERSECT "
+    "SELECT h FROM reg WHERE side = 2), "
+    "ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM ("
+    "SELECT DISTINCT item FROM bg WHERE lang = "
+    "(SELECT lang FROM pick WHERE pr = 1) INTERSECT "
+    "SELECT DISTINCT item FROM bg WHERE lang = "
+    "(SELECT lang FROM pick WHERE pr = 2))) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_shared, "
+    "round(CAST(count(*) AS DOUBLE) "
+    "/ (min(tmin.th) / 1152921504606846976.0), 6) AS inter_est, "
+    "min(exact_inter) AS exact_inter "
+    "FROM sh, tmin, ex WHERE sh.h < tmin.th"
+)
+
+
 def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid DBSCAN over the event positions
     (`clustering.grid_dbscan`): density clusters as connected
@@ -7786,6 +7905,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "kmv_vocab": q_kmv_vocab,
+    "kmv_overlap": q_kmv_overlap,
     "pareto_parts": q_pareto_parts,
     "track_cells": q_track_cells,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -8136,6 +8257,8 @@ ORACLES = {
     "fuzzy_name_pairs": ORACLE_FUZZY_NAME_PAIRS,
     "track_cells": ORACLE_TRACK_CELLS,
     "pareto_parts": ORACLE_PARETO_PARTS,
+    "kmv_vocab": ORACLE_KMV_VOCAB,
+    "kmv_overlap": ORACLE_KMV_OVERLAP,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,

@@ -243,3 +243,50 @@ class TestMisraGries:
         df = self._skewed(spark, 2)
         with pytest.raises(ValueError, match="1/\\(k\\+1\\)"):
             sketches.heavy_hitters_exact(df, "item", 0.001, k=32)
+
+
+class TestKmv:
+    """KMV/theta sketch: registers are partition-invariant (the k-min
+    of a set is exact), the distinct estimator lands within the
+    O(1/sqrt(k)) band on a known-cardinality fixture, sub-k groups are
+    exact, and the theta intersection estimate tracks a planted
+    overlap."""
+
+    def _vals(self, spark, n, prefix, partitions=8):
+        return (
+            spark.range(n).repartition(partitions)
+            .select(F.concat(F.lit(prefix), F.col("id")).alias("v"),
+                    F.lit("g").alias("grp"))
+        )
+
+    def test_registers_partition_invariant_and_exact_small(self, spark):
+        a = sketches.kmv_registers(self._vals(spark, 100, "w", 2), ["grp"], "v", k=256)
+        b = sketches.kmv_registers(self._vals(spark, 100, "w", 13), ["grp"], "v", k=256)
+        ra = [(r["rank"], r["h"]) for r in a.orderBy("rank").collect()]
+        rb = [(r["rank"], r["h"]) for r in b.orderBy("rank").collect()]
+        assert ra == rb and len(ra) == 100  # sub-k group: all hashes kept
+        est = sketches.kmv_distinct_estimate(a, ["grp"], k=256).first()
+        assert est["kmv_est"] == 100.0  # exact below k
+
+    def test_estimator_within_band(self, spark):
+        reg = sketches.kmv_registers(self._vals(spark, 5000, "w"), ["grp"], "v", k=256)
+        est = sketches.kmv_distinct_estimate(reg, ["grp"], k=256).first()
+        assert abs(est["kmv_est"] - 5000) / 5000 < 0.15  # ~2.4 sigma at k=256
+
+    def test_intersection_tracks_planted_overlap(self, spark):
+        # A = w0..w3999, B = w2000..w5999 -> true overlap 2000
+        a = self._vals(spark, 4000, "w")
+        b = (
+            spark.range(2000, 6000).repartition(8)
+            .select(F.concat(F.lit("w"), F.col("id")).alias("v"),
+                    F.lit("g").alias("grp"))
+        )
+        ra = sketches.kmv_registers(a, ["grp"], "v", k=256).select("rank", "h")
+        rb = sketches.kmv_registers(b, ["grp"], "v", k=256).select("rank", "h")
+        out = sketches.kmv_intersection_estimate(ra, rb, k=256).first()
+        assert abs(out["inter_est"] - 2000) / 2000 < 0.25
+        assert out["n_shared"] > 0
+
+    def test_k_bound_rejected(self, spark):
+        with pytest.raises(ValueError, match="k must be"):
+            sketches.kmv_registers(self._vals(spark, 10, "w"), ["grp"], "v", k=1)
