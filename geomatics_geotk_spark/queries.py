@@ -8285,7 +8285,14 @@ ORACLES = {
 # first), then (c) everything last checked in r3; the r4-green and
 # unchanged queries close the list.
 _R5_FRONT = [
-    # (a) new/changed in round 5
+    # (a) new/changed in round 5 — newest (continuation-session) first
+    "kmv_vocab", "kmv_overlap",                          # new: KMV/theta sketch
+    "pareto_parts",                                      # new: D&C skyline
+    "track_cells",                                       # new: supercover raster
+    "fuzzy_name_pairs",                                  # new: delete-nbhd ER join
+    "grid_clusters",                                     # new: grid DBSCAN
+    "heavy_hitters",                                     # new: Misra-Gries 2-pass
+    "linestatus_priority", "dominant_suppliers",         # new: TPC-H Q12/Q20
     "containment_pairs",                                 # new: asymmetric near-dup
     "source_kl",                                         # new: feed-drift KL
     "clustering_coeff", "robust_stats",                  # new: graph QC / winsorize
