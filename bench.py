@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "pareto_parts",
     "kmv_vocab",
     "kmv_overlap",
+    "scd2_build",
+    "snapshot_diff",
 ]
 
 

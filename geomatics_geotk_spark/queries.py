@@ -4881,6 +4881,112 @@ _LANG_BIGRAMS_SQL = (
 )
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from an event stream: per user, collapse
+    consecutive events with the SAME event_type into one validity
+    interval [valid_from, valid_to) and flag the open (current) row —
+    the slowly-changing-dimension snapshot a warehouse derives from a
+    change feed.  Gaps-and-islands (change-flag → running sum → run
+    rollup) plus one lead() for the closing edge; the lag, running sum,
+    and lead all share the user partitioning, so the build is two
+    exchanges total (window + rollup) regardless of corpus size."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    labeled = ev.select(
+        "user_id", "ts", "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version"),
+    )
+    runs = labeled.groupBy("user_id", "version").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+        F.min("event_type").alias("state"),  # constant within a run
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id", "version", "state", "valid_from", "n_events",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+ORACLE_SCD2_BUILD = (
+    "WITH s AS (SELECT user_id, event_id, ts, event_type, "
+    "CASE WHEN lag(event_type) OVER w IS NULL "
+    "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "l AS (SELECT user_id, ts, event_type, "
+    "CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM s), "
+    "r AS (SELECT user_id, version, min(ts) AS valid_from, "
+    "CAST(count(*) AS BIGINT) AS n_events, min(event_type) AS state "
+    "FROM l GROUP BY user_id, version) "
+    "SELECT user_id, version, state, valid_from, n_events, "
+    "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, "
+    "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL "
+    "AS is_current FROM r"
+)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta: classify every doc_id across two corpus
+    snapshots as added / removed / changed / unchanged and count per
+    (lang, change) — the incremental-ingest audit that decides how much
+    of a recrawl needs reprocessing.  Snapshot B is derived
+    deterministically from A (drop id%17==0, rewrite text where
+    id%13==0, add id+10M clones where id%29==0).  Shape: ONE full-outer
+    shuffle join on doc_id, md5 content compare, map-side-combined
+    count — at 10^12 docs both snapshots co-partition on the id, so a
+    bucketed store runs it exchange-free."""
+    a = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    b_kept = a.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit("edited "), F.col("text"))).otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b_new = a.where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "lang", "text"
+    )
+    b = b_kept.unionByName(b_new)
+    al = a.select("doc_id", F.col("lang").alias("lang_a"), F.md5("text").alias("_ha"))
+    bl = b.select("doc_id", F.col("lang").alias("lang_b"), F.md5("text").alias("_hb"))
+    j = al.join(bl, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce("lang_a", "lang_b").alias("lang"), change.alias("change"))
+        .groupBy("lang", "change")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = (
+    "WITH a AS (SELECT doc_id, lang, text FROM documents), "
+    "b AS (SELECT doc_id, lang, "
+    "CASE WHEN doc_id % 13 = 0 THEN 'edited ' || text ELSE text END AS text "
+    "FROM a WHERE doc_id % 17 <> 0 "
+    "UNION ALL SELECT doc_id + 10000000, lang, text FROM a WHERE doc_id % 29 = 0), "
+    "al AS (SELECT doc_id, lang AS lang_a, md5(text) AS ha FROM a), "
+    "bl AS (SELECT doc_id, lang AS lang_b, md5(text) AS hb FROM b), "
+    "j AS (SELECT coalesce(lang_a, lang_b) AS lang, "
+    "CASE WHEN ha IS NULL THEN 'added' WHEN hb IS NULL THEN 'removed' "
+    "WHEN ha <> hb THEN 'changed' ELSE 'unchanged' END AS change "
+    "FROM al FULL OUTER JOIN bl USING (doc_id)) "
+    "SELECT lang, change, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM j GROUP BY lang, change"
+)
+
+
 def q_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-bigram estimate per language
     (`sketches.kmv_registers` + `kmv_distinct_estimate`, k=256) —
@@ -7905,6 +8011,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "scd2_build": q_scd2_build,
+    "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
     "kmv_overlap": q_kmv_overlap,
     "pareto_parts": q_pareto_parts,
@@ -8259,6 +8367,8 @@ ORACLES = {
     "pareto_parts": ORACLE_PARETO_PARTS,
     "kmv_vocab": ORACLE_KMV_VOCAB,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
+    "scd2_build": ORACLE_SCD2_BUILD,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8286,6 +8396,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
     "kmv_vocab", "kmv_overlap",                          # new: KMV/theta sketch
     "pareto_parts",                                      # new: D&C skyline
     "track_cells",                                       # new: supercover raster
