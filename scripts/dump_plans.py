@@ -399,6 +399,51 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_idw_interpolate(spark, SF)), 35),
     ))
 
+    sections.append((
+        "Misra-Gries exact heavy hitters (heavy_hitters)",
+        "Pass 2 only (pass 1's mapInPandas summaries feed a bounded "
+        "partitions·(k+1)-row collect before this plan is built): the "
+        "candidate recount is a BROADCAST semi-join into the token scan "
+        "+ one map-side-combined count — the exchange carries candidate "
+        "items only, never the open n-gram vocabulary.",
+        _trim(plans.formatted_plan(queries.q_heavy_hitters(spark, SF)), 35),
+    ))
+
+    sections.append((
+        "Fuzzy edit-distance join (fuzzy_name_pairs)",
+        "Symmetric-delete blocking (d=1): variant explode map-side on "
+        "both sides, ONE equi-join on the variant string, pair dedup as "
+        "a map-side array filter (no dropDuplicates exchange), length "
+        "filter + JVM levenshtein inside the join stage.  No Python.",
+        _trim(plans.formatted_plan(queries.q_fuzzy_name_pairs(spark, SF)), 35),
+    ))
+
+    sections.append((
+        "Grid DBSCAN (grid_clusters)",
+        "Cell binning map-side; the per-cell count is the ONLY "
+        "data-sized exchange; dense-cell adjacency = 8-offset explode + "
+        "equi-join on the packed cell key; CC label propagation runs on "
+        "dense cells only; one label join-back.  (CC iterations appear "
+        "as the localCheckpoint scan.)",
+        _trim(plans.formatted_plan(queries.q_grid_clusters(spark, SF)), 40),
+    ))
+
+    sections.append((
+        "Supercover track rasterization (track_cells)",
+        "One lag window exchange builds legs; the two nested sequence "
+        "explodes and the Liang-Barsky slab filter are a map-side "
+        "Generate chain; the rollup is one map-side-combined exchange.",
+        _trim(plans.formatted_plan(queries.q_track_cells(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "KMV registers + estimate (kmv_vocab)",
+        "One dedup exchange on (group, hash), salted two-phase k-min "
+        "(no single-task sort per group), estimator over ≤ k rows per "
+        "group; the exact-distinct comparison side is its own branch.",
+        _trim(plans.formatted_plan(queries.q_kmv_vocab(spark, SF)), 40),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
