@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "scd2_build",
     "snapshot_diff",
+    "moran_events",
 ]
 
 

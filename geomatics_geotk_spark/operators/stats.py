@@ -158,3 +158,81 @@ def skyline2(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     local = df.mapInPandas(_prune, out_schema)
     # pass 2: exact skyline of the (small) survivor union in ONE task
     return local.coalesce(1).mapInPandas(_prune, out_schema)
+
+
+def morans_i(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
+             value_col: str = "n") -> DataFrame:
+    """Global Moran's I spatial autocorrelation over grid cells with
+    binary 8-neighbor (queen) contiguity on the OCCUPIED cells —
+    the classic clustered-vs-dispersed statistic complementing the
+    per-cell hotspot z-scores.
+
+    I = (n/W) · Σ_ij w_ij·z_i·z_j / Σ_i z_i², z_i = x_i − x̄.
+
+    Bit-exact across engines by integer clearing: with integer cell
+    values, n·z_i = n·x_i − T (T = Σx) is an exact BIGINT, and the n²
+    factors cancel between numerator and denominator, so
+    I = n·Σ_ij (n·x_i−T)(n·x_j−T) / (W·Σ_i (n·x_i−T)²) — every sum is
+    an order-independent integer aggregate and the ONE double division
+    happens at the end (the same exactness idiom as the engine's
+    decimal money sums).  Overflow headroom: |n·x_i−T| ≤ n·max(x); the
+    pair-product sum fits BIGINT while n·max(x) < ~3·10⁹ — corpus-scale
+    cell COUNTS at planetary grids stay well inside (documented bound,
+    enforced via a runtime assert on the inputs' magnitude).
+
+    Shape: the neighbor pairs come from an 8-offset map-side explode +
+    equi-join on the cell key (same pattern as grid_dbscan — never a
+    distance cross-join); the three moments are map-side-combined
+    single-row aggregates.  Output: one row
+    (n_cells, w_pairs, moran_i).
+    """
+    key = (F.col(cx_col) * F.lit(1_000_000) + F.col(cy_col))
+    base = cells.select(
+        key.alias("key"), F.col(cx_col).alias("_cx"), F.col(cy_col).alias("_cy"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n"), F.sum("x").alias("t"), F.max(F.abs("x")).alias("mx")
+    )
+    # n·max|x| < 3e9 keeps (n·x−T)² within BIGINT; the assert is FOLDED
+    # into the used expression (coalesce(assert_true(...), 0) adds 0 on
+    # success) — a free-standing assert column would be pruned away
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n") * F.col("mx") < F.lit(3_000_000_000),
+            F.lit("morans_i: n*max|x| exceeds the BIGINT headroom bound"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    b = base.crossJoin(F.broadcast(tot)).select(
+        "key", "_cx", "_cy",
+        (F.col("n") * F.col("x") - F.col("t") + guard).alias("nz"),
+        "n",
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ])
+    probe = b.select(
+        F.col("nz").alias("nz_i"),
+        F.explode(offsets).alias("off"), F.col("_cx"), F.col("_cy"),
+    ).select(
+        "nz_i",
+        ((F.col("_cx") + F.col("off.dx")) * F.lit(1_000_000)
+         + (F.col("_cy") + F.col("off.dy"))).alias("key"),
+    )
+    nbr = b.select("key", F.col("nz").alias("nz_j"))
+    num = probe.join(nbr, "key").agg(
+        F.count("*").alias("w_pairs"),
+        F.sum(F.col("nz_i") * F.col("nz_j")).alias("s_num"),
+    )
+    den = b.agg(
+        F.max("n").alias("n_cells"),
+        F.sum(F.col("nz") * F.col("nz")).alias("s_den"),
+    )
+    return num.crossJoin(den).select(
+        "n_cells", "w_pairs",
+        (F.col("n_cells").cast("double") * F.col("s_num").cast("double")
+         / (F.col("w_pairs").cast("double") * F.col("s_den").cast("double"))
+         ).alias("moran_i"),
+    )

@@ -4881,6 +4881,47 @@ _LANG_BIGRAMS_SQL = (
 )
 
 
+def q_moran_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I over the 0.1°-cell event-count surface
+    (`stats.morans_i`) — IS the event density spatially autocorrelated,
+    the lattice-level complement of the per-cell hotspot z-scores.
+    Bit-exact across engines: the rational mean is cleared by
+    multiplying deviations by n (all three moments become BIGINT sums,
+    order-independent), neighbor pairs come from the 8-offset explode
+    equi-join (never a cross join), and the one double division runs on
+    the final scalars."""
+    from .operators import stats
+
+    pts = _event_pts(spark, sf_dir)
+    cells = pts.select(
+        F.floor(F.col("lon") / 0.1).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 0.1).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    return stats.morans_i(cells, "cx", "cy", "n")
+
+
+ORACLE_MORAN_EVENTS = (
+    "WITH pts AS (" + _EVENT_PTS_SQL + "), "
+    "c AS (SELECT CAST(floor(lon / 0.1) AS BIGINT) AS cx, "
+    "CAST(floor(lat / 0.1) AS BIGINT) AS cy, "
+    "CAST(count(*) AS BIGINT) AS x FROM pts GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS t FROM c), "
+    "z AS (SELECT cx, cy, n * x - t AS nz, n FROM c, tot), "
+    "num AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs, "
+    "CAST(sum(zi.nz * zj.nz) AS BIGINT) AS s_num "
+    "FROM z zi JOIN z zj ON abs(zi.cx - zj.cx) <= 1 "
+    "AND abs(zi.cy - zj.cy) <= 1 "
+    "AND NOT (zi.cx = zj.cx AND zi.cy = zj.cy)), "
+    "den AS (SELECT max(n) AS n_cells, "
+    "CAST(sum(nz * nz) AS BIGINT) AS s_den FROM z) "
+    "SELECT n_cells, w_pairs, "
+    "CAST(n_cells AS DOUBLE) * CAST(s_num AS DOUBLE) "
+    "/ (CAST(w_pairs AS DOUBLE) * CAST(s_den AS DOUBLE)) AS moran_i "
+    "FROM num, den"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8011,6 +8052,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "moran_events": q_moran_events,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8369,6 +8411,7 @@ ORACLES = {
     "kmv_overlap": ORACLE_KMV_OVERLAP,
     "scd2_build": ORACLE_SCD2_BUILD,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "moran_events": ORACLE_MORAN_EVENTS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8396,6 +8439,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
     "kmv_vocab", "kmv_overlap",                          # new: KMV/theta sketch
     "pareto_parts",                                      # new: D&C skyline

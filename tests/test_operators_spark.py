@@ -786,3 +786,54 @@ class TestSkyline:
             )
         }
         assert got == want == {0, 1, 2, 3}
+
+
+class TestMoransI:
+    """Global Moran's I: sign and value match a numpy reference on
+    constructed lattices (checkerboard -> strongly negative, split
+    halves -> positive), and the BIGINT headroom guard trips."""
+
+    def _numpy_moran(self, cells):
+        import numpy as np
+        xs = np.array([v for (_, _, v) in cells], dtype=np.float64)
+        n = len(cells)
+        z = xs - xs.mean()
+        num = 0.0
+        w = 0
+        for i, (cxi, cyi, _) in enumerate(cells):
+            for j, (cxj, cyj, _) in enumerate(cells):
+                if i != j and abs(cxi - cxj) <= 1 and abs(cyi - cyj) <= 1:
+                    num += z[i] * z[j]
+                    w += 1
+        return (n / w) * num / (z @ z)
+
+    def _run(self, spark, cells):
+        from geomatics_geotk_spark.operators import stats
+        df = spark.createDataFrame(cells, "cx long, cy long, n long")
+        return stats.morans_i(df, "cx", "cy", "n").first()
+
+    def test_checkerboard_negative(self, spark):
+        cells = [(i, j, 10 if (i + j) % 2 == 0 else 1)
+                 for i in range(4) for j in range(4)]
+        got = self._run(spark, cells)
+        want = self._numpy_moran(cells)
+        # queen contiguity: diagonal same-color neighbors soften the
+        # checkerboard to mildly negative (rook would be strongly so);
+        # still clearly below the E[I] = -1/(n-1) = -0.0667 random line
+        assert got["moran_i"] < -0.1
+        assert abs(got["moran_i"] - want) < 1e-9
+
+    def test_split_positive(self, spark):
+        cells = [(i, j, 10 if i < 2 else 1)
+                 for i in range(4) for j in range(4)]
+        got = self._run(spark, cells)
+        want = self._numpy_moran(cells)
+        assert got["moran_i"] > 0.3
+        assert abs(got["moran_i"] - want) < 1e-9
+
+    def test_overflow_guard_trips(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        cells = [(0, 0, 4_000_000_000), (0, 1, 1)]
+        df = spark.createDataFrame(cells, "cx long, cy long, n long")
+        with pytest.raises(Exception, match="headroom"):
+            stats.morans_i(df, "cx", "cy", "n").collect()
