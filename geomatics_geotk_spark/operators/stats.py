@@ -236,3 +236,73 @@ def morans_i(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
          / (F.col("w_pairs").cast("double") * F.col("s_den").cast("double"))
          ).alias("moran_i"),
     )
+
+
+def getis_ord_gi(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
+                 value_col: str = "n") -> DataFrame:
+    """Per-cell Getis-Ord Gi* hot/cold-spot statistic over grid cells
+    with binary 8-neighbor (queen) contiguity INCLUDING self on the
+    OCCUPIED cells — the local complement of :func:`morans_i` (which
+    answers "is the surface autocorrelated at all?"; Gi* answers
+    "WHICH cells sit in a high-value neighborhood?").
+
+    Gi*_i = (Σ_j w_ij·x_j − x̄·k_i) / (S·sqrt((n·k_i − k_i²)/(n−1))),
+    w binary, k_i = Σ_j w_ij, S = sqrt(Σx²/n − x̄²).
+
+    Bit-exact across engines by the same integer clearing as
+    :func:`morans_i`: multiplying numerator and denominator by n gives
+    Gi*_i = (n·G_i − k_i·T) / sqrt((n·ΣX² − T²)·(n·k_i − k_i²)/(n−1))
+    with G_i = Σ_{j∈N(i)∪{i}} x_j — every aggregate is an
+    order-independent BIGINT sum and the one double division + sqrt
+    run on identical scalars in both engines.  Overflow headroom is
+    the morans_i bound (n·max|x| < 3·10⁹, runtime-asserted).
+
+    Shape: each occupied cell scatters its value to its 9 neighbor
+    positions via a map-side offset explode; ONE equi-join back on the
+    occupied-cell key (never a distance cross-join) and ONE hash-agg
+    produce (G_i, k_i); the global moments are a broadcast single-row
+    aggregate.  Output: (cx, cy, x, k_nbrs, gi) per occupied cell.
+    """
+    key = (F.col(cx_col) * F.lit(1_000_000) + F.col(cy_col))
+    base = cells.select(
+        key.alias("key"), F.col(cx_col).alias("_cx"), F.col(cy_col).alias("_cy"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n"), F.sum("x").alias("t"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.max(F.abs("x")).alias("mx"),
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n") * F.col("mx") < F.lit(3_000_000_000),
+            F.lit("getis_ord_gi: n*max|x| exceeds the BIGINT headroom bound"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    scatter = base.select(
+        F.col("x").alias("x_j"), F.explode(offsets).alias("off"),
+        F.col("_cx"), F.col("_cy"),
+    ).select(
+        "x_j",
+        ((F.col("_cx") + F.col("off.dx")) * F.lit(1_000_000)
+         + (F.col("_cy") + F.col("off.dy"))).alias("key"),
+    )
+    hood = scatter.groupBy("key").agg(
+        F.sum("x_j").alias("g"), F.count("*").alias("k")
+    )
+    j = base.join(hood, "key").crossJoin(F.broadcast(tot))
+    a = F.col("n") * F.col("g") - F.col("k") * F.col("t") + guard
+    b = F.col("n") * F.col("ss") - F.col("t") * F.col("t")
+    c = F.col("n") * F.col("k") - F.col("k") * F.col("k")
+    gi = a.cast("double") / F.sqrt(
+        b.cast("double") * c.cast("double") / (F.col("n") - F.lit(1)).cast("double")
+    )
+    return j.select(
+        F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col),
+        "x", F.col("k").alias("k_nbrs"), gi.alias("gi"),
+    )

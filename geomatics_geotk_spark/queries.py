@@ -4922,6 +4922,48 @@ ORACLE_MORAN_EVENTS = (
 )
 
 
+def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Getis-Ord Gi* over the 0.1°-cell event-count surface
+    (``stats.getis_ord_gi``) — WHICH cells sit in significantly
+    high/low-count neighborhoods, the local complement of the global
+    `moran_events` statistic (and of `hotspot_cells`' neighborless
+    global z-score: Gi* scores the NEIGHBORHOOD sum, so a modest cell
+    ringed by hot cells ranks hot).  Bit-exact across engines: the
+    n-cleared numerator and all three variance moments are BIGINT
+    sums; the one double divide + sqrt run on identical scalars.
+    Shape: 9-offset map-side scatter → ONE equi-join on the occupied
+    key → one hash-agg; global moments broadcast."""
+    from .operators import stats
+
+    pts = _event_pts(spark, sf_dir)
+    cells = pts.select(
+        F.floor(F.col("lon") / 0.1).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 0.1).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    return stats.getis_ord_gi(cells, "cx", "cy", "n")
+
+
+ORACLE_HOTSPOT_GI = (
+    "WITH pts AS (" + _EVENT_PTS_SQL + "), "
+    "c AS (SELECT CAST(floor(lon / 0.1) AS BIGINT) AS cx, "
+    "CAST(floor(lat / 0.1) AS BIGINT) AS cy, "
+    "CAST(count(*) AS BIGINT) AS x FROM pts GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS t, CAST(sum(x * x) AS BIGINT) AS ss FROM c), "
+    "off AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx), "
+    "(SELECT unnest([-1, 0, 1]) AS dy)), "
+    "hood AS (SELECT ci.cx + off.dx AS cx, ci.cy + off.dy AS cy, "
+    "CAST(sum(ci.x) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS k "
+    "FROM c ci CROSS JOIN off GROUP BY 1, 2) "
+    "SELECT c.cx, c.cy, c.x, hood.k AS k_nbrs, "
+    "CAST(tot.n * hood.g - hood.k * tot.t AS DOUBLE) / sqrt("
+    "CAST(tot.n * tot.ss - tot.t * tot.t AS DOUBLE) "
+    "* CAST(tot.n * hood.k - hood.k * hood.k AS DOUBLE) "
+    "/ CAST(tot.n - 1 AS DOUBLE)) AS gi "
+    "FROM c JOIN hood ON hood.cx = c.cx AND hood.cy = c.cy, tot"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8053,6 +8095,7 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
     "moran_events": q_moran_events,
+    "hotspot_gi": q_hotspot_gi,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8412,6 +8455,7 @@ ORACLES = {
     "scd2_build": ORACLE_SCD2_BUILD,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "moran_events": ORACLE_MORAN_EVENTS,
+    "hotspot_gi": ORACLE_HOTSPOT_GI,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8439,6 +8483,7 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
     "kmv_vocab", "kmv_overlap",                          # new: KMV/theta sketch

@@ -837,3 +837,56 @@ class TestMoransI:
         df = spark.createDataFrame(cells, "cx long, cy long, n long")
         with pytest.raises(Exception, match="headroom"):
             stats.morans_i(df, "cx", "cy", "n").collect()
+
+
+class TestGetisOrdGi:
+    """Per-cell Gi*: values match a float numpy reference on a planted
+    hotspot lattice, the hot core ranks highest, and the headroom
+    guard trips (same bound as morans_i)."""
+
+    def _numpy_gi(self, cells):
+        import numpy as np
+        xs = np.array([v for (_, _, v) in cells], dtype=np.float64)
+        n = len(cells)
+        xbar = xs.mean()
+        s = np.sqrt((xs * xs).mean() - xbar * xbar)
+        out = {}
+        for i, (cxi, cyi, _) in enumerate(cells):
+            w = np.array([
+                1.0 if abs(cxi - cxj) <= 1 and abs(cyi - cyj) <= 1 else 0.0
+                for (cxj, cyj, _) in cells
+            ])
+            k = w.sum()
+            out[(cxi, cyi)] = (w @ xs - xbar * k) / (
+                s * np.sqrt((n * k - k * k) / (n - 1))
+            )
+        return out
+
+    def test_matches_numpy_and_ranks_core_hot(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        # 5x5 lattice, planted 2x2 hot block in one corner
+        cells = [
+            (i, j, 50 if (i <= 1 and j <= 1) else 2)
+            for i in range(5) for j in range(5)
+        ]
+        df = spark.createDataFrame(cells, "cx long, cy long, n long")
+        got = {(r["cx"], r["cy"]): r["gi"]
+               for r in stats.getis_ord_gi(df, "cx", "cy", "n").collect()}
+        want = self._numpy_gi(cells)
+        assert set(got) == set(want)
+        for key in want:
+            assert abs(got[key] - want[key]) < 1e-9, key
+        hottest = max(got, key=got.get)
+        assert hottest in {(0, 0), (0, 1), (1, 0), (1, 1)}
+        assert got[(4, 4)] < 0  # far corner sits in a cold neighborhood
+
+    def test_overflow_guard_trips(self, spark):
+        import pytest as _pytest
+        from geomatics_geotk_spark.operators import stats
+        cells = [(0, 0, 4_000_000_000), (0, 1, 1)]
+        df = spark.createDataFrame(cells, "cx long, cy long, n long")
+        # out-of-headroom values fail LOUDLY either via the explicit
+        # assert or via ANSI overflow on the Σx² moment (whichever the
+        # plan evaluates first) — never a silent wrong answer
+        with _pytest.raises(Exception, match="headroom|ARITHMETIC_OVERFLOW"):
+            stats.getis_ord_gi(df, "cx", "cy", "n").collect()
