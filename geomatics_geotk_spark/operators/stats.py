@@ -306,3 +306,57 @@ def getis_ord_gi(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
         F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col),
         "x", F.col("k").alias("k_nbrs"), gi.alias("gi"),
     )
+
+
+def rolling_zscore(series: DataFrame, key_cols: list[str], order_col: str,
+                   value_col: str, trailing: int = 24,
+                   min_obs: int = 12) -> DataFrame:
+    """Per-key rolling z-score of an integer series against its trailing
+    baseline — the spike/drought detector for keyed rate monitoring
+    (event counts per hour, docs per crawl batch, ...).
+
+    Each row is scored against the ``trailing`` rows BEFORE it (the
+    current row is excluded so a spike cannot dilute its own baseline):
+    z = (x − μ)/σ over the frame, population σ.  Integer clearing makes
+    it bit-exact across engines: with s1 = Σx, s2 = Σx², m = frame rows,
+    z = (x·m − s1) / sqrt(m·s2 − s1²) — every aggregate an
+    order-independent BIGINT frame sum, then ONE double division + sqrt
+    (both IEEE-correctly-rounded) on identical scalars.  Rows with a
+    baseline shorter than ``min_obs`` or with zero variance emit no
+    score (they are dropped, not NaN — a constant baseline has no σ
+    units to measure a spike in).
+
+    Shape for 100 TB: the input is a per-key SERIES (one row per key ×
+    bucket — cardinality is keys × time buckets, not raw events), so the
+    sort under the window is per-key and small; one exchange on the key.
+    Frame sums never exceed trailing·max|x| — BIGINT-safe for any
+    realistic bucket count.
+
+    Output: key_cols + (order_col, value_col, n_base, sum_base, z).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*key_cols).orderBy(order_col)
+        .rowsBetween(-trailing, -1)
+    )
+    x = F.col(value_col).cast("long")
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    m = F.count(F.lit(1)).over(w)
+    scored = series.select(
+        *key_cols, order_col, value_col,
+        m.alias("n_base"), s1.alias("sum_base"), s2.alias("_ss"),
+    )
+    den = (
+        F.col("n_base") * F.col("_ss") - F.col("sum_base") * F.col("sum_base")
+    )
+    z = (
+        (x * F.col("n_base") - F.col("sum_base")).cast("double")
+        / F.sqrt(den.cast("double"))
+    )
+    return (
+        scored.where((F.col("n_base") >= min_obs) & (den > 0))
+        .select(*key_cols, order_col, value_col, "n_base", "sum_base",
+                z.alias("z"))
+    )

@@ -777,3 +777,79 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score_r", "n_terms_hit"
     )
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-``k`` two-word collocations by pointwise mutual information —
+    the classic phrase-mining signal ("new york" scores high because the
+    pair co-occurs far more than its words' frequencies predict).
+
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )
+               = ln c + 2·ln Nu − ln c1 − ln c2 − ln Nb
+    with c = adjacent-pair count, c1/c2 = unigram counts, Nu/Nb = total
+    unigram/bigram occurrences.  Every log argument is an INTEGER count
+    (the lm_logloss/source_kl trick), so per-engine drift is ≤ a few
+    ulps; the score is rounded at 9 dp BEFORE ranking so the order — and
+    the reported value — is bit-identical across engines.
+
+    Tokenization matches the vocabulary-drift family: lowercase, split
+    on non-alphanumeric runs, empties removed WITH adjacency preserved
+    (filter the token array, not the exploded rows, so "a--b" still
+    yields the (a,b) pair).
+
+    Shape for 100 TB: bigram pairs explode map-side and aggregate with
+    partial combine into a (w1,w2) count table — ONE exchange over data
+    volume; everything after operates on VOCAB-sized frames (two
+    equi-joins of the pair table against the unigram table, scalar
+    totals broadcast, TakeOrderedAndProject top-k — no global window,
+    no single-partition sort).  ``min_count`` prunes the hapax tail
+    before the joins, which is also what makes PMI statistically sane.
+
+    Output: (w1, w2, n_pair, n_w1, n_w2, pmi_r).
+    """
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        ).alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    nu = uni.agg(F.sum("c_uni").alias("nu"))
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    nb = cb.agg(F.sum("n_pair").alias("nb"))
+    j = (
+        cb.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("token").alias("w1"),
+                         F.col("c_uni").alias("n_w1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"),
+                         F.col("c_uni").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi_r = F.round(
+        F.log("n_pair") + F.lit(2.0) * F.log("nu")
+        - F.log("n_w1") - F.log("n_w2") - F.log("nb"),
+        9,
+    )
+    return (
+        j.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi_r.alias("pmi_r"))
+        .orderBy(F.desc("pmi_r"), "w1", "w2")
+        .limit(k)
+    )

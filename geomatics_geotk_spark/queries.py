@@ -4964,6 +4964,80 @@ ORACLE_HOTSPOT_GI = (
 )
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike/drought detection (``stats.rolling_zscore``):
+    hourly counts per event_type scored against their trailing-24-hour
+    baseline, top-20 by |z| — the keyed rate monitor that flags a feed
+    going dark or a scraper going hot.  Bit-exact across engines: the
+    frame sums (s1, s2, m) are BIGINT window aggregates and
+    z = (n·m − s1)/sqrt(m·s2 − s1²) is ONE correctly-rounded double
+    division + sqrt on identical scalars.  Shape: one exchange to the
+    (event_type, hour) count series — window + top-k then run on the
+    tiny series frame, never on raw events."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    z = stats.rolling_zscore(c, ["event_type"], "hour", "n",
+                             trailing=24, min_obs=12)
+    return z.orderBy(F.abs(F.col("z")).desc(), "event_type", "hour").limit(20)
+
+
+ORACLE_RATE_ANOMALY = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "w AS (SELECT event_type, hour, n, "
+    "CAST(count(*) OVER fr AS BIGINT) AS n_base, "
+    "CAST(sum(n) OVER fr AS BIGINT) AS sum_base, "
+    "CAST(sum(n * n) OVER fr AS BIGINT) AS ss FROM c "
+    "WINDOW fr AS (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, hour, n, n_base, sum_base, "
+    "CAST(n * n_base - sum_base AS DOUBLE) "
+    "/ sqrt(CAST(n_base * ss - sum_base * sum_base AS DOUBLE)) AS z "
+    "FROM w WHERE n_base >= 12 AND n_base * ss - sum_base * sum_base > 0 "
+    "ORDER BY abs(z) DESC, event_type, hour LIMIT 20"
+)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 two-word collocations by PMI over the document corpus
+    (``text.pmi_collocations``) — the phrase-mining signal for tokenizer
+    vocab construction and boilerplate phrase discovery.  Every log
+    argument is an integer count (the source_kl/lm_logloss trick) and
+    the score is rounded at 9 dp before ranking, so order and value are
+    engine-identical.  Shape: ONE data-volume exchange (the bigram
+    count); all later joins/top-k act on vocab-sized frames with the
+    two scalar totals broadcast."""
+    from .operators import text
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return text.pmi_collocations(docs, "text", min_count=5, k=50)
+
+
+ORACLE_PMI_COLLOCATIONS = (
+    "WITH toks AS (SELECT list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), t -> t <> '') AS toks FROM documents), "
+    "uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c_uni FROM "
+    "(SELECT unnest(toks) AS token FROM toks) GROUP BY 1), "
+    "nu AS (SELECT CAST(sum(c_uni) AS BIGINT) AS nu FROM uni), "
+    "bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1, "
+    "unnest(toks[2:len(toks)]) AS w2 FROM toks WHERE len(toks) >= 2), "
+    "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair "
+    "FROM bg GROUP BY 1, 2), "
+    "nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM cb) "
+    "SELECT cb.w1, cb.w2, cb.n_pair, u1.c_uni AS n_w1, u2.c_uni AS n_w2, "
+    "round(ln(cb.n_pair) + 2.0 * ln(nu.nu) - ln(u1.c_uni) - ln(u2.c_uni) "
+    "- ln(nb.nb), 9) AS pmi_r "
+    "FROM cb JOIN uni u1 ON u1.token = cb.w1 "
+    "JOIN uni u2 ON u2.token = cb.w2, nu, nb "
+    "WHERE cb.n_pair >= 5 "
+    "ORDER BY pmi_r DESC, w1, w2 LIMIT 50"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8096,6 +8170,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 QUERIES = {
     "moran_events": q_moran_events,
     "hotspot_gi": q_hotspot_gi,
+    "rate_anomaly": q_rate_anomaly,
+    "pmi_collocations": q_pmi_collocations,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8456,6 +8532,8 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "moran_events": ORACLE_MORAN_EVENTS,
     "hotspot_gi": ORACLE_HOTSPOT_GI,
+    "rate_anomaly": ORACLE_RATE_ANOMALY,
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8483,6 +8561,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "rate_anomaly",                                      # new: rolling z-score
+    "pmi_collocations",                                  # new: PMI phrases
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

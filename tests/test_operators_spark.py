@@ -890,3 +890,98 @@ class TestGetisOrdGi:
         # plan evaluates first) — never a silent wrong answer
         with _pytest.raises(Exception, match="headroom|ARITHMETIC_OVERFLOW"):
             stats.getis_ord_gi(df, "cx", "cy", "n").collect()
+
+
+class TestRollingZscore:
+    """Keyed rolling z-score: values match a sequential numpy reference,
+    short-baseline and zero-variance rows are dropped, and the current
+    row never dilutes its own baseline."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        from geomatics_geotk_spark.operators import stats
+        rng = np.random.RandomState(7)
+        rows = [("k%d" % k, t, int(v))
+                for k in range(3)
+                for t, v in enumerate(rng.randint(1, 20, size=40))]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        got = {(r["key"], r["t"]): r
+               for r in stats.rolling_zscore(
+                   df, ["key"], "t", "n", trailing=10, min_obs=5).collect()}
+        by_key = {}
+        for k, t, v in rows:
+            by_key.setdefault(k, []).append((t, v))
+        want = {}
+        for k, series in by_key.items():
+            series.sort()
+            vals = [v for _, v in series]
+            for i, (t, v) in enumerate(series):
+                base = vals[max(0, i - 10):i]
+                m = len(base)
+                if m < 5:
+                    continue
+                s1, s2 = sum(base), sum(b * b for b in base)
+                den = m * s2 - s1 * s1
+                if den <= 0:
+                    continue
+                want[(k, t)] = (v * m - s1) / (den ** 0.5)
+        assert set(got) == set(want)
+        for key, z in want.items():
+            assert abs(got[key]["z"] - z) < 1e-12, key
+
+    def test_spike_excluded_from_its_own_baseline(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        # flat series of 5s, then one spike of 500: the spike's baseline
+        # is the flat run (sum 60, zero... variance) — zero variance
+        # drops it UNLESS noise exists, so alternate 4/6 for variance
+        rows = [("a", t, 4 if t % 2 == 0 else 6) for t in range(12)]
+        rows.append(("a", 12, 500))
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        out = {r["t"]: r for r in stats.rolling_zscore(
+            df, ["key"], "t", "n", trailing=24, min_obs=12).collect()}
+        assert list(out) == [12]          # only the spike has a full baseline
+        assert out[12]["sum_base"] == 60  # 6*4 + 6*6 — spike not included
+        assert out[12]["z"] > 400         # (500-5)/1 against sd 1
+
+    def test_zero_variance_dropped(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = [("a", t, 7) for t in range(20)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        assert stats.rolling_zscore(
+            df, ["key"], "t", "n", trailing=10, min_obs=5).count() == 0
+
+
+class TestPmiCollocations:
+    """PMI collocations: a planted always-adjacent pair outranks chance
+    pairs, the value matches closed-form math.log, and token-array
+    filtering preserves adjacency across punctuation runs."""
+
+    def test_planted_pair_wins_and_value_exact(self, spark):
+        import math
+        from geomatics_geotk_spark.operators import text
+        # 20 docs of "red blue" + filler words that also repeat so they
+        # pass min_count but pair up randomly
+        docs = [("red blue alpha beta",)] * 10 + [("beta alpha red blue",)] * 10
+        df = spark.createDataFrame(docs, "text string")
+        out = text.pmi_collocations(df, "text", min_count=5, k=10).collect()
+        top = out[0]
+        assert (top["w1"], top["w2"]) == ("red", "blue")
+        # closed form: c=20, c1=c2=20, nu=80, nb=60
+        want = round(math.log(20) + 2 * math.log(80)
+                     - math.log(20) - math.log(20) - math.log(60), 9)
+        assert abs(top["pmi_r"] - want) < 1e-12
+        assert top["n_pair"] == 20 and top["n_w1"] == 20 and top["n_w2"] == 20
+
+    def test_adjacency_preserved_across_punctuation(self, spark):
+        from geomatics_geotk_spark.operators import text
+        docs = [("foo--bar!!",)] * 5
+        df = spark.createDataFrame(docs, "text string")
+        out = text.pmi_collocations(df, "text", min_count=5, k=10).collect()
+        assert [(r["w1"], r["w2"]) for r in out] == [("foo", "bar")]
+
+    def test_min_count_prunes(self, spark):
+        from geomatics_geotk_spark.operators import text
+        docs = [("one two",)] * 4 + [("three four",)] * 6
+        df = spark.createDataFrame(docs, "text string")
+        out = text.pmi_collocations(df, "text", min_count=5, k=10).collect()
+        assert [(r["w1"], r["w2"]) for r in out] == [("three", "four")]
