@@ -160,3 +160,51 @@ def triangle_counts(
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
+                       min_support: int = 3, k: int = 25) -> DataFrame:
+    """Top-``k`` item pairs by basket co-occurrence — the market-basket
+    affinity edge builder (parts ordered together, tags co-applied,
+    tokens co-occurring per document).
+
+    Shape for 100 TB: baskets collapse to ONE row each
+    (``collect_set`` — the exchange is on the basket key, data-volume
+    sized), pairs explode MAP-SIDE from the sorted item array
+    (C(b,2) rows per basket, bounded by the basket width — never an
+    item-table self-join), and the pair count aggregates with partial
+    combine.  The final ranking is TakeOrderedAndProject over the
+    ``min_support``-pruned pair table — no global window.  A degenerate
+    mega-basket (a crawl bucket with 10^5 items) would explode C(10^5,2)
+    pairs; production pipelines should pre-filter baskets to a width cap
+    BEFORE this operator — the cap is a semantic choice (dropping a
+    basket drops its pairs), so it is not silently applied here.
+
+    Items are deduplicated per basket (set semantics: a basket containing
+    an item twice supports a pair once) and pairs are emitted in sorted
+    order (item_a < item_b).  Output:
+    (item_a, item_b, n_baskets), ordered n_baskets DESC, item_a, item_b.
+    """
+    baskets = df.groupBy(basket_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("items")
+    )
+    pairs = (
+        baskets.where(F.size("items") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(items) - 2), "
+                    "i -> transform(sequence(i + 1, size(items) - 1), "
+                    "j -> struct(items[i] AS item_a, items[j] AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+        .limit(k)
+    )

@@ -360,3 +360,67 @@ def rolling_zscore(series: DataFrame, key_cols: list[str], order_col: str,
         .select(*key_cols, order_col, value_col, "n_base", "sum_base",
                 z.alias("z"))
     )
+
+
+def quantile_calibration(df: DataFrame, group_col: str, value_col: str,
+                         n_buckets: int = 10) -> DataFrame:
+    """Per-group decile calibration table against the pooled
+    distribution — the quantile-normalization map for mixing corpora
+    whose quality/length scores are scored on different scales: row
+    (g, d, v_group, v_global) says "group g's d-th decile value is
+    v_group where the pooled corpus has v_global", so replacing
+    v_group-scored rows with v_global rank-normalizes the mix.
+
+    Uses quantile_disc semantics throughout (the length_percentiles
+    integer-index rule): the p-th quantile is the minimum value whose
+    cumulative count reaches ceil(p·n) — pure BIGINT index math, no
+    float interpolation, bit-exact across engines.
+
+    Shape for 100 TB: ONE exchange builds the (group, value) count
+    table; every window and inequality-filter after that runs on
+    value-cardinality frames (distinct values per group), not rows.
+    The global cumulative window is a single-partition sort over the
+    DISTINCT-value count table — value cardinality, not data volume
+    (discretize continuous scores before calling if their cardinality
+    is unbounded).  Output: (group_col, decile 1..n_buckets-1,
+    v_group, v_global).
+    """
+    from pyspark.sql.window import Window
+
+    spec = df.sparkSession.range(1, n_buckets).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    cnt = df.groupBy(group_col, value_col).agg(F.count("*").alias("c"))
+    wg = Window.partitionBy(group_col).orderBy(value_col)
+    cum = cnt.select(
+        group_col, value_col,
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(Window.partitionBy(group_col)).alias("n_g"),
+    )
+    idx = F.expr(f"(n_g * decile + {n_buckets - 1}) DIV {n_buckets}")
+    src = (
+        cum.crossJoin(F.broadcast(spec))
+        .where(F.col("cum") >= idx)
+        .groupBy(group_col, "decile")
+        .agg(F.min(value_col).alias("v_group"))
+    )
+    gcnt = df.groupBy(value_col).agg(F.count("*").alias("c"))
+    wv = Window.orderBy(value_col)
+    gcum = gcnt.select(
+        value_col,
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    gidx = F.expr(f"(n * decile + {n_buckets - 1}) DIV {n_buckets}")
+    glob = (
+        gcum.crossJoin(F.broadcast(spec))
+        .where(F.col("cum") >= gidx)
+        .groupBy("decile")
+        .agg(F.min(value_col).alias("v_global"))
+    )
+    return src.join(F.broadcast(glob), "decile").select(
+        group_col, "decile", "v_group", "v_global"
+    )

@@ -5038,6 +5038,71 @@ ORACLE_PMI_COLLOCATIONS = (
 )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part affinity (``graph.cooccurrence_pairs``):
+    top-25 part pairs by the number of orders containing both, support
+    ≥ 3 — the item-item edge builder behind "frequently bought
+    together".  Shape: ONE exchange on l_orderkey collapses each order
+    to its sorted part set; pairs explode map-side (orders are ≤7
+    lineitems so C(b,2) is bounded); pair counts combine partially;
+    TakeOrderedAndProject ranks.  The oracle mirrors with a distinct
+    self-join — same pair set, oracle-side simplicity."""
+    from .operators import graph
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=3, k=25
+    ).select(
+        F.col("item_a").alias("part_a"), F.col("item_b").alias("part_b"),
+        "n_baskets",
+    )
+
+
+ORACLE_BASKET_PAIRS = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "count(*) AS n_baskets FROM d a JOIN d b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY 1, 2) "
+    "SELECT part_a, part_b, n_baskets FROM p WHERE n_baskets >= 3 "
+    "ORDER BY n_baskets DESC, part_a, part_b LIMIT 25"
+)
+
+
+def q_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile calibration of document length against the
+    pooled corpus (``stats.quantile_calibration``): row (source, d,
+    v_source, v_global) is the rank-normalization map for blending
+    sources scored on different scales.  quantile_disc integer-index
+    semantics (min value with cum ≥ ceil(d·n/10)) keep it bit-exact.
+    Shape: one exchange to (source, n_chars) counts; all windows and
+    the decile inequality-joins run on value-cardinality frames."""
+    from .operators import stats
+
+    docs = _read(spark, sf_dir, "documents").select("source", "n_chars")
+    return stats.quantile_calibration(docs, "source", "n_chars")
+
+
+ORACLE_QUANTILE_CALIBRATION = (
+    "WITH c AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY 1, 2), "
+    "cum AS (SELECT source, v, "
+    "CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum, "
+    "CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_g FROM c), "
+    "spec AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile), "
+    "src AS (SELECT source, decile, min(v) AS v_group FROM cum, spec "
+    "WHERE cum >= (n_g * decile + 9) // 10 GROUP BY 1, 2), "
+    "gc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY 1), "
+    "gcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum, "
+    "CAST(sum(c) OVER () AS BIGINT) AS n FROM gc), "
+    "gq AS (SELECT decile, min(v) AS v_global FROM gcum, spec "
+    "WHERE cum >= (n * decile + 9) // 10 GROUP BY 1) "
+    "SELECT src.source, src.decile, src.v_group, gq.v_global "
+    "FROM src JOIN gq USING (decile)"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8172,6 +8237,8 @@ QUERIES = {
     "hotspot_gi": q_hotspot_gi,
     "rate_anomaly": q_rate_anomaly,
     "pmi_collocations": q_pmi_collocations,
+    "basket_pairs": q_basket_pairs,
+    "quantile_calibration": q_quantile_calibration,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8534,6 +8601,8 @@ ORACLES = {
     "hotspot_gi": ORACLE_HOTSPOT_GI,
     "rate_anomaly": ORACLE_RATE_ANOMALY,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "basket_pairs": ORACLE_BASKET_PAIRS,
+    "quantile_calibration": ORACLE_QUANTILE_CALIBRATION,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8563,6 +8632,8 @@ _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
     "rate_anomaly",                                      # new: rolling z-score
     "pmi_collocations",                                  # new: PMI phrases
+    "basket_pairs",                                      # new: basket affinity
+    "quantile_calibration",                              # new: decile calib
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

@@ -985,3 +985,62 @@ class TestPmiCollocations:
         df = spark.createDataFrame(docs, "text string")
         out = text.pmi_collocations(df, "text", min_count=5, k=10).collect()
         assert [(r["w1"], r["w2"]) for r in out] == [("three", "four")]
+
+
+class TestCooccurrencePairs:
+    """Basket affinity: pair counts match brute force, per-basket
+    multiplicity collapses to set semantics, pairs are sorted, and
+    min_support prunes."""
+
+    def test_counts_match_bruteforce(self, spark):
+        from itertools import combinations
+        from geomatics_geotk_spark.operators import graph
+        baskets = {
+            1: [10, 20, 30], 2: [20, 30], 3: [10, 20, 30, 40],
+            4: [30, 20], 5: [40, 10], 6: [20, 30, 20],  # dup item in 6
+        }
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "basket long, item long")
+        got = {(r["item_a"], r["item_b"]): r["n_baskets"]
+               for r in graph.cooccurrence_pairs(
+                   df, "basket", "item", min_support=1, k=100).collect()}
+        want = {}
+        for items in baskets.values():
+            for a, b in combinations(sorted(set(items)), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
+        assert all(a < b for a, b in got)
+
+    def test_min_support_and_topk_order(self, spark):
+        from geomatics_geotk_spark.operators import graph
+        rows = [(b, i) for b in range(5) for i in (1, 2)] + [(9, 7), (9, 8)]
+        df = spark.createDataFrame(rows, "basket long, item long")
+        out = graph.cooccurrence_pairs(
+            df, "basket", "item", min_support=2, k=10).collect()
+        assert [(r["item_a"], r["item_b"], r["n_baskets"]) for r in out] \
+            == [(1, 2, 5)]
+
+
+class TestQuantileCalibration:
+    """Decile calibration: quantile_disc order statistics per group and
+    pooled, verified against a sorted-list reference."""
+
+    def test_matches_sorted_reference(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        ga = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]          # uniform
+        gb = [100, 100, 100, 200, 200, 300, 400, 500]  # skewed, ties
+        rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+        df = spark.createDataFrame(rows, "src string, v long")
+        got = {(r["src"], r["decile"]): (r["v_group"], r["v_global"])
+               for r in stats.quantile_calibration(df, "src", "v").collect()}
+
+        def qdisc(sorted_vals, d):
+            n = len(sorted_vals)
+            return sorted_vals[(n * d + 9) // 10 - 1]
+
+        pooled = sorted(ga + gb)
+        for name, vals in (("a", sorted(ga)), ("b", sorted(gb))):
+            for d in range(1, 10):
+                assert got[(name, d)] == (qdisc(vals, d), qdisc(pooled, d)), \
+                    (name, d)
+        assert len(got) == 18
