@@ -173,6 +173,13 @@ BENCH_QUERIES = [
     "scd2_build",
     "snapshot_diff",
     "moran_events",
+    # round-5 final-session additions (suite EXTENSION — positions of
+    # earlier queries preserved)
+    "hotspot_gi",
+    "rate_anomaly",
+    "pmi_collocations",
+    "basket_pairs",
+    "quantile_calibration",
 ]
 
 

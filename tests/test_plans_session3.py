@@ -1,0 +1,94 @@
+"""Plan-hygiene asserts for the final-session operators: each
+docstring's 100 TB claim must be visible in the physical plan so a
+Spark upgrade or refactor can't silently regress it.
+
+- hotspot_gi: neighborhood sums come from the 9-offset scatter +
+  equi-join — never a cell×cell cartesian; all JVM.
+- rate_anomaly: the z window hash-partitions on event_type (no
+  single-partition funnel); the top-20 is TakeOrderedAndProject,
+  not a global sort.
+- pmi_collocations: pair ranking is TakeOrderedAndProject; the two
+  scalar totals broadcast; no cartesian anywhere.
+- basket_pairs: pairs explode from the per-basket array — the plan
+  contains NO join at all (the classic shape to regress into is an
+  item-table self-join).
+- quantile_calibration: the only single-partition window is the
+  documented value-cardinality global cumulative; the decile spec
+  and final map join broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+from geomatics_geotk_spark import plans, queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _no_python(plan: str) -> bool:
+    return "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+class TestSession3Plans:
+    def test_hotspot_gi_scatter_join_no_cartesian(self, spark):
+        df = queries.q_hotspot_gi(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        # neighborhood agg joins back on the occupied-cell key
+        assert (
+            _nodes(plan, "SortMergeJoin")
+            + _nodes(plan, "BroadcastHashJoin")
+            + _nodes(plan, "ShuffledHashJoin")
+            >= 1
+        )
+        # the global moments arrive by broadcast, not a shuffle
+        assert "BroadcastExchange" in plan
+
+    def test_rate_anomaly_keyed_window_topk(self, spark):
+        df = queries.q_rate_anomaly(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert _nodes(plan, "Window") >= 1
+
+    def test_pmi_topk_and_broadcast_totals(self, spark):
+        df = queries.q_pmi_collocations(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+        # nu and nb scalars broadcast under the nested-loop cross joins
+        assert _nodes(plan, "BroadcastNestedLoopJoin") >= 2
+        # no global window rank anywhere
+        assert _nodes(plan, "Window") == 0
+
+    def test_basket_pairs_has_no_join(self, spark):
+        df = queries.q_basket_pairs(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "TakeOrderedAndProject" in plan
+        # pairs explode map-side from collect_set — a join would mean
+        # the self-join shape this operator exists to avoid
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert _nodes(plan, node) == 0, node
+        assert _nodes(plan, "Generate") >= 1
+
+    def test_quantile_calibration_windows_and_broadcasts(self, spark):
+        df = queries.q_quantile_calibration(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        # per-group cumulative hash-partitions on the group; the single
+        # SinglePartition exchange is the documented global cumulative
+        # over the distinct-value count table
+        assert len(re.findall(r"SinglePartition", plan)) <= 2
