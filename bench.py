@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "basket_pairs",
     "quantile_calibration",
+    "trend_test",
+    "revenue_gini",
+    "benford_audit",
 ]
 
 

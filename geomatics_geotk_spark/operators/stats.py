@@ -424,3 +424,164 @@ def quantile_calibration(df: DataFrame, group_col: str, value_col: str,
     return src.join(F.broadcast(glob), "decile").select(
         group_col, "decile", "v_group", "v_global"
     )
+
+
+def mann_kendall(series: DataFrame, key_cols: list[str], order_col: str,
+                 value_col: str) -> DataFrame:
+    """Per-key Mann-Kendall monotonic-trend test over an integer series —
+    the nonparametric "is this feed drifting?" complement of
+    :func:`rolling_zscore` (which finds point anomalies): S = Σ_{i<j}
+    sign(x_j − x_i), tie-corrected variance Var·18 = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5), and the standard continuity-corrected
+    z = (S∓1)/sqrt(Var).
+
+    Bit-exact across engines: S and both variance terms are
+    order-independent BIGINT sums; z is ONE double division + sqrt
+    (sqrt(Var) = sqrt(var18/18.0), same literal both engines).
+
+    Shape for 100 TB: the O(n²) pair comparison runs on the per-key
+    SERIES (keys × time buckets), never raw events — the self-join is an
+    equi-join on the key with the i<j filter in the condition, so each
+    key's pairs materialize inside one task group; tie counts are a
+    second value-level aggregate on the same series frame.  A key with
+    10^4 buckets makes 5·10^7 sign terms — still a map-side sum.  Output:
+    key_cols + (n_obs, s_stat, var18, z).
+    """
+    a = series.select(
+        *key_cols, F.col(order_col).alias("_ta"),
+        F.col(value_col).cast("long").alias("_xa"),
+    )
+    b = series.select(
+        *key_cols, F.col(order_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_xb"),
+    )
+    pairs = a.join(b, key_cols).where(F.col("_ta") < F.col("_tb"))
+    s = pairs.groupBy(*key_cols).agg(
+        F.sum(F.signum(F.col("_xb") - F.col("_xa")).cast("long"))
+        .alias("s_stat")
+    )
+    n = series.groupBy(*key_cols).agg(F.count("*").alias("n_obs"))
+    ties = (
+        series.groupBy(*key_cols, F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("t"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18")
+        )
+    )
+    j = n.join(s, key_cols).join(ties, key_cols)
+    var18 = (
+        F.col("n_obs") * (F.col("n_obs") - 1) * (2 * F.col("n_obs") + 5)
+        - F.col("tie18")
+    )
+    zz = F.when(
+        (F.col("s_stat") != 0) & (F.col("var18") > 0),
+        (
+            F.col("s_stat")
+            - F.when(F.col("s_stat") > 0, F.lit(1)).otherwise(F.lit(-1))
+        ).cast("double") / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(*key_cols, "n_obs", "s_stat", var18.alias("var18"))
+        .select(*key_cols, "n_obs", "s_stat", "var18", zz.alias("z"))
+    )
+
+
+def gini(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group Gini concentration of a non-negative integer measure —
+    the "is one customer/domain/source dominating?" audit.  With the
+    group's values sorted ascending and 1-based rank i:
+    G = Σ(2i − n − 1)·x_i / (n·Σx) — the numerator is an
+    order-independent BIGINT sum once ranks are fixed (ties contribute
+    identically under any tie order, so rank-by-value is deterministic
+    ACROSS ENGINES even though row identity is not), and the one double
+    division is correctly rounded.  Groups with Σx = 0 report G = 0.
+
+    Shape for 100 TB: ONE exchange on the group for the rank window
+    (per-group sort over group cardinality); numerator and totals fold
+    in the same aggregation.  Output: (group, n_members, total, gini).
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("long")
+    ranked = df.select(group_col, x.alias("_x")).withColumn(
+        "_i", F.row_number().over(
+            Window.partitionBy(group_col).orderBy("_x")
+        )
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_members"),
+        F.sum("_x").alias("total"),
+        F.sum(
+            (2 * F.col("_i") - 1) * F.col("_x")
+        ).alias("_num_part"),  # Σ(2i−1)x; subtract n·Σx after agg
+    )
+    g = F.when(
+        F.col("total") > 0,
+        (F.col("_num_part") - F.col("n_members") * F.col("total"))
+        .cast("double")
+        / (F.col("n_members") * F.col("total")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(group_col, "n_members", "total", g.alias("gini"))
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), written as
+# literals so both engines consume the same doubles (log10 is not
+# IEEE-correctly-rounded, a computed value could differ in the last ulp)
+BENFORD_P = (
+    (1, 0.30102999566398120),
+    (2, 0.17609125905568124),
+    (3, 0.12493873660829992),
+    (4, 0.09691001300805642),
+    (5, 0.07918124604762482),
+    (6, 0.06694678963061322),
+    (7, 0.05799194697768673),
+    (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive BIGINT measure
+    vs Benford's law — the classic fabricated-data / unit-mixup audit
+    for ingested numeric feeds.  The first digit is taken from the
+    integer's decimal STRING (substring — no log10, whose rounding could
+    flip a power-of-ten boundary value's digit differently per engine);
+    expected masses are shared literals; the per-digit deviation term
+    (obs − n·p)² / (n·p) — summing it over digits is the χ² statistic —
+    is the same double expression both engines, rounded at 9 dp.
+
+    Shape: one map-side digit projection + one 9-key aggregate; the
+    scalar total broadcasts back onto the 9-row frame.  Output:
+    (digit, n_obs, expected_r, dev_r) for digits 1-9 (a digit with zero
+    observations still reports its row).
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("_v")).where(
+        F.col("_v") > 0
+    )
+    digits = vals.select(
+        F.substring(F.col("_v").cast("string"), 1, 1).cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    spec = df.sparkSession.createDataFrame(
+        list(BENFORD_P), "digit int, p double"
+    )
+    n = obs.agg(F.sum("n_obs").alias("n"))
+    j = (
+        spec.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    expected = F.col("n").cast("double") * F.col("p")
+    diff = F.col("n_obs").cast("double") - expected
+    dev = diff * diff / expected  # plain multiply — pow() is not
+    # IEEE-correctly-rounded and could differ across engines
+
+    return j.select(
+        "digit", "n_obs",
+        F.round(expected, 9).alias("expected_r"),
+        F.round(dev, 9).alias("dev_r"),
+    )

@@ -5103,6 +5103,131 @@ ORACLE_QUANTILE_CALIBRATION = (
 )
 
 
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Mann-Kendall trend test over the hourly event-count
+    series (``stats.mann_kendall``) — "is this feed monotonically
+    drifting?", the nonparametric complement of `rate_anomaly`'s point
+    spikes.  S, n and the tie term are BIGINT sums over the SERIES
+    frame (keys × hours, not raw events); z is one correctly-rounded
+    double division + sqrt — bit-exact.  Shape: the O(hours²) pair
+    compare is an equi-join on event_type over the tiny count series."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    return stats.mann_kendall(c, ["event_type"], "hour", "n")
+
+
+ORACLE_TREND_TEST = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "p AS (SELECT a.event_type, CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) "
+    "AS BIGINT) AS s_stat FROM c a JOIN c b "
+    "ON a.event_type = b.event_type AND a.h < b.h GROUP BY 1), "
+    "nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM c GROUP BY 1), "
+    "tt AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) "
+    "AS BIGINT) AS tie18 FROM (SELECT event_type, n, "
+    "CAST(count(*) AS BIGINT) AS t FROM c GROUP BY 1, 2) GROUP BY 1), "
+    "v AS (SELECT nn.event_type, n_obs, s_stat, "
+    "n_obs * (n_obs - 1) * (2 * n_obs + 5) - tie18 AS var18 "
+    "FROM nn JOIN p USING (event_type) JOIN tt USING (event_type)) "
+    "SELECT event_type, n_obs, s_stat, var18, "
+    "CASE WHEN s_stat <> 0 AND var18 > 0 THEN "
+    "CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END) AS DOUBLE) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z FROM v"
+)
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration of customer revenue
+    (``stats.gini``) — "does one whale dominate the market?", the
+    inequality audit over order totals in exact integer cents
+    (floor(price·100) — floor, not cast, because double→int casts
+    truncate in Spark but round in other engines).  Customers with no
+    orders are members at 0 revenue.  Shape: one exchange aggregates
+    orders per customer; nation fan-in broadcasts; the rank window
+    sorts per nation over customer cardinality."""
+    from .operators import stats
+
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents")
+    )
+    per_cust = (
+        cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+        .na.fill({"cents": 0})
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "cents")
+    )
+    return stats.gini(per_cust, "n_name", "cents")
+
+
+ORACLE_REVENUE_GINI = (
+    "WITH rev AS (SELECT o_custkey, CAST(sum(floor(o_totalprice * 100)) "
+    "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+    "pc AS (SELECT n.n_name, coalesce(rev.cents, 0) AS cents "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "LEFT JOIN rev ON rev.o_custkey = c.c_custkey), "
+    "rk AS (SELECT n_name, cents, row_number() OVER "
+    "(PARTITION BY n_name ORDER BY cents) AS i FROM pc), "
+    "ag AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_members, "
+    "CAST(sum(cents) AS BIGINT) AS total, "
+    "CAST(sum((2 * i - 1) * cents) AS BIGINT) AS num_part "
+    "FROM rk GROUP BY 1) "
+    "SELECT n_name, n_members, total, "
+    "CASE WHEN total > 0 THEN "
+    "CAST(num_part - n_members * total AS DOUBLE) "
+    "/ CAST(n_members * total AS DOUBLE) ELSE 0.0 END AS gini FROM ag"
+)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices
+    (``stats.benford_audit``) — the fabricated-feed / unit-mixup screen.
+    Digits come from the integer-cents decimal STRING (no log10, whose
+    last-ulp rounding could flip a boundary value's digit per engine);
+    expected masses are shared double literals; the χ² deviation terms
+    round at 9 dp.  Shape: map-side digit projection, one 9-key agg,
+    scalar total broadcast."""
+    from .operators import stats
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    ).select(F.floor(F.col("l_extendedprice") * 100).alias("cents"))
+    return stats.benford_audit(li, "cents")
+
+
+ORACLE_BENFORD_AUDIT = (
+    "WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v "
+    "FROM lineitem WHERE l_extendedprice > 0), "
+    "d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit "
+    "FROM v WHERE v > 0), "
+    "obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM d GROUP BY 1), "
+    "spec(digit, p) AS (VALUES "
+    "(1, 0.3010299956639812), (2, 0.17609125905568124), "
+    "(3, 0.12493873660829992), (4, 0.09691001300805642), "
+    "(5, 0.07918124604762482), (6, 0.06694678963061322), "
+    "(7, 0.05799194697768673), (8, 0.05115252244738129), "
+    "(9, 0.04575749056067514)), "
+    "n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs) "
+    "SELECT spec.digit, coalesce(obs.n_obs, 0) AS n_obs, "
+    "round(CAST(n.n AS DOUBLE) * spec.p, 9) AS expected_r, "
+    "round((CAST(coalesce(obs.n_obs, 0) AS DOUBLE) "
+    "- CAST(n.n AS DOUBLE) * spec.p) "
+    "* (CAST(coalesce(obs.n_obs, 0) AS DOUBLE) "
+    "- CAST(n.n AS DOUBLE) * spec.p) "
+    "/ (CAST(n.n AS DOUBLE) * spec.p), 9) AS dev_r "
+    "FROM spec LEFT JOIN obs USING (digit), n"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8239,6 +8364,9 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "basket_pairs": q_basket_pairs,
     "quantile_calibration": q_quantile_calibration,
+    "trend_test": q_trend_test,
+    "revenue_gini": q_revenue_gini,
+    "benford_audit": q_benford_audit,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8603,6 +8731,9 @@ ORACLES = {
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "basket_pairs": ORACLE_BASKET_PAIRS,
     "quantile_calibration": ORACLE_QUANTILE_CALIBRATION,
+    "trend_test": ORACLE_TREND_TEST,
+    "revenue_gini": ORACLE_REVENUE_GINI,
+    "benford_audit": ORACLE_BENFORD_AUDIT,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8634,6 +8765,9 @@ _R5_FRONT = [
     "pmi_collocations",                                  # new: PMI phrases
     "basket_pairs",                                      # new: basket affinity
     "quantile_calibration",                              # new: decile calib
+    "trend_test",                                        # new: Mann-Kendall
+    "revenue_gini",                                      # new: Gini audit
+    "benford_audit",                                     # new: Benford digits
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

@@ -1044,3 +1044,102 @@ class TestQuantileCalibration:
                 assert got[(name, d)] == (qdisc(vals, d), qdisc(pooled, d)), \
                     (name, d)
         assert len(got) == 18
+
+
+class TestMannKendall:
+    """Mann-Kendall: S/var/z match a brute-force reference with tie
+    correction; monotone series hit |S| = C(n,2); constant series z=0."""
+
+    def _reference(self, vals):
+        import math
+        n = len(vals)
+        s = sum((0 if a == b else (1 if b > a else -1))
+                for i, a in enumerate(vals) for b in vals[i + 1:])
+        from collections import Counter
+        tie18 = sum(t * (t - 1) * (2 * t + 5)
+                    for t in Counter(vals).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        if s != 0 and var18 > 0:
+            z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        return n, s, var18, z
+
+    def test_matches_bruteforce(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        series = {
+            "up": [1, 2, 3, 4, 5, 6, 7, 8],          # S = C(8,2) = 28
+            "flat": [5, 5, 5, 5, 5],                  # z = 0, var18 = 0
+            "noisy": [3, 7, 2, 7, 5, 1, 9, 4, 4, 6],  # ties present
+        }
+        rows = [(k, t, v) for k, vals in series.items()
+                for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, t long, v long")
+        got = {r["key"]: r for r in stats.mann_kendall(
+            df, ["key"], "t", "v").collect()}
+        for k, vals in series.items():
+            n, s, var18, z = self._reference(vals)
+            r = got[k]
+            assert (r["n_obs"], r["s_stat"], r["var18"]) == (n, s, var18), k
+            assert abs(r["z"] - z) < 1e-12, k
+        assert got["up"]["s_stat"] == 28
+        assert got["flat"]["z"] == 0.0
+
+
+class TestGini:
+    """Gini: known closed forms — all-equal 0, single-holder (n-1)/n,
+    ties invariant under input order, zero-total group reports 0."""
+
+    def test_closed_forms(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = (
+            [("equal", 10)] * 8
+            + [("onehot", 0)] * 9 + [("onehot", 100)]
+            + [("zeros", 0)] * 4
+            + [("half", 0), ("half", 0), ("half", 50), ("half", 50)]
+        )
+        df = spark.createDataFrame(rows, "grp string, v long")
+        got = {r["grp"]: r for r in stats.gini(df, "grp", "v").collect()}
+        assert got["equal"]["gini"] == 0.0
+        assert abs(got["onehot"]["gini"] - 9 / 10) < 1e-15
+        assert got["zeros"]["gini"] == 0.0 and got["zeros"]["total"] == 0
+        assert abs(got["half"]["gini"] - 0.5) < 1e-15
+
+    def test_tie_order_invariant(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        vals = [7, 3, 3, 3, 9, 1, 1]
+        a = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+        b = spark.createDataFrame([("g", v) for v in reversed(vals)],
+                                  "grp string, v long")
+        ga = stats.gini(a, "grp", "v").collect()[0]["gini"]
+        gb = stats.gini(b, "grp", "v").collect()[0]["gini"]
+        assert ga == gb
+
+
+class TestBenfordAudit:
+    """Benford audit: digit extraction is string-exact, all nine rows
+    always present, deviation matches the closed form."""
+
+    def test_digits_and_devs(self, spark):
+        import math
+        from geomatics_geotk_spark.operators import stats
+        # 100 values with first digit 1, 50 with first digit 9
+        rows = [(10 + i % 90,) for i in range(100)]   # 10..99 -> digit 1..9
+        rows = [(1000 + i,) for i in range(100)] + [(9000 + i,) for i in range(50)]
+        df = spark.createDataFrame(rows, "v long")
+        out = {r["digit"]: r for r in stats.benford_audit(df, "v").collect()}
+        assert set(out) == set(range(1, 10))
+        assert out[1]["n_obs"] == 100 and out[9]["n_obs"] == 50
+        assert out[2]["n_obs"] == 0  # zero-obs digits still report
+        n, p1 = 150, math.log10(2)
+        exp1 = n * p1
+        assert abs(out[1]["expected_r"] - round(exp1, 9)) < 1e-12
+        assert abs(out[1]["dev_r"]
+                   - round((100 - exp1) ** 2 / exp1, 9)) < 1e-9
+
+    def test_nonpositive_dropped(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        df = spark.createDataFrame([(0,), (-5,), (123,)], "v long")
+        out = {r["digit"]: r["n_obs"]
+               for r in stats.benford_audit(df, "v").collect()}
+        assert sum(out.values()) == 1 and out[1] == 1

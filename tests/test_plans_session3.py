@@ -92,3 +92,26 @@ class TestSession3Plans:
         # SinglePartition exchange is the documented global cumulative
         # over the distinct-value count table
         assert len(re.findall(r"SinglePartition", plan)) <= 2
+
+
+class TestStatsBatchPlans:
+    def test_trend_test_series_join_no_python(self, spark):
+        df = queries.q_trend_test(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_revenue_gini_keyed_window_broadcast_nation(self, spark):
+        df = queries.q_revenue_gini(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "BroadcastHashJoin" in plan  # nation fan-in
+
+    def test_benford_nine_row_agg_broadcast_total(self, spark):
+        df = queries.q_benford_audit(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
