@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "trend_test",
     "revenue_gini",
     "benford_audit",
+    "kernel_density",
+    "emerging_hotspots",
 ]
 
 

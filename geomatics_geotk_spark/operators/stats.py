@@ -239,7 +239,8 @@ def morans_i(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
 
 
 def getis_ord_gi(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
-                 value_col: str = "n") -> DataFrame:
+                 value_col: str = "n",
+                 part_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-cell Getis-Ord Gi* hot/cold-spot statistic over grid cells
     with binary 8-neighbor (queen) contiguity INCLUDING self on the
     OCCUPIED cells — the local complement of :func:`morans_i` (which
@@ -262,17 +263,29 @@ def getis_ord_gi(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
     occupied-cell key (never a distance cross-join) and ONE hash-agg
     produce (G_i, k_i); the global moments are a broadcast single-row
     aggregate.  Output: (cx, cy, x, k_nbrs, gi) per occupied cell.
+
+    ``part_cols`` computes an INDEPENDENT surface per partition value
+    (e.g. per day for emerging-hotspot analysis): moments, neighbor
+    sums, and the join key all carry the partition columns, and the
+    per-partition moment table joins by broadcast (partition
+    cardinality is time-bucket sized).  Degenerate surfaces — a single
+    occupied cell, zero variance, or every cell neighboring every
+    other — have no defined Gi* and their rows are dropped rather than
+    emitted as NaN/Inf (both engines drop identically).
     """
+    pk = list(part_cols)
     key = (F.col(cx_col) * F.lit(1_000_000) + F.col(cy_col))
     base = cells.select(
-        key.alias("key"), F.col(cx_col).alias("_cx"), F.col(cy_col).alias("_cy"),
+        *pk, key.alias("key"),
+        F.col(cx_col).alias("_cx"), F.col(cy_col).alias("_cy"),
         F.col(value_col).cast("long").alias("x"),
     )
-    tot = base.agg(
+    moments = (
         F.count("*").alias("n"), F.sum("x").alias("t"),
         F.sum(F.col("x") * F.col("x")).alias("ss"),
         F.max(F.abs("x")).alias("mx"),
     )
+    tot = base.groupBy(*pk).agg(*moments) if pk else base.agg(*moments)
     guard = F.coalesce(
         F.assert_true(
             F.col("n") * F.col("mx") < F.lit(3_000_000_000),
@@ -285,26 +298,31 @@ def getis_ord_gi(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     ])
     scatter = base.select(
-        F.col("x").alias("x_j"), F.explode(offsets).alias("off"),
+        *pk, F.col("x").alias("x_j"), F.explode(offsets).alias("off"),
         F.col("_cx"), F.col("_cy"),
     ).select(
-        "x_j",
+        *pk, "x_j",
         ((F.col("_cx") + F.col("off.dx")) * F.lit(1_000_000)
          + (F.col("_cy") + F.col("off.dy"))).alias("key"),
     )
-    hood = scatter.groupBy("key").agg(
+    hood = scatter.groupBy(*pk, "key").agg(
         F.sum("x_j").alias("g"), F.count("*").alias("k")
     )
-    j = base.join(hood, "key").crossJoin(F.broadcast(tot))
+    j = base.join(hood, pk + ["key"])
+    j = (j.join(F.broadcast(tot), pk) if pk
+         else j.crossJoin(F.broadcast(tot)))
     a = F.col("n") * F.col("g") - F.col("k") * F.col("t") + guard
     b = F.col("n") * F.col("ss") - F.col("t") * F.col("t")
     c = F.col("n") * F.col("k") - F.col("k") * F.col("k")
     gi = a.cast("double") / F.sqrt(
         b.cast("double") * c.cast("double") / (F.col("n") - F.lit(1)).cast("double")
     )
-    return j.select(
-        F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col),
-        "x", F.col("k").alias("k_nbrs"), gi.alias("gi"),
+    return (
+        j.where((F.col("n") > 1) & (b > 0) & (c > 0))
+        .select(
+            *pk, F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col),
+            "x", F.col("k").alias("k_nbrs"), gi.alias("gi"),
+        )
     )
 
 
@@ -428,7 +446,7 @@ def quantile_calibration(df: DataFrame, group_col: str, value_col: str,
 
 def mann_kendall(series: DataFrame, key_cols: list[str], order_col: str,
                  value_col: str) -> DataFrame:
-    """Per-key Mann-Kendall monotonic-trend test over an integer series —
+    """Per-key Mann-Kendall monotonic-trend test over a numeric series —
     the nonparametric "is this feed drifting?" complement of
     :func:`rolling_zscore` (which finds point anomalies): S = Σ_{i<j}
     sign(x_j − x_i), tie-corrected variance Var·18 = n(n−1)(2n+5) −
@@ -437,7 +455,10 @@ def mann_kendall(series: DataFrame, key_cols: list[str], order_col: str,
 
     Bit-exact across engines: S and both variance terms are
     order-independent BIGINT sums; z is ONE double division + sqrt
-    (sqrt(Var) = sqrt(var18/18.0), same literal both engines).
+    (sqrt(Var) = sqrt(var18/18.0), same literal both engines).  The
+    series may be integer OR double — sign comparisons and tie groups
+    consume the values verbatim, so doubles that are themselves
+    engine-identical (e.g. a Gi* surface) stay bit-exact.
 
     Shape for 100 TB: the O(n²) pair comparison runs on the per-key
     SERIES (keys × time buckets), never raw events — the self-join is an
@@ -449,11 +470,11 @@ def mann_kendall(series: DataFrame, key_cols: list[str], order_col: str,
     """
     a = series.select(
         *key_cols, F.col(order_col).alias("_ta"),
-        F.col(value_col).cast("long").alias("_xa"),
+        F.col(value_col).alias("_xa"),
     )
     b = series.select(
         *key_cols, F.col(order_col).alias("_tb"),
-        F.col(value_col).cast("long").alias("_xb"),
+        F.col(value_col).alias("_xb"),
     )
     pairs = a.join(b, key_cols).where(F.col("_ta") < F.col("_tb"))
     s = pairs.groupBy(*key_cols).agg(
@@ -584,4 +605,53 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         "digit", "n_obs",
         F.round(expected, 9).alias("expected_r"),
         F.round(dev, 9).alias("dev_r"),
+    )
+
+
+def kernel_density(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
+                   value_col: str = "n", radius: int = 2) -> DataFrame:
+    """Per-cell Epanechnikov kernel density over grid-cell counts —
+    the smoothed surface behind heatmap rendering and hotspot
+    prefiltering (Gi* answers "significant vs global?", KDE answers
+    "how much mass is NEAR here?").
+
+    density(i) = Σ_{j: d²(i,j) ≤ R²} x_j·(R² − d²) / R², squared cell
+    distance d² = dx² + dy².  Integer clearing: the numerator is an
+    order-independent BIGINT sum of count × integer weight (max weight
+    R²), so engines agree bit-exactly after the ONE double division
+    by R².
+
+    Shape: the kernel footprint is enumerated at PLAN TIME ((2R+1)²
+    candidate offsets pruned to d² ≤ R² — 13 for R=2), each occupied
+    cell scatters map-side, ONE equi-join back on the occupied-cell
+    key and ONE hash-agg — identical topology to :func:`getis_ord_gi`,
+    cost linear in occupied cells × footprint.  Output:
+    (cx, cy, x, density) per occupied cell.
+    """
+    r2 = radius * radius
+    key = (F.col(cx_col) * F.lit(1_000_000) + F.col(cy_col))
+    base = cells.select(
+        key.alias("key"), F.col(cx_col).alias("_cx"),
+        F.col(cy_col).alias("_cy"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(r2 - dx * dx - dy * dy).alias("w"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if dx * dx + dy * dy <= r2
+    ])
+    scatter = base.select(
+        F.col("x").alias("x_j"), F.explode(offsets).alias("off"),
+        F.col("_cx"), F.col("_cy"),
+    ).select(
+        (F.col("x_j") * F.col("off.w")).alias("wx"),
+        ((F.col("_cx") + F.col("off.dx")) * F.lit(1_000_000)
+         + (F.col("_cy") + F.col("off.dy"))).alias("key"),
+    )
+    hood = scatter.groupBy("key").agg(F.sum("wx").alias("num"))
+    return base.join(hood, "key").select(
+        F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col), "x",
+        (F.col("num").cast("double") / F.lit(float(r2))).alias("density"),
     )

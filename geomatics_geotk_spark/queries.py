@@ -5228,6 +5228,147 @@ ORACLE_BENFORD_AUDIT = (
 )
 
 
+def q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov KDE over the 0.1°-cell event surface
+    (``stats.kernel_density``, R = 2 cells) — the smoothed heatmap
+    layer next to `hotspot_gi`'s significance layer.  The numerator is
+    a BIGINT sum of count × plan-time integer weight; ONE double
+    division by R² — bit-exact.  Shape: 13-offset map-side scatter →
+    ONE equi-join on the occupied key → one hash-agg."""
+    from .operators import stats
+
+    pts = _event_pts(spark, sf_dir)
+    cells = pts.select(
+        F.floor(F.col("lon") / 0.1).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 0.1).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    return stats.kernel_density(cells, "cx", "cy", "n", radius=2)
+
+
+ORACLE_KERNEL_DENSITY = (
+    "WITH pts AS (" + _EVENT_PTS_SQL + "), "
+    "c AS (SELECT CAST(floor(lon / 0.1) AS BIGINT) AS cx, "
+    "CAST(floor(lat / 0.1) AS BIGINT) AS cy, "
+    "CAST(count(*) AS BIGINT) AS x FROM pts GROUP BY 1, 2), "
+    "off AS (SELECT dx, dy, 4 - dx * dx - dy * dy AS w FROM "
+    "(SELECT unnest([-2, -1, 0, 1, 2]) AS dx), "
+    "(SELECT unnest([-2, -1, 0, 1, 2]) AS dy) "
+    "WHERE dx * dx + dy * dy <= 4), "
+    "hood AS (SELECT c.cx + off.dx AS cx, c.cy + off.dy AS cy, "
+    "CAST(sum(c.x * off.w) AS BIGINT) AS num "
+    "FROM c CROSS JOIN off GROUP BY 1, 2) "
+    "SELECT c.cx, c.cy, c.x, CAST(hood.num AS DOUBLE) / 4.0 AS density "
+    "FROM c JOIN hood ON hood.cx = c.cx AND hood.cy = c.cy"
+)
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot analysis (the ArcGIS space-time-cube
+    composition, re-expressed as two engine operators): a DAILY Gi*
+    surface per cell (``stats.getis_ord_gi`` with ``part_cols=('d',)``)
+    feeds a per-cell Mann-Kendall trend test over its gi series
+    (``stats.mann_kendall`` — sign comparisons on engine-identical
+    doubles stay bit-exact), and cells with a full-month series are
+    labeled by the (last gi, trend z) quadrant at the 1.645 (90%)
+    thresholds: persistent/intensifying/diminishing hot or cold.
+
+    Bit-exactness chain: daily gi values are n-cleared BIGINT ratios
+    (one division + sqrt), MK consumes them verbatim (signs + exact-tie
+    groups), var18 is BIGINT, the labels compare identical doubles to
+    a shared literal.  Shape: daily Gi* is the 9-offset scatter +
+    equi-join per day; MK's O(days²) pair compare is an equi-join on
+    the CELL over the days×cells series frame; one max_by picks the
+    closing gi."""
+    from .operators import stats
+
+    pts = _event_pts(spark, sf_dir)
+    cells = (
+        pts.select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.floor(F.col("lon") / 0.1).cast("long").alias("cx"),
+            F.floor(F.col("lat") / 0.1).cast("long").alias("cy"),
+        )
+        .groupBy("d", "cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+    gi = stats.getis_ord_gi(cells, "cx", "cy", "n", part_cols=("d",))
+    mk = stats.mann_kendall(gi, ["cx", "cy"], "d", "gi")
+    last = gi.groupBy("cx", "cy").agg(F.max_by("gi", "d").alias("gi_last"))
+    j = mk.join(last, ["cx", "cy"]).where(F.col("n_obs") >= 10)
+    hot = F.col("gi_last") >= 1.645
+    cold = F.col("gi_last") <= -1.645
+    up = F.col("z") >= 1.645
+    down = F.col("z") <= -1.645
+    label = (
+        F.when(hot & up, F.lit("intensifying_hot"))
+        .when(hot & down, F.lit("diminishing_hot"))
+        .when(hot, F.lit("persistent_hot"))
+        .when(cold & down, F.lit("intensifying_cold"))
+        .when(cold & up, F.lit("diminishing_cold"))
+        .when(cold, F.lit("persistent_cold"))
+        .otherwise(F.lit("none"))
+    )
+    return j.select(
+        "cx", "cy", "n_obs", "s_stat", "var18",
+        F.col("z").alias("z_trend"), "gi_last", label.alias("label"),
+    )
+
+
+ORACLE_EMERGING_HOTSPOTS = (
+    "WITH pts AS (" + _EVENT_PTS_SQL + "), "
+    "c AS (SELECT date_trunc('day', ts) AS d, "
+    "CAST(floor(lon / 0.1) AS BIGINT) AS cx, "
+    "CAST(floor(lat / 0.1) AS BIGINT) AS cy, "
+    "CAST(count(*) AS BIGINT) AS x FROM pts GROUP BY 1, 2, 3), "
+    "tot AS (SELECT d, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS t, CAST(sum(x * x) AS BIGINT) AS ss "
+    "FROM c GROUP BY 1), "
+    "off AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx), "
+    "(SELECT unnest([-1, 0, 1]) AS dy)), "
+    "hood AS (SELECT ci.d, ci.cx + off.dx AS cx, ci.cy + off.dy AS cy, "
+    "CAST(sum(ci.x) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS k "
+    "FROM c ci CROSS JOIN off GROUP BY 1, 2, 3), "
+    "gi AS (SELECT c.d, c.cx, c.cy, "
+    "CAST(tot.n * hood.g - hood.k * tot.t AS DOUBLE) / sqrt("
+    "CAST(tot.n * tot.ss - tot.t * tot.t AS DOUBLE) "
+    "* CAST(tot.n * hood.k - hood.k * hood.k AS DOUBLE) "
+    "/ CAST(tot.n - 1 AS DOUBLE)) AS gi "
+    "FROM c JOIN hood ON hood.d = c.d AND hood.cx = c.cx AND hood.cy = c.cy "
+    "JOIN tot ON tot.d = c.d "
+    "WHERE tot.n > 1 AND tot.n * tot.ss - tot.t * tot.t > 0 "
+    "AND tot.n * hood.k - hood.k * hood.k > 0), "
+    "pairs AS (SELECT a.cx, a.cy, "
+    "CAST(sum(CAST(sign(b.gi - a.gi) AS BIGINT)) AS BIGINT) AS s_stat "
+    "FROM gi a JOIN gi b ON a.cx = b.cx AND a.cy = b.cy AND a.d < b.d "
+    "GROUP BY 1, 2), "
+    "nn AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM gi GROUP BY 1, 2), "
+    "tt AS (SELECT cx, cy, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) "
+    "AS tie18 FROM (SELECT cx, cy, gi, CAST(count(*) AS BIGINT) AS t "
+    "FROM gi GROUP BY 1, 2, 3) GROUP BY 1, 2), "
+    "lastgi AS (SELECT cx, cy, arg_max(gi, d) AS gi_last "
+    "FROM gi GROUP BY 1, 2), "
+    "mk AS (SELECT nn.cx, nn.cy, n_obs, s_stat, "
+    "n_obs * (n_obs - 1) * (2 * n_obs + 5) - tie18 AS var18 "
+    "FROM nn JOIN pairs USING (cx, cy) JOIN tt USING (cx, cy)), "
+    "z AS (SELECT cx, cy, n_obs, s_stat, var18, "
+    "CASE WHEN s_stat <> 0 AND var18 > 0 THEN "
+    "CAST(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END) AS DOUBLE) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END AS z_trend "
+    "FROM mk) "
+    "SELECT z.cx, z.cy, n_obs, s_stat, var18, z_trend, gi_last, "
+    "CASE WHEN gi_last >= 1.645 AND z_trend >= 1.645 "
+    "THEN 'intensifying_hot' "
+    "WHEN gi_last >= 1.645 AND z_trend <= -1.645 THEN 'diminishing_hot' "
+    "WHEN gi_last >= 1.645 THEN 'persistent_hot' "
+    "WHEN gi_last <= -1.645 AND z_trend <= -1.645 "
+    "THEN 'intensifying_cold' "
+    "WHEN gi_last <= -1.645 AND z_trend >= 1.645 THEN 'diminishing_cold' "
+    "WHEN gi_last <= -1.645 THEN 'persistent_cold' ELSE 'none' END AS label "
+    "FROM z JOIN lastgi USING (cx, cy) WHERE n_obs >= 10"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8367,6 +8508,8 @@ QUERIES = {
     "trend_test": q_trend_test,
     "revenue_gini": q_revenue_gini,
     "benford_audit": q_benford_audit,
+    "kernel_density": q_kernel_density,
+    "emerging_hotspots": q_emerging_hotspots,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8734,6 +8877,8 @@ ORACLES = {
     "trend_test": ORACLE_TREND_TEST,
     "revenue_gini": ORACLE_REVENUE_GINI,
     "benford_audit": ORACLE_BENFORD_AUDIT,
+    "kernel_density": ORACLE_KERNEL_DENSITY,
+    "emerging_hotspots": ORACLE_EMERGING_HOTSPOTS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8768,6 +8913,8 @@ _R5_FRONT = [
     "trend_test",                                        # new: Mann-Kendall
     "revenue_gini",                                      # new: Gini audit
     "benford_audit",                                     # new: Benford digits
+    "kernel_density",                                    # new: Epanechnikov KDE
+    "emerging_hotspots",                                 # new: space-time Gi*+MK
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

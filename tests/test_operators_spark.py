@@ -1143,3 +1143,71 @@ class TestBenfordAudit:
         out = {r["digit"]: r["n_obs"]
                for r in stats.benford_audit(df, "v").collect()}
         assert sum(out.values()) == 1 and out[1] == 1
+
+
+class TestKernelDensity:
+    """Epanechnikov KDE: values match a numpy reference on a planted
+    lattice and an isolated cell keeps exactly its own mass."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from geomatics_geotk_spark.operators import stats
+        cells = [(i, j, (i * 7 + j * 3) % 11 + 1)
+                 for i in range(6) for j in range(6)]
+        df = spark.createDataFrame(cells, "cx long, cy long, n long")
+        got = {(r["cx"], r["cy"]): r["density"]
+               for r in stats.kernel_density(df, radius=2).collect()}
+        for cxi, cyi, _ in cells:
+            num = sum(
+                v * (4 - (cxi - cxj) ** 2 - (cyi - cyj) ** 2)
+                for cxj, cyj, v in cells
+                if (cxi - cxj) ** 2 + (cyi - cyj) ** 2 <= 4
+            )
+            assert got[(cxi, cyi)] == num / 4.0, (cxi, cyi)
+
+    def test_isolated_cell_self_mass(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        df = spark.createDataFrame([(0, 0, 8), (100, 100, 4)],
+                                   "cx long, cy long, n long")
+        got = {(r["cx"], r["cy"]): r["density"]
+               for r in stats.kernel_density(df, radius=2).collect()}
+        # w(0) = R^2 => density = x * R^2 / R^2 = x
+        assert got == {(0, 0): 8.0, (100, 100): 4.0}
+
+
+class TestGetisOrdGiPartitioned:
+    """part_cols: each partition's surface is independent and equals the
+    unpartitioned operator run on that slice; degenerate slices drop."""
+
+    def test_partitions_match_slices(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        day1 = [(1, i, j, 50 if (i <= 1 and j <= 1) else 2)
+                for i in range(4) for j in range(4)]
+        day2 = [(2, i, j, 3 + ((i + j) % 5)) for i in range(4) for j in range(4)]
+        df = spark.createDataFrame(day1 + day2, "d long, cx long, cy long, n long")
+        got = {(r["d"], r["cx"], r["cy"]): r["gi"]
+               for r in stats.getis_ord_gi(
+                   df, "cx", "cy", "n", part_cols=("d",)).collect()}
+        for d, rows in ((1, day1), (2, day2)):
+            sl = spark.createDataFrame(
+                [(cx, cy, n) for _, cx, cy, n in rows],
+                "cx long, cy long, n long")
+            want = {(d, r["cx"], r["cy"]): r["gi"]
+                    for r in stats.getis_ord_gi(sl, "cx", "cy", "n").collect()}
+            for k, v in want.items():
+                assert got[k] == v, k
+        assert len(got) == 32
+
+    def test_degenerate_slices_dropped(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = (
+            [(1, 0, 0, 5)]                       # single cell: n = 1
+            + [(2, i, 0, 7) for i in range(4)]   # zero variance
+            + [(3, i, j, 1 + i + 2 * j) for i in range(3) for j in range(3)]
+        )
+        df = spark.createDataFrame(rows, "d long, cx long, cy long, n long")
+        out = stats.getis_ord_gi(df, "cx", "cy", "n",
+                                 part_cols=("d",)).collect()
+        days = {r["d"] for r in out}
+        assert days == {3}
+        assert all(not (r["gi"] != r["gi"]) for r in out)  # no NaN

@@ -115,3 +115,20 @@ class TestStatsBatchPlans:
         assert _no_python(plan)
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSpaceTimePlans:
+    def test_kernel_density_scatter_join(self, spark):
+        df = queries.q_kernel_density(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_emerging_hotspots_no_cartesian_no_python(self, spark):
+        df = queries.q_emerging_hotspots(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        # daily moments arrive by broadcast keyed on the day
+        assert "BroadcastHashJoin" in plan
