@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "benford_audit",
     "kernel_density",
     "emerging_hotspots",
+    "coverage_gaps",
 ]
 
 

@@ -655,3 +655,38 @@ def kernel_density(cells: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
         F.col("_cx").alias(cx_col), F.col("_cy").alias(cy_col), "x",
         (F.col("num").cast("double") / F.lit(float(r2))).alias("density"),
     )
+
+
+def coverage_gaps(df: DataFrame, key_cols: list[str], ts_col: str,
+                  bucket: str = "hour") -> DataFrame:
+    """Per-key missing time buckets — the feed-completeness audit that
+    answers "which hours did this source simply not deliver?" (the
+    set-complement complement of :func:`rolling_zscore`, which needs an
+    OBSERVED bucket to score).  A bucket is missing when it lies
+    strictly inside the key's [first, last] observed span and no event
+    truncates into it.
+
+    Exact by construction: bucket edges are ``date_trunc`` results and
+    the full span enumerates with ``sequence`` — integer timestamp
+    arithmetic, no floats.
+
+    Shape for 100 TB: events collapse to DISTINCT (key, bucket) first
+    (one exchange over data volume, heavy partial combine — the frame
+    after it is keys × buckets); the span explode generates
+    series-sized rows map-side and the anti-join runs on the same
+    (key, bucket) hash.  Output: key_cols + (missing_bucket).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    obs = df.select(*key_cols, b.alias("bucket")).distinct()
+    span = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    full = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"interval 1 {bucket}"))
+        ).alias("bucket"),
+    )
+    return full.join(obs, key_cols + ["bucket"], "left_anti").select(
+        *key_cols, F.col("bucket").alias("missing_bucket")
+    )

@@ -5369,6 +5369,31 @@ ORACLE_EMERGING_HOTSPOTS = (
 )
 
 
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing delivery hours per event_type (``stats.coverage_gaps``)
+    — which hours inside each feed's observed span produced ZERO
+    events, the completeness audit upstream of `rate_anomaly` (a
+    missing hour never even reaches the z-score).  Integer timestamp
+    arithmetic only.  Shape: distinct (type, hour) with map-side
+    combine, series-sized span explode, anti-join on the same key."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    return stats.coverage_gaps(ev, ["event_type"], "ts", "hour")
+
+
+ORACLE_COVERAGE_GAPS = (
+    "WITH obs AS (SELECT DISTINCT event_type, date_trunc('hour', ts) "
+    "AS bucket FROM events), "
+    "span AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx "
+    "FROM obs GROUP BY 1), "
+    "f AS (SELECT event_type, unnest(generate_series(mn, mx, "
+    "INTERVAL 1 HOUR)) AS bucket FROM span) "
+    "SELECT f.event_type, f.bucket AS missing_bucket "
+    "FROM f ANTI JOIN obs USING (event_type, bucket)"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8510,6 +8535,7 @@ QUERIES = {
     "benford_audit": q_benford_audit,
     "kernel_density": q_kernel_density,
     "emerging_hotspots": q_emerging_hotspots,
+    "coverage_gaps": q_coverage_gaps,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8879,6 +8905,7 @@ ORACLES = {
     "benford_audit": ORACLE_BENFORD_AUDIT,
     "kernel_density": ORACLE_KERNEL_DENSITY,
     "emerging_hotspots": ORACLE_EMERGING_HOTSPOTS,
+    "coverage_gaps": ORACLE_COVERAGE_GAPS,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8915,6 +8942,7 @@ _R5_FRONT = [
     "benford_audit",                                     # new: Benford digits
     "kernel_density",                                    # new: Epanechnikov KDE
     "emerging_hotspots",                                 # new: space-time Gi*+MK
+    "coverage_gaps",                                     # new: feed completeness
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

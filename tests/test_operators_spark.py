@@ -1211,3 +1211,30 @@ class TestGetisOrdGiPartitioned:
         days = {r["d"] for r in out}
         assert days == {3}
         assert all(not (r["gi"] != r["gi"]) for r in out)  # no NaN
+
+
+class TestCoverageGaps:
+    """Missing-bucket audit: planted holes are found exactly, span
+    endpoints are never reported, dense keys report nothing."""
+
+    def test_planted_holes(self, spark):
+        import datetime as dt
+        from geomatics_geotk_spark.operators import stats
+        base = dt.datetime(2024, 5, 1, 0, 30)
+        present = [0, 1, 2, 5, 6, 9]          # holes at 3, 4, 7, 8
+        rows = [("a", base + dt.timedelta(hours=h)) for h in present]
+        rows += [("dense", base + dt.timedelta(hours=h)) for h in range(4)]
+        df = spark.createDataFrame(rows, "key string, ts timestamp")
+        out = stats.coverage_gaps(df, ["key"], "ts", "hour").collect()
+        got = sorted((r["key"], r["missing_bucket"]) for r in out)
+        want = sorted(
+            ("a", dt.datetime(2024, 5, 1, h, 0)) for h in (3, 4, 7, 8)
+        )
+        assert got == want
+
+    def test_single_bucket_key_silent(self, spark):
+        import datetime as dt
+        from geomatics_geotk_spark.operators import stats
+        rows = [("solo", dt.datetime(2024, 5, 1, 12, i)) for i in range(3)]
+        df = spark.createDataFrame(rows, "key string, ts timestamp")
+        assert stats.coverage_gaps(df, ["key"], "ts", "hour").count() == 0
