@@ -444,6 +444,60 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_kmv_vocab(spark, SF)), 40),
     ))
 
+    sections.append((
+        "Getis-Ord Gi* hot spots (hotspot_gi)",
+        "9-offset scatter is a map-side Generate; ONE equi-join back on "
+        "the occupied-cell key + one hash-agg; the global moments cross "
+        "in as a broadcast single row.  No cartesian, no Python.",
+        _trim(plans.formatted_plan(queries.q_hotspot_gi(spark, SF)), 35),
+    ))
+
+    sections.append((
+        "Emerging hot spot analysis (emerging_hotspots)",
+        "Daily Gi* surfaces (moments BROADCAST-joined per day) feed the "
+        "Mann-Kendall pair compare — an equi-join on the CELL over the "
+        "days×cells series frame, never raw events; arg-max closing gi "
+        "joins on the same cell key.  All JVM.",
+        _trim(plans.formatted_plan(queries.q_emerging_hotspots(spark, SF)), 40),
+    ))
+
+    sections.append((
+        "Rolling z-score rate anomaly (rate_anomaly)",
+        "Raw events collapse to the (type, hour) series in ONE map-side-"
+        "combined exchange; the trailing frame window hash-partitions on "
+        "event_type; top-20 is TakeOrderedAndProject — no global sort, "
+        "no single-partition window.",
+        _trim(plans.formatted_plan(queries.q_rate_anomaly(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "PMI collocations (pmi_collocations)",
+        "Bigram structs explode map-side (Generate after the token-array "
+        "filter); ONE data-volume exchange for pair counts; unigram joins "
+        "run on vocab-sized frames; the two scalar totals are "
+        "BroadcastNestedLoopJoins; TakeOrderedAndProject top-k (plan-"
+        "asserted: zero Window nodes).",
+        _trim(plans.formatted_plan(queries.q_pmi_collocations(spark, SF)), 35),
+    ))
+
+    sections.append((
+        "Market-basket pairs (basket_pairs)",
+        "collect_set on the basket key is the ONLY data-sized exchange; "
+        "pair structs explode from the sorted array map-side — the plan "
+        "is asserted JOIN-FREE (the shape to regress into is an item "
+        "self-join); partial-combined pair counts; TakeOrderedAndProject.",
+        _trim(plans.formatted_plan(queries.q_basket_pairs(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Mann-Kendall trend test (trend_test)",
+        "The O(hours²) pair compare is an equi-join on event_type over "
+        "the tiny count series (exchange carries the series, not "
+        "events); sign sums, tie terms and n fold in three hash-aggs on "
+        "the same key.",
+        _trim(plans.formatted_plan(queries.q_trend_test(spark, SF)), 30),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
