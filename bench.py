@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "kernel_density",
     "emerging_hotspots",
     "coverage_gaps",
+    "cusum_alarm",
 ]
 
 

@@ -690,3 +690,64 @@ def coverage_gaps(df: DataFrame, key_cols: list[str], ts_col: str,
     return full.join(obs, key_cols + ["bucket"], "left_anti").select(
         *key_cols, F.col("bucket").alias("missing_bucket")
     )
+
+
+def cusum_alarms(series: DataFrame, key_cols: list[str], order_col: str,
+                 value_col: str, allowance_permille: int = 200,
+                 threshold_permille: int = 3000) -> DataFrame:
+    """Per-key one-sided CUSUM change-point alarms over an integer
+    series — the sustained-shift detector that catches what
+    :func:`rolling_zscore` (point spikes) and :func:`mann_kendall`
+    (whole-series monotone drift) both miss: a level change that holds.
+
+    Textbook recursion S_t = max(0, S_{t−1} + x_t − μ(1 + a)), with
+    target μ = the key's series mean and allowance a.  The recursion is
+    NOT window-expressible, but its closed form is: with
+    y_t = x_t − μ(1+a) and prefix sums P_t, S_t = P_t − min(0, min_j≤t
+    P_j) — two stacked window functions over ONE per-key exchange.
+
+    Integer clearing: scaling by 1000·n turns y into
+    y' = 1000·n·x_t − (1000 + a‰)·T (BIGINT, since μ = T/n), so prefix
+    sums, running mins and the alarm comparison
+    S' ≥ threshold‰·T  (threshold in units of μ, per-mille) are all
+    exact integer arithmetic; the reported score s = S'/(1000·T) —
+    S in units of the mean — is the ONE double division.  Headroom:
+    |y'| ≤ 1000·n·max(x) + 2000·T — BIGINT-safe far beyond any
+    realistic series.
+
+    Shape for 100 TB: runs on the keys × buckets SERIES frame; both
+    windows share the same partitioning (one exchange, one sort).
+    Output: key_cols + (order_col, value_col, s_means) for alarm rows
+    only.
+    """
+    from pyspark.sql.window import Window
+
+    t_n = series.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_t"),
+        F.count("*").alias("_n"),
+    )
+    j = series.join(t_n, key_cols)
+    y = (
+        F.lit(1000) * F.col("_n") * F.col(value_col).cast("long")
+        - F.lit(1000 + allowance_permille) * F.col("_t")
+    )
+    w = (
+        Window.partitionBy(*key_cols).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = j.select(
+        *key_cols, order_col, value_col, "_t",
+        F.sum(y).over(w).alias("_pf"),
+    )
+    sc = F.col("_pf") - F.least(F.lit(0), F.min("_pf").over(w))
+    out = staged.select(
+        *key_cols, order_col, value_col, "_t", sc.alias("_sc")
+    )
+    return (
+        out.where(F.col("_sc") >= F.lit(threshold_permille) * F.col("_t"))
+        .select(
+            *key_cols, order_col, value_col,
+            (F.col("_sc").cast("double")
+             / (F.lit(1000.0) * F.col("_t").cast("double"))).alias("s_means"),
+        )
+    )

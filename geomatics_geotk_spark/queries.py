@@ -5394,6 +5394,45 @@ ORACLE_COVERAGE_GAPS = (
 )
 
 
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sustained-shift alarms on the hourly event-rate series
+    (``stats.cusum_alarms``, allowance 0.2·mean, threshold 3·mean) —
+    the third leg of the rate-monitoring family: `rate_anomaly` flags
+    point spikes, `trend_test` whole-series drift, CUSUM a level change
+    that HOLDS.  The max(0, ·) recursion is replaced by its closed form
+    prefix_sum − min(0, running_min(prefix_sum)) — two stacked windows
+    over ONE per-type exchange; everything before the one reporting
+    division is 1000·n-cleared BIGINT arithmetic."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    return stats.cusum_alarms(c, ["event_type"], "hour", "n",
+                              allowance_permille=200,
+                              threshold_permille=3000)
+
+
+ORACLE_CUSUM_ALARM = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t, "
+    "CAST(count(*) AS BIGINT) AS nb FROM c GROUP BY 1), "
+    "y AS (SELECT c.event_type, hour, n, t, "
+    "1000 * nb * n - 1200 * t AS yv FROM c JOIN m USING (event_type)), "
+    "p AS (SELECT *, CAST(sum(yv) OVER w AS BIGINT) AS pf FROM y "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY hour "
+    "ROWS UNBOUNDED PRECEDING)), "
+    "s AS (SELECT *, pf - least(0, CAST(min(pf) OVER w AS BIGINT)) AS sc "
+    "FROM p WINDOW w AS (PARTITION BY event_type ORDER BY hour "
+    "ROWS UNBOUNDED PRECEDING)) "
+    "SELECT event_type, hour, n, "
+    "CAST(sc AS DOUBLE) / (1000.0 * CAST(t AS DOUBLE)) AS s_means "
+    "FROM s WHERE sc >= 3000 * t"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8536,6 +8575,7 @@ QUERIES = {
     "kernel_density": q_kernel_density,
     "emerging_hotspots": q_emerging_hotspots,
     "coverage_gaps": q_coverage_gaps,
+    "cusum_alarm": q_cusum_alarm,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8906,6 +8946,7 @@ ORACLES = {
     "kernel_density": ORACLE_KERNEL_DENSITY,
     "emerging_hotspots": ORACLE_EMERGING_HOTSPOTS,
     "coverage_gaps": ORACLE_COVERAGE_GAPS,
+    "cusum_alarm": ORACLE_CUSUM_ALARM,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8943,6 +8984,7 @@ _R5_FRONT = [
     "kernel_density",                                    # new: Epanechnikov KDE
     "emerging_hotspots",                                 # new: space-time Gi*+MK
     "coverage_gaps",                                     # new: feed completeness
+    "cusum_alarm",                                       # new: CUSUM level shift
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

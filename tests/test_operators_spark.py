@@ -1238,3 +1238,41 @@ class TestCoverageGaps:
         rows = [("solo", dt.datetime(2024, 5, 1, 12, i)) for i in range(3)]
         df = spark.createDataFrame(rows, "key string, ts timestamp")
         assert stats.coverage_gaps(df, ["key"], "ts", "hour").count() == 0
+
+
+class TestCusumAlarms:
+    """CUSUM closed form ≡ the sequential max(0, ·) recursion on a
+    planted level-shift series; resets after dips; quiet series silent."""
+
+    def _sequential(self, vals, a_pm, h_pm):
+        t, n = sum(vals), len(vals)
+        s, out = 0, []
+        for i, x in enumerate(vals):
+            s = max(0, s + 1000 * n * x - (1000 + a_pm) * t)
+            if s >= h_pm * t:
+                out.append((i, x, s / (1000.0 * t)))
+        return out
+
+    def test_matches_sequential_recursion(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        # flat 10s, then a sustained shift to 25, then back
+        vals = [10] * 20 + [25] * 15 + [10] * 10
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        got = sorted(
+            (r["t"], r["n"], r["s_means"])
+            for r in stats.cusum_alarms(
+                df, ["key"], "t", "n",
+                allowance_permille=200, threshold_permille=3000).collect()
+        )
+        want = self._sequential(vals, 200, 3000)
+        assert [(t, x) for t, x, _ in want] == [(t, x) for t, x, _ in got]
+        for (_, _, sw), (_, _, sg) in zip(want, got):
+            assert abs(sw - sg) < 1e-12
+        assert got, "the planted shift must alarm"
+
+    def test_quiet_series_no_alarms(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = [("k", i, 10 + (i % 2)) for i in range(40)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        assert stats.cusum_alarms(df, ["key"], "t", "n").count() == 0

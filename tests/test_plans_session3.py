@@ -132,3 +132,12 @@ class TestSpaceTimePlans:
         assert "CartesianProduct" not in plan
         # daily moments arrive by broadcast keyed on the day
         assert "BroadcastHashJoin" in plan
+
+
+class TestCusumPlan:
+    def test_cusum_one_exchange_two_windows(self, spark):
+        df = queries.q_cusum_alarm(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert _nodes(plan, "Window") >= 1
