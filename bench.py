@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "emerging_hotspots",
     "coverage_gaps",
     "cusum_alarm",
+    "readability",
 ]
 
 

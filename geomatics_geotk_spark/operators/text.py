@@ -853,3 +853,57 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
         .orderBy(F.desc("pmi_r"), "w1", "w2")
         .limit(k)
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                group_col: str = "lang") -> DataFrame:
+    """Per-group pooled Flesch reading-ease profile — the classic
+    quality/complexity feature for corpus mixing (pooled, not
+    per-doc-averaged, so the statistic is two exact divisions over
+    BIGINT totals instead of a mean of 10^12 doubles).
+
+    Counts are all the same split→filter→size Column pattern on the
+    lowercased text: words split on non-alphanumeric runs, sentences on
+    [.!?]+ runs (minimum 1 per non-empty doc), syllables approximated
+    as vowel-group runs [aeiouy]+ — counting them on the WHOLE text
+    equals the per-word sum because word separators are non-vowels.
+    Flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W) with shared literal
+    coefficients; engines agree bit-exactly (two correctly-rounded
+    divisions on identical BIGINTs, then identical multiply/subtract).
+
+    Shape: pure map-side counting + ONE map-side-combined exchange on
+    the group.  Output: (group, n_docs, words, sentences, syllables,
+    flesch).
+    """
+    low = F.lower(F.col(text_col))
+    nonempty = lambda arr: F.size(F.filter(arr, lambda t: t != F.lit("")))  # noqa: E731
+    words = nonempty(F.split(low, r"[^a-z0-9]+"))
+    sentences = F.greatest(F.lit(1), nonempty(F.split(low, r"[.!?]+")))
+    syllables = nonempty(F.split(low, r"[^aeiouy]+"))
+    agg = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            words.cast("long").alias("w"),
+            sentences.cast("long").alias("s"),
+            syllables.cast("long").alias("y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("s").alias("sentences"),
+            F.sum("y").alias("syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double")
+                          / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables").cast("double")
+                         / F.col("words").cast("double"))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col), "n_docs", "words", "sentences",
+        "syllables", flesch.alias("flesch"),
+    )

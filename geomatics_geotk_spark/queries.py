@@ -5433,6 +5433,38 @@ ORACLE_CUSUM_ALARM = (
 )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled Flesch reading-ease per language (``text.readability``)
+    — corpus-mix complexity profile from three split→filter→size
+    counts (words / sentence runs / vowel-group syllables), ONE
+    map-side-combined exchange, two exact divisions over BIGINT
+    totals with shared literal coefficients."""
+    from .operators import text
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    return text.readability(docs, "text", "lang")
+
+
+ORACLE_READABILITY = (
+    "WITH d AS (SELECT lang, lower(text) AS low FROM documents "
+    "WHERE text IS NOT NULL), "
+    "c AS (SELECT lang, "
+    "CAST(len(list_filter(string_split_regex(low, '[^a-z0-9]+'), "
+    "t -> t <> '')) AS BIGINT) AS w, "
+    "CAST(greatest(1, len(list_filter(string_split_regex(low, "
+    "'[.!?]+'), t -> t <> ''))) AS BIGINT) AS s, "
+    "CAST(len(list_filter(string_split_regex(low, '[^aeiouy]+'), "
+    "t -> t <> '')) AS BIGINT) AS y FROM d), "
+    "ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(w) AS BIGINT) AS words, CAST(sum(s) AS BIGINT) AS sentences, "
+    "CAST(sum(y) AS BIGINT) AS syllables FROM c GROUP BY 1) "
+    "SELECT lang, n_docs, words, sentences, syllables, "
+    "206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) "
+    "- 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) "
+    "AS flesch FROM ag"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8576,6 +8608,7 @@ QUERIES = {
     "emerging_hotspots": q_emerging_hotspots,
     "coverage_gaps": q_coverage_gaps,
     "cusum_alarm": q_cusum_alarm,
+    "readability": q_readability,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8947,6 +8980,7 @@ ORACLES = {
     "emerging_hotspots": ORACLE_EMERGING_HOTSPOTS,
     "coverage_gaps": ORACLE_COVERAGE_GAPS,
     "cusum_alarm": ORACLE_CUSUM_ALARM,
+    "readability": ORACLE_READABILITY,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -8985,6 +9019,7 @@ _R5_FRONT = [
     "emerging_hotspots",                                 # new: space-time Gi*+MK
     "coverage_gaps",                                     # new: feed completeness
     "cusum_alarm",                                       # new: CUSUM level shift
+    "readability",                                       # new: pooled Flesch
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta

@@ -1276,3 +1276,35 @@ class TestCusumAlarms:
         rows = [("k", i, 10 + (i % 2)) for i in range(40)]
         df = spark.createDataFrame(rows, "key string, t long, n long")
         assert stats.cusum_alarms(df, ["key"], "t", "n").count() == 0
+
+
+class TestReadability:
+    """Pooled Flesch: counts match hand counts; vowel-run syllables on
+    whole text equal the per-word sum; missing punctuation floors at
+    one sentence."""
+
+    def test_hand_counts(self, spark):
+        from geomatics_geotk_spark.operators import text
+        docs = [
+            ("en", "The cat sat. The dog ran!"),   # w=6 s=2 syl: e,a,a,e,o,a = 6
+            ("en", "hello world"),                 # w=2 s=1 syl: e,o,o = 3
+            ("fr", None),                          # dropped
+        ]
+        df = spark.createDataFrame(docs, "lang string, text string")
+        out = {r["lang"]: r for r in text.readability(df).collect()}
+        assert set(out) == {"en"}
+        r = out["en"]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) \
+            == (2, 8, 3, 9)
+        want = 206.835 - 1.015 * (8 / 3) - 84.6 * (9 / 8)
+        assert abs(r["flesch"] - want) < 1e-12
+
+    def test_wordboundary_syllable_equivalence(self, spark):
+        from geomatics_geotk_spark.operators import text
+        # whole-text vowel runs == sum of per-word vowel runs
+        docs = [("x", "aa bb ee-ii cc"), ("x", "you say yoyo")]
+        df = spark.createDataFrame(docs, "lang string, text string")
+        r = text.readability(df).collect()[0]
+        # doc1 runs: aa, ee, ii -> 3; doc2: ou(+y start? 'you'->'you' is
+        # y,o,u one run), ay, oyo -> you=1, say=1, yoyo=1 -> 3
+        assert r["syllables"] == 6
