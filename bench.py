@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "coverage_gaps",
     "cusum_alarm",
     "readability",
+    "media_reuse",
 ]
 
 

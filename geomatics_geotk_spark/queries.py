@@ -5465,6 +5465,65 @@ ORACLE_READABILITY = (
 )
 
 
+def q_media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document media-asset reuse over the interleaved payload —
+    the boilerplate-image detector for interleaved corpora (a media_ref
+    shared by many documents is navigation chrome / a tracking pixel,
+    not content; dedup pipelines drop or down-weight those spans).
+    Spans are synthesized string-encoded ('kind:payload') from doc_id
+    with PLANTED reuse (two media spans per doc, refs doc_id mod 97 and
+    7·doc_id+13 mod 97) so DuckDB rebuilds them bit-exactly; the audit
+    explodes spans, keeps media kind, and reports refs appearing in ≥ 2
+    documents.  Shape: map-side span synthesis + explode, ONE
+    map-side-combined exchange on media_ref, TakeOrderedAndProject
+    top-20."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.array(
+            F.concat(F.lit("text:"), F.substring("text", 1, 20)),
+            F.format_string("media:media://blob/%d",
+                            F.pmod(F.col("doc_id"), F.lit(97))),
+            F.concat(F.lit("text:"), F.substring("text", 21, 20)),
+            F.format_string(
+                "media:media://blob/%d",
+                F.pmod(F.col("doc_id") * 7 + 13, F.lit(97))),
+        ).alias("spans"),
+    )
+    media = (
+        spans.select("doc_id", F.explode("spans").alias("sp"))
+        .where(F.col("sp").startswith("media:"))
+        .select("doc_id", F.substring("sp", 7, 1000).alias("media_ref"))
+    )
+    return (
+        media.groupBy("media_ref")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_spans"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_spans"), "media_ref")
+        .limit(20)
+    )
+
+
+ORACLE_MEDIA_REUSE = (
+    "WITH spans AS (SELECT doc_id, unnest([ "
+    "'text:' || substr(text, 1, 20), "
+    "'media:media://blob/' || CAST(doc_id % 97 AS VARCHAR), "
+    "'text:' || substr(text, 21, 20), "
+    "'media:media://blob/' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR)]) "
+    "AS sp FROM documents), "
+    "media AS (SELECT doc_id, substr(sp, 7) AS media_ref FROM spans "
+    "WHERE sp LIKE 'media:%'), "
+    "ag AS (SELECT media_ref, CAST(count(DISTINCT doc_id) AS BIGINT) "
+    "AS n_docs, CAST(count(*) AS BIGINT) AS n_spans "
+    "FROM media GROUP BY 1) "
+    "SELECT media_ref, n_docs, n_spans FROM ag WHERE n_docs >= 2 "
+    "ORDER BY n_docs DESC, n_spans DESC, media_ref LIMIT 20"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8609,6 +8668,7 @@ QUERIES = {
     "coverage_gaps": q_coverage_gaps,
     "cusum_alarm": q_cusum_alarm,
     "readability": q_readability,
+    "media_reuse": q_media_reuse,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -8981,6 +9041,7 @@ ORACLES = {
     "coverage_gaps": ORACLE_COVERAGE_GAPS,
     "cusum_alarm": ORACLE_CUSUM_ALARM,
     "readability": ORACLE_READABILITY,
+    "media_reuse": ORACLE_MEDIA_REUSE,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -9020,6 +9081,7 @@ _R5_FRONT = [
     "coverage_gaps",                                     # new: feed completeness
     "cusum_alarm",                                       # new: CUSUM level shift
     "readability",                                       # new: pooled Flesch
+    "media_reuse",                                       # new: span asset reuse
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
