@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "cusum_alarm",
     "readability",
     "media_reuse",
+    "attribution",
 ]
 
 

@@ -5524,6 +5524,66 @@ ORACLE_MEDIA_REUSE = (
 )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with latency buckets: every purchase is
+    attributed to the SAME user's most recent prior click — the
+    marketing-funnel companion of `event_funnel` (which needs only
+    step order, not recency).  The last-click timestamp is a running
+    max(CASE click) window over each user's event stream — ONE
+    exchange on user_id, no self-join, no as-of shuffle — and the
+    click→purchase latency buckets to (≤1 h, 1-6 h, 6-24 h, >24 h,
+    never).  Integer microsecond arithmetic end-to-end.  Output:
+    (bucket, n_purchases)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("us", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(w)
+    purchases = (
+        ev.withColumn("_lc", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select((F.col("us") - F.col("_lc")).alias("lat_us"))
+    )
+    hour_us = 3_600_000_000
+    bucket = (
+        F.when(F.col("lat_us").isNull(), F.lit("never"))
+        .when(F.col("lat_us") <= hour_us, F.lit("within_1h"))
+        .when(F.col("lat_us") <= 6 * hour_us, F.lit("1h_to_6h"))
+        .when(F.col("lat_us") <= 24 * hour_us, F.lit("6h_to_24h"))
+        .otherwise(F.lit("over_24h"))
+    )
+    return (
+        purchases.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+ORACLE_ATTRIBUTION = (
+    "WITH ev AS (SELECT user_id, event_type, "
+    "epoch_us(ts) AS us FROM events), "
+    "lc AS (SELECT user_id, event_type, us, "
+    "max(CASE WHEN event_type = 'click' THEN us END) OVER "
+    "(PARTITION BY user_id ORDER BY us, event_type "
+    "ROWS UNBOUNDED PRECEDING) AS lcus FROM ev), "
+    "p AS (SELECT us - lcus AS lat_us FROM lc "
+    "WHERE event_type = 'purchase'), "
+    "b AS (SELECT CASE WHEN lat_us IS NULL THEN 'never' "
+    "WHEN lat_us <= 3600000000 THEN 'within_1h' "
+    "WHEN lat_us <= 21600000000 THEN '1h_to_6h' "
+    "WHEN lat_us <= 86400000000 THEN '6h_to_24h' "
+    "ELSE 'over_24h' END AS bucket FROM p) "
+    "SELECT bucket, CAST(count(*) AS BIGINT) AS n_purchases "
+    "FROM b GROUP BY 1"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8669,6 +8729,7 @@ QUERIES = {
     "cusum_alarm": q_cusum_alarm,
     "readability": q_readability,
     "media_reuse": q_media_reuse,
+    "attribution": q_attribution,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -9042,6 +9103,7 @@ ORACLES = {
     "cusum_alarm": ORACLE_CUSUM_ALARM,
     "readability": ORACLE_READABILITY,
     "media_reuse": ORACLE_MEDIA_REUSE,
+    "attribution": ORACLE_ATTRIBUTION,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -9082,6 +9144,7 @@ _R5_FRONT = [
     "cusum_alarm",                                       # new: CUSUM level shift
     "readability",                                       # new: pooled Flesch
     "media_reuse",                                       # new: span asset reuse
+    "attribution",                                       # new: last-touch latency
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
