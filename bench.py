@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "readability",
     "media_reuse",
     "attribution",
+    "zonal_majority",
+    "behavior_entropy",
 ]
 
 

@@ -5584,6 +5584,97 @@ ORACLE_ATTRIBUTION = (
 )
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal majority (mode) class per zone — the categorical-raster
+    companion of `zonal_stats`' numeric reductions (land-cover class,
+    dominant sensor, majority vote): tiles carry a 7-class code derived
+    from tile_id, and each zone reports its most frequent class with a
+    deterministic (count DESC, class ASC) tie-break plus its share.
+    Shape: the zonal_join pair stream collapses to (zone, class) counts
+    map-side-combined; the rank window runs per zone over ≤ 7 rows."""
+    from .operators import zonal
+
+    pairs = zonal.zonal_join(
+        _inline_tiles(spark), _shifted_zone_rects(spark), res=10
+    ).select("zone_id", F.pmod(F.col("tile_id"), F.lit(7)).alias("cls"))
+    cnt = pairs.groupBy("zone_id", "cls").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("zone_id").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("zone_id").orderBy(F.desc("n"), F.asc("cls"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("zone_id", F.col("cls").alias("top_class"),
+                F.col("n").alias("n_top"))
+    )
+    return top.join(tot, "zone_id").select(
+        "zone_id", "top_class", "n_top", "n_total",
+        (F.col("n_top").cast("double") / F.col("n_total").cast("double"))
+        .alias("share"),
+    )
+
+
+ORACLE_ZONAL_MAJORITY = (
+    f"WITH p AS ({ORACLE_ZONAL_PAIRS}), "
+    "c AS (SELECT zone_id, tile_id % 7 AS cls, CAST(count(*) AS BIGINT) "
+    "AS n FROM p GROUP BY 1, 2), "
+    "t AS (SELECT zone_id, CAST(sum(n) AS BIGINT) AS n_total "
+    "FROM c GROUP BY 1), "
+    "r AS (SELECT zone_id, cls, n, row_number() OVER "
+    "(PARTITION BY zone_id ORDER BY n DESC, cls ASC) AS rk FROM c) "
+    "SELECT r.zone_id, r.cls AS top_class, r.n AS n_top, t.n_total, "
+    "CAST(r.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share "
+    "FROM r JOIN t USING (zone_id) WHERE rk = 1"
+)
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy of the user's
+    event-type mix, H = (n·ln n − Σ c·ln c)/n — the engagement-breadth
+    feature next to `event_transitions`' sequence structure.  Every log
+    argument is an INTEGER count (the source_kl trick): per-term logs
+    round at 6 dp into decimals BEFORE the count multiplies them, the
+    per-user fold is a decimal sum, and the final division rounds at
+    9 dp — bit-exact.  Shape: one (user, type) count exchange, then
+    per-user frames of ≤ |event types| rows."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    term = (
+        F.round(F.log("c"), 6).cast("decimal(18,6)")
+        * F.col("c").cast("decimal(18,0)")
+    ).cast("decimal(38,6)")
+    agg = c.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(term).alias("_sum_clnc"),
+    )
+    nln = (
+        F.round(F.log("n_events"), 6).cast("decimal(18,6)")
+        * F.col("n_events").cast("decimal(18,0)")
+    ).cast("decimal(38,6)")
+    h = F.round(
+        (nln - F.col("_sum_clnc")).cast("double")
+        / F.col("n_events").cast("double"),
+        9,
+    )
+    return agg.select("user_id", "n_events", "n_types",
+                      h.alias("entropy_r"))
+
+
+ORACLE_BEHAVIOR_ENTROPY = (
+    "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c "
+    "FROM events GROUP BY 1, 2), "
+    "a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(CAST(CAST(round(ln(c), 6) AS DECIMAL(18,6)) "
+    "* CAST(c AS DECIMAL(18,0)) AS DECIMAL(38,6))) AS DECIMAL(38,6)) "
+    "AS sum_clnc FROM c GROUP BY 1) "
+    "SELECT user_id, n_events, n_types, "
+    "round(CAST(CAST(CAST(round(ln(n_events), 6) AS DECIMAL(18,6)) "
+    "* CAST(n_events AS DECIMAL(18,0)) AS DECIMAL(38,6)) - sum_clnc "
+    "AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS entropy_r FROM a"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8730,6 +8821,8 @@ QUERIES = {
     "readability": q_readability,
     "media_reuse": q_media_reuse,
     "attribution": q_attribution,
+    "zonal_majority": q_zonal_majority,
+    "behavior_entropy": q_behavior_entropy,
     "scd2_build": q_scd2_build,
     "snapshot_diff": q_snapshot_diff,
     "kmv_vocab": q_kmv_vocab,
@@ -9104,6 +9197,8 @@ ORACLES = {
     "readability": ORACLE_READABILITY,
     "media_reuse": ORACLE_MEDIA_REUSE,
     "attribution": ORACLE_ATTRIBUTION,
+    "zonal_majority": ORACLE_ZONAL_MAJORITY,
+    "behavior_entropy": ORACLE_BEHAVIOR_ENTROPY,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
@@ -9145,6 +9240,8 @@ _R5_FRONT = [
     "readability",                                       # new: pooled Flesch
     "media_reuse",                                       # new: span asset reuse
     "attribution",                                       # new: last-touch latency
+    "zonal_majority",                                    # new: mode per zone
+    "behavior_entropy",                                  # new: user-mix entropy
     "hotspot_gi",                                        # new: Getis-Ord Gi*
     "moran_events",                                      # new: Moran's I
     "scd2_build", "snapshot_diff",                       # new: SCD2 / crawl delta
