@@ -498,6 +498,57 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_trend_test(spark, SF)), 30),
     ))
 
+    sections.append((
+        "CUSUM level-shift alarms (cusum_alarm)",
+        "The max(0,·) recursion is its prefix-sum/running-min closed "
+        "form: two STACKED windows sharing ONE per-type exchange over "
+        "the hourly count series (never raw events); everything before "
+        "the one reporting division is scaled BIGINT arithmetic.",
+        _trim(plans.formatted_plan(queries.q_cusum_alarm(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "Pooled Flesch readability (readability)",
+        "Three split→filter→size counts are map-side Column math; ONE "
+        "map-side-combined exchange on lang (|langs| rows out); the "
+        "Flesch division runs on the aggregated BIGINT totals only.",
+        _trim(plans.formatted_plan(queries.q_readability(spark, SF)), 20),
+    ))
+
+    sections.append((
+        "Media-asset reuse audit (media_reuse)",
+        "Span synthesis + explode + media filter are all map-side "
+        "(Generate under the first HashAggregate); countDistinct "
+        "expands in the standard two-pass agg on media_ref — the only "
+        "data-sized exchange; TakeOrderedAndProject top-20.",
+        _trim(plans.formatted_plan(queries.q_media_reuse(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Last-touch attribution (attribution)",
+        "The last-click timestamp is a running max(CASE) frame over "
+        "each user's stream — ONE exchange on user_id, NO self-join / "
+        "as-of shuffle; bucket labels collapse to ≤5 groups in a "
+        "partial-combined agg.",
+        _trim(plans.formatted_plan(queries.q_attribution(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Zonal majority class (zonal_majority)",
+        "The zonal_join pair stream collapses to (zone, class) counts "
+        "map-side-combined; the mode window ranks ≤7 rows per zone; "
+        "share joins totals on the same zone key (broadcast-sized).",
+        _trim(plans.formatted_plan(queries.q_zonal_majority(spark, SF)), 35),
+    ))
+
+    sections.append((
+        "Behavioral entropy (behavior_entropy)",
+        "One (user, type) count exchange, then per-user frames of ≤ "
+        "|event types| rows; the n·ln n − Σ c·ln c fold is decimal "
+        "arithmetic on INTEGER counts (bit-exact vs the oracle).",
+        _trim(plans.formatted_plan(queries.q_behavior_entropy(spark, SF)), 25),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
