@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "attribution",
     "zonal_majority",
     "behavior_entropy",
+    "hausdorff_routes",
+    "voronoi_stats",
+    "hex_bin",
 ]
 
 

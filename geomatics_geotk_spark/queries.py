@@ -5675,6 +5675,220 @@ ORACLE_BEHAVIOR_ENTROPY = (
 )
 
 
+_ROUTES = [
+    (
+        r,
+        [
+            (
+                49_000_000 + (r * 7919 + j * 104729 + 13) % 990_000,
+                -123_500_000 + (r * 104729 + j * 7919 + 29) % 996_000,
+            )
+            for j in range(20)
+        ],
+    )
+    for r in range(5)
+]
+
+
+def q_hausdorff_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-Hausdorff route matching (``trajectory.route_hausdorff``):
+    each user's downsampled track (every 16th fix) is assigned to the
+    canonical route minimizing max-min squared distance — the
+    which-corridor-does-this-trace-follow classifier.  Distances are
+    squared integer microdegrees, so every fold is BIGINT-exact.
+
+    Shape: the 5×20 route dimension folds INLINE per point row (100
+    codegen comparisons — zero joins, zero Python); ONE map-side-
+    combined exchange on user_id; the argmin over routes is an
+    array_min on the |routes|-wide aggregated row."""
+    from .operators import trajectory
+
+    pts = (
+        _event_pts(spark, sf_dir)
+        .where(F.col("event_id") % 16 == 0)
+        .select(
+            "user_id",
+            F.round(F.col("lat") * 1_000_000.0).cast("long").alias("ilat"),
+            F.round(F.col("lon") * 1_000_000.0).cast("long").alias("ilon"),
+        )
+    )
+    out = trajectory.route_hausdorff(pts, _ROUTES)
+    return out.select(
+        "user_id", "n_points",
+        F.col("best_route").cast("long").alias("best_route"), "h_sq_udeg",
+    )
+
+
+ORACLE_HAUSDORFF_ROUTES = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "ip AS (SELECT event_id, user_id, "
+    "CAST(round(lat * 1000000.0) AS BIGINT) AS ilat, "
+    "CAST(round(lon * 1000000.0) AS BIGINT) AS ilon "
+    "FROM pts WHERE event_id % 16 = 0), "
+    "routes AS (SELECT r.r AS rid, "
+    "49000000 + (r.r * 7919 + j.j * 104729 + 13) % 990000 AS vlat, "
+    "-123500000 + (r.r * 104729 + j.j * 7919 + 29) % 996000 AS vlon "
+    "FROM range(5) r(r) CROSS JOIN range(20) j(j)), "
+    "pm AS (SELECT user_id, event_id, rid, "
+    "min((ilat - vlat) * (ilat - vlat) + (ilon - vlon) * (ilon - vlon)) "
+    "AS m FROM ip CROSS JOIN routes GROUP BY 1, 2, 3), "
+    "hh AS (SELECT user_id, rid, CAST(max(m) AS BIGINT) AS h "
+    "FROM pm GROUP BY 1, 2), "
+    "np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points "
+    "FROM ip GROUP BY 1), "
+    "rk AS (SELECT user_id, rid, h, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY h, rid) AS rk FROM hh) "
+    "SELECT rk.user_id, np.n_points, CAST(rid AS BIGINT) AS best_route, "
+    "h AS h_sq_udeg FROM rk JOIN np USING (user_id) WHERE rk.rk = 1"
+)
+
+
+def q_voronoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi-partition statistics: every event point is assigned to
+    its nearest of 25 facility sites (derived deterministically from the
+    nation dimension) and each site reports its demand count + mean
+    squared distance — the nearest-facility rollup behind coverage and
+    siting analyses.  Distances are squared integer microdegrees with a
+    (d², site) struct-min tie-break, so assignment is BIGINT-exact.
+
+    Shape: the site dimension is a bounded 25-row driver collect (the
+    clustering-centroid pattern) folded INLINE as an array_min over
+    (d², key) structs — zero joins, no per-event exchange; the ONLY
+    shuffle is the map-side-combined per-site rollup (≤ 25 rows out).
+    Per-site d² sums stay ≤ 2e12 · corpus-rows — BIGINT headroom to
+    ~4·10^6 rows/site·partition before the partial would need a decimal
+    widening."""
+    sites = [
+        (
+            int(k),
+            49_000_000 + (int(k) * 104_729 + 17) % 990_000,
+            -123_500_000 + (int(k) * 7_919 + 41) % 996_000,
+        )
+        for (k,) in _read(spark, sf_dir, "nation")
+        .select("n_nationkey").collect()
+    ]
+    pts = _event_pts(spark, sf_dir).select(
+        F.round(F.col("lat") * 1_000_000.0).cast("long").alias("ilat"),
+        F.round(F.col("lon") * 1_000_000.0).cast("long").alias("ilon"),
+    )
+    ila, ilo = F.col("ilat"), F.col("ilon")
+    best = F.array_min(
+        F.array(*[
+            F.struct(
+                (
+                    (ila - F.lit(slat)) * (ila - F.lit(slat))
+                    + (ilo - F.lit(slon)) * (ilo - F.lit(slon))
+                ).alias("d2"),
+                F.lit(key).cast("long").alias("k"),
+            )
+            for key, slat, slon in sites
+        ])
+    )
+    assigned = pts.select(
+        best["k"].alias("site_key"), best["d2"].alias("_d2")
+    )
+    return assigned.groupBy("site_key").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_d2").alias("sum_d2"),
+    ).select(
+        "site_key", "n_events", "sum_d2",
+        F.round(
+            F.col("sum_d2").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ).alias("mean_d2"),
+    )
+
+
+ORACLE_VORONOI_STATS = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "ip AS (SELECT event_id, "
+    "CAST(round(lat * 1000000.0) AS BIGINT) AS ilat, "
+    "CAST(round(lon * 1000000.0) AS BIGINT) AS ilon FROM pts), "
+    "sites AS (SELECT CAST(n_nationkey AS BIGINT) AS site_key, "
+    "49000000 + (CAST(n_nationkey AS BIGINT) * 104729 + 17) % 990000 AS slat, "
+    "-123500000 + (CAST(n_nationkey AS BIGINT) * 7919 + 41) % 996000 AS slon "
+    "FROM nation), "
+    "d AS (SELECT event_id, site_key, "
+    "(ilat - slat) * (ilat - slat) + (ilon - slon) * (ilon - slon) AS d2 "
+    "FROM ip CROSS JOIN sites), "
+    "rk AS (SELECT event_id, site_key, d2, row_number() OVER "
+    "(PARTITION BY event_id ORDER BY d2, site_key) AS rk FROM d) "
+    "SELECT site_key, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(d2) AS BIGINT) AS sum_d2, "
+    "round(CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+    "AS mean_d2 FROM rk WHERE rk = 1 GROUP BY site_key"
+)
+
+
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning of the event point cloud: pointy-top axial hex
+    coordinates at 0.05° size via the classic cube-rounding algorithm
+    (fractional axial → cube → round each → fix the largest-residual
+    axis), reporting the 30 densest hexes — the honeycomb aggregation
+    cartographers prefer over square grids (uniform neighbor distance,
+    no visual axis bias).
+
+    Exactness: both engines evaluate the IDENTICAL double expression
+    tree (shared literal 1/√3 and 2/3 coefficients, floor(v+0.5)
+    half-up rounding, strict > comparisons in the axis fix), so the
+    hex ids hash-match bit-for-bit.  Shape: pure map-side Column math,
+    ONE map-side-combined exchange on (q, r), TakeOrderedAndProject
+    top-30."""
+    inv_sqrt3 = 0.5773502691896258
+    pts = _event_pts(spark, sf_dir)
+    x, y = F.col("lon"), F.col("lat")
+    qf = (x * F.lit(inv_sqrt3) - y * F.lit(0.3333333333333333)) * F.lit(20.0)
+    rf = (y * F.lit(0.6666666666666666)) * F.lit(20.0)
+    staged = pts.select(qf.alias("qf"), rf.alias("rf"))
+    yf = -F.col("qf") - F.col("rf")
+    rx = F.floor(F.col("qf") + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rz = F.floor(F.col("rf") + F.lit(0.5))
+    cube = staged.select(
+        "qf", "rf", yf.alias("yf"),
+        rx.alias("rx"), ry.alias("ry"), rz.alias("rz"),
+    )
+    dx = F.abs(F.col("rx").cast("double") - F.col("qf"))
+    dy = F.abs(F.col("ry").cast("double") - F.col("yf"))
+    dz = F.abs(F.col("rz").cast("double") - F.col("rf"))
+    hq = F.when(
+        (dx > dy) & (dx > dz), -F.col("ry") - F.col("rz")
+    ).otherwise(F.col("rx"))
+    hr = F.when(
+        (dx > dy) & (dx > dz), F.col("rz")
+    ).when(dy > dz, F.col("rz")).otherwise(-F.col("rx") - F.col("ry"))
+    hexes = cube.select(hq.alias("hex_q"), hr.alias("hex_r"))
+    return (
+        hexes.groupBy("hex_q", "hex_r")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "hex_q", "hex_r")
+        .limit(30)
+    )
+
+
+ORACLE_HEX_BIN = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "ax AS (SELECT "
+    "(lon * 0.5773502691896258 - lat * 0.3333333333333333) * 20.0 AS qf, "
+    "(lat * 0.6666666666666666) * 20.0 AS rf FROM pts), "
+    "cb AS (SELECT qf, rf, -qf - rf AS yf, "
+    "CAST(floor(qf + 0.5) AS BIGINT) AS rx, "
+    "CAST(floor(-qf - rf + 0.5) AS BIGINT) AS ry, "
+    "CAST(floor(rf + 0.5) AS BIGINT) AS rz FROM ax), "
+    "fx AS (SELECT "
+    "CASE WHEN abs(CAST(rx AS DOUBLE) - qf) > abs(CAST(ry AS DOUBLE) - yf) "
+    "AND abs(CAST(rx AS DOUBLE) - qf) > abs(CAST(rz AS DOUBLE) - rf) "
+    "THEN -ry - rz ELSE rx END AS hex_q, "
+    "CASE WHEN abs(CAST(rx AS DOUBLE) - qf) > abs(CAST(ry AS DOUBLE) - yf) "
+    "AND abs(CAST(rx AS DOUBLE) - qf) > abs(CAST(rz AS DOUBLE) - rf) "
+    "THEN rz "
+    "WHEN abs(CAST(ry AS DOUBLE) - yf) > abs(CAST(rz AS DOUBLE) - rf) "
+    "THEN rz ELSE -rx - ry END AS hex_r FROM cb) "
+    "SELECT hex_q, hex_r, CAST(count(*) AS BIGINT) AS n_events FROM fx "
+    "GROUP BY 1, 2 ORDER BY n_events DESC, hex_q, hex_r LIMIT 30"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -8805,6 +9019,9 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "hausdorff_routes": q_hausdorff_routes,
+    "voronoi_stats": q_voronoi_stats,
+    "hex_bin": q_hex_bin,
     "moran_events": q_moran_events,
     "hotspot_gi": q_hotspot_gi,
     "rate_anomaly": q_rate_anomaly,
@@ -9013,6 +9230,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hausdorff_routes": ORACLE_HAUSDORFF_ROUTES,
+    "voronoi_stats": ORACLE_VORONOI_STATS,
+    "hex_bin": ORACLE_HEX_BIN,
     "trajectory_length": _oracle_trajectory_length(),
     "staypoints": ORACLE_STAYPOINTS,
     "track_simplify": ORACLE_TRACK_SIMPLIFY,
@@ -9226,6 +9446,9 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "hausdorff_routes",                                  # new: route matching
+    "voronoi_stats",                                     # new: nearest-site rollup
+    "hex_bin",                                           # new: hexagonal binning
     "rate_anomaly",                                      # new: rolling z-score
     "pmi_collocations",                                  # new: PMI phrases
     "basket_pairs",                                      # new: basket affinity

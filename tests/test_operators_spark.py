@@ -1308,3 +1308,57 @@ class TestReadability:
         # doc1 runs: aa, ee, ii -> 3; doc2: ou(+y start? 'you'->'you' is
         # y,o,u one run), ay, oyo -> you=1, say=1, yoyo=1 -> 3
         assert r["syllables"] == 6
+
+
+class TestRouteHausdorff:
+    """Directed Hausdorff route matching ≡ a numpy max-min cross-check;
+    tie-break prefers the smaller route id; degenerate inputs raise."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark.operators import trajectory
+        rng = np.random.default_rng(7)
+        routes = [
+            (r, [(int(a), int(b)) for a, b in
+                 rng.integers(0, 1000, size=(6, 2))])
+            for r in range(3)
+        ]
+        pts = [(f"u{e}", int(a), int(b)) for e in range(4)
+               for a, b in rng.integers(0, 1000, size=(5, 2))]
+        df = spark.createDataFrame(pts, "user_id string, ilat long, ilon long")
+        got = {r["user_id"]: r for r in
+               trajectory.route_hausdorff(df, routes).collect()}
+        for e in range(4):
+            mine = np.array([(a, b) for u, a, b in pts if u == f"u{e}"])
+            hs = []
+            for rid, verts in routes:
+                v = np.array(verts)
+                d2 = ((mine[:, None, :] - v[None, :, :]) ** 2).sum(axis=2)
+                hs.append((int(d2.min(axis=1).max()), rid))
+            want_h, want_r = min(hs)
+            r = got[f"u{e}"]
+            assert (r["h_sq_udeg"], r["best_route"]) == (want_h, want_r)
+            assert r["n_points"] == 5
+
+    def test_tie_breaks_to_lower_route_id(self, spark):
+        from geomatics_geotk_spark.operators import trajectory
+        # identical routes -> identical h; route 0 must win
+        verts = [(0, 0), (10, 10)]
+        df = spark.createDataFrame(
+            [("u", 3, 4)], "user_id string, ilat long, ilon long")
+        out = trajectory.route_hausdorff(
+            df, [(1, verts), (0, verts)]).collect()[0]
+        assert out["best_route"] == 0
+        assert out["h_sq_udeg"] == 3 * 3 + 4 * 4
+
+    def test_rejects_empty(self, spark):
+        import pytest as _pytest
+
+        from geomatics_geotk_spark.operators import trajectory
+        df = spark.createDataFrame(
+            [("u", 0, 0)], "user_id string, ilat long, ilon long")
+        with _pytest.raises(ValueError):
+            trajectory.route_hausdorff(df, [])
+        with _pytest.raises(ValueError):
+            trajectory.route_hausdorff(df, [(0, [])])

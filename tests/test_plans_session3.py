@@ -141,3 +141,33 @@ class TestCusumPlan:
         assert _no_python(plan)
         assert "SinglePartition" not in plan
         assert _nodes(plan, "Window") >= 1
+
+
+class TestGeoBatch4Plans:
+    """hausdorff_routes / voronoi_stats / hex_bin: inline-literal folds,
+    zero joins on the corpus path, no Python, no single-partition sort."""
+
+    def test_hausdorff_routes_join_free(self, spark):
+        df = queries.q_hausdorff_routes(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "Join" not in plan or "BroadcastHashJoin" not in plan.split(
+            "Exchange")[0]
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_voronoi_stats_join_free(self, spark):
+        df = queries.q_voronoi_stats(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # 25-site dim folds inline, never joins
+        assert "SinglePartition" not in plan
+
+    def test_hex_bin_single_exchange_topk(self, spark):
+        df = queries.q_hex_bin(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert _nodes(plan, "Exchange") == 1
