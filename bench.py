@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "hausdorff_routes",
     "voronoi_stats",
     "hex_bin",
+    "acf_profile",
+    "theil_sen",
+    "cdc_apply",
 ]
 
 

@@ -751,3 +751,122 @@ def cusum_alarms(series: DataFrame, key_cols: list[str], order_col: str,
              / (F.lit(1000.0) * F.col("_t").cast("double"))).alias("s_means"),
         )
     )
+
+
+def acf(series: DataFrame, key_cols: list[str], order_col: str,
+        value_col: str, max_lag: int = 6) -> DataFrame:
+    """Per-key autocorrelation profile of an integer series at row-lags
+    1..``max_lag`` — the seasonality / persistence fingerprint next to
+    :func:`mann_kendall` (drift) and :func:`cusum_alarms` (level
+    shifts): a daily cycle shows as a peak at lag 24 of an hourly
+    series, white noise as ≈0 everywhere.
+
+    Pearson r over the lag-aligned pairs via the sums closed form
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)) —
+    every sum and both variance terms are BIGINT-exact (integer
+    series); only the final √ and division are doubles, so any SQL
+    oracle running the same algebra matches to the bit.  Zero-variance
+    windows (constant series) yield NULL, not NaN.
+
+    Shape for 100 TB: the ``max_lag`` lag columns share ONE window
+    spec (one exchange + one sort of the keys × buckets SERIES frame
+    — never corpus rows); the lag dimension explodes map-side and the
+    moment rollup is a map-side-combined agg on (key, lag).
+    """
+    from pyspark.sql.window import Window
+
+    if max_lag < 1:
+        raise ValueError(f"acf: max_lag must be >= 1, got {max_lag}")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    lag_structs = F.array(*[
+        F.struct(
+            F.lit(lg).alias("lag"),
+            F.lag(x, lg).over(w).alias("y"),
+        )
+        for lg in range(1, max_lag + 1)
+    ])
+    staged = (
+        series.select(*key_cols, x.alias("_x"), lag_structs.alias("_ls"))
+        .select(*key_cols, "_x", F.explode("_ls").alias("_l"))
+        .select(
+            *key_cols, F.col("_l.lag").alias("lag"),
+            "_x", F.col("_l.y").alias("_y"),
+        )
+        .where(F.col("_y").isNotNull())
+    )
+    m = staged.groupBy(*key_cols, "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    num = F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den1 = F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den2 = F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.round(
+        num.cast("double")
+        / F.sqrt(den1.cast("double") * den2.cast("double")),
+        9,
+    )
+    return m.select(
+        *key_cols, "lag", "n_pairs",
+        F.when((den1 > 0) & (den2 > 0), r).alias("acf_r"),
+    )
+
+
+def theil_sen(series: DataFrame, key_cols: list[str], order_col: str,
+              value_col: str) -> DataFrame:
+    """Per-key Theil–Sen robust slope: the LOWER MEDIAN of all pairwise
+    slopes (value_j − value_i)/(order_j − order_i), i<j — the
+    breakdown-resistant trend estimate that pairs with
+    :func:`mann_kendall`'s significance (MK says WHETHER the series
+    drifts; Theil–Sen says HOW FAST, immune to ~29% outliers).
+
+    ``order_col`` must be integer (e.g. epoch hours): slopes are then
+    one double division of two exact integers, identical in any
+    engine, and the lower-median selection (row (m+1)÷2 of the
+    slope-ordered pair list) picks a VALUE that is permutation-stable
+    even under duplicate slopes.
+
+    Shape: the O(T²) pair generation is a self-equi-join ON THE KEY of
+    the keys × buckets series frame (the mann_kendall shape — the
+    exchange carries the series, never raw events); the median
+    selection windows over each key's pair list, which is
+    series-bounded (T² per key, independent of corpus row count), not
+    corpus-bounded.  For T beyond ~10⁴ buckets switch to a coarser
+    bucketing upstream; the operator guards nothing because T is a
+    schema-level contract, not a data property.
+    """
+    a = series.select(
+        *key_cols,
+        F.col(order_col).cast("long").alias("_ta"),
+        F.col(value_col).cast("long").alias("_va"),
+    )
+    b = series.select(
+        *key_cols,
+        F.col(order_col).cast("long").alias("_tb"),
+        F.col(value_col).cast("long").alias("_vb"),
+    )
+    pairs = a.join(b, key_cols).where(F.col("_tb") > F.col("_ta"))
+    slopes = pairs.select(
+        *key_cols,
+        (
+            (F.col("_vb") - F.col("_va")).cast("double")
+            / (F.col("_tb") - F.col("_ta")).cast("double")
+        ).alias("_slope"),
+    )
+    from pyspark.sql.window import Window
+
+    wrk = Window.partitionBy(*key_cols).orderBy("_slope")
+    wm = Window.partitionBy(*key_cols)
+    ranked = slopes.select(
+        *key_cols, "_slope",
+        F.row_number().over(wrk).alias("_rk"),
+        F.count("*").over(wm).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("_rk") == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
+    ).select(*key_cols, "n_pairs", F.col("_slope").alias("slope_med"))

@@ -5889,6 +5889,138 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile (``stats.acf``) of each event type's
+    hourly count series at row-lags 1..6 — the persistence /
+    seasonality fingerprint completing the rate-monitoring family
+    (rate_anomaly: spikes, trend_test: drift, cusum_alarm: level
+    shifts, acf: memory).  BIGINT moment sums, one double √ at the
+    end; NULL for zero-variance windows."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    return stats.acf(c, ["event_type"], "hour", "n", max_lag=6)
+
+
+ORACLE_ACF_PROFILE = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, n, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY hour) AS rn FROM c), "
+    "p AS (SELECT a.event_type, l.l AS lag, a.n AS x, b.n AS y "
+    "FROM s a CROSS JOIN range(1, 7) l(l) "
+    "JOIN s b ON b.event_type = a.event_type AND b.rn = a.rn - l.l), "
+    "m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(y * y) AS BIGINT) AS syy "
+    "FROM p GROUP BY 1, 2) "
+    "SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs, "
+    "CASE WHEN n_pairs * sxx - sx * sx > 0 "
+    "AND n_pairs * syy - sy * sy > 0 THEN "
+    "round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) "
+    "* CAST(n_pairs * syy - sy * sy AS DOUBLE)), 9) END AS acf_r "
+    "FROM m"
+)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope (``stats.theil_sen``) of each event
+    type's hourly count series — HOW FAST the rate drifts, immune to
+    outlier hours, next to `trend_test`'s WHETHER (Mann-Kendall).
+    Hours convert to epoch-hour integers with `div` (the microsecond
+    epoch exceeds 2^53, so double division would round); each slope is
+    then one double division of exact integers and the lower-median
+    pick is permutation-stable."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "n",
+            F.expr("unix_micros(hour) div 3600000000").alias("eh"),
+        )
+    )
+    return stats.theil_sen(c, ["event_type"], "eh", "n")
+
+
+ORACLE_THEIL_SEN = (
+    "WITH c AS (SELECT event_type, "
+    "epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "p AS (SELECT a.event_type, "
+    "CAST(b.n - a.n AS DOUBLE) / CAST(b.eh - a.eh AS DOUBLE) AS slope "
+    "FROM c a JOIN c b ON b.event_type = a.event_type AND b.eh > a.eh), "
+    "r AS (SELECT event_type, slope, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY slope) AS rk, "
+    "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs "
+    "FROM p) "
+    "SELECT event_type, n_pairs, slope AS slope_med FROM r "
+    "WHERE rk = CAST(floor((n_pairs + 1) / 2) AS BIGINT)"
+)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply: collapse an insert/update/delete change log
+    (synthesized from orders: op = I/I/U/U/U/U/D by o_orderkey mod 7)
+    into the final per-key snapshot — last change by (change ts, seq)
+    wins, a terminal delete erases the key.  The warehouse MERGE INTO
+    pattern as ONE window exchange on the business key: no sort-merge
+    against a base table, no per-op dispatch — the log IS the state.
+
+    At 100 TB the log would be bucketed by key so the window exchange
+    is a local sort; snapshot rows come out of the same partitioning."""
+    log = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0, F.lit("D"))
+        .when(F.pmod(F.col("o_orderkey"), F.lit(7)) <= 2, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("cust_key").orderBy(
+        F.desc("ts"), F.desc("seq")
+    )
+    wall = Window.partitionBy("cust_key")
+    ranked = log.select(
+        "cust_key", "ts", "seq", "price", "op",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(wall).alias("n_changes"),
+    )
+    return ranked.where(
+        (F.col("_rk") == 1) & (F.col("op") != "D")
+    ).select(
+        "cust_key", F.col("ts").alias("last_ts"),
+        F.col("op").alias("last_op"), "price", "n_changes",
+    )
+
+
+ORACLE_CDC_APPLY = (
+    "WITH log AS (SELECT o_custkey AS cust_key, o_orderdate AS ts, "
+    "o_orderkey AS seq, o_totalprice AS price, "
+    "CASE WHEN o_orderkey % 7 = 0 THEN 'D' "
+    "WHEN o_orderkey % 7 <= 2 THEN 'I' ELSE 'U' END AS op FROM orders), "
+    "r AS (SELECT cust_key, ts, seq, price, op, "
+    "row_number() OVER (PARTITION BY cust_key "
+    "ORDER BY ts DESC, seq DESC) AS rk, "
+    "CAST(count(*) OVER (PARTITION BY cust_key) AS BIGINT) AS n_changes "
+    "FROM log) "
+    "SELECT cust_key, ts AS last_ts, op AS last_op, price, n_changes "
+    "FROM r WHERE rk = 1 AND op <> 'D'"
+)
+
+
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build from an event stream: per user, collapse
     consecutive events with the SAME event_type into one validity
@@ -9019,6 +9151,9 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "acf_profile": q_acf_profile,
+    "theil_sen": q_theil_sen,
+    "cdc_apply": q_cdc_apply,
     "hausdorff_routes": q_hausdorff_routes,
     "voronoi_stats": q_voronoi_stats,
     "hex_bin": q_hex_bin,
@@ -9230,6 +9365,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "acf_profile": ORACLE_ACF_PROFILE,
+    "theil_sen": ORACLE_THEIL_SEN,
+    "cdc_apply": ORACLE_CDC_APPLY,
     "hausdorff_routes": ORACLE_HAUSDORFF_ROUTES,
     "voronoi_stats": ORACLE_VORONOI_STATS,
     "hex_bin": ORACLE_HEX_BIN,
@@ -9446,6 +9584,9 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "acf_profile",                                       # new: lag-k ACF
+    "theil_sen",                                         # new: robust slope
+    "cdc_apply",                                         # new: CDC merge-apply
     "hausdorff_routes",                                  # new: route matching
     "voronoi_stats",                                     # new: nearest-site rollup
     "hex_bin",                                           # new: hexagonal binning

@@ -1362,3 +1362,78 @@ class TestRouteHausdorff:
             trajectory.route_hausdorff(df, [])
         with _pytest.raises(ValueError):
             trajectory.route_hausdorff(df, [(0, [])])
+
+
+class TestAcf:
+    """ACF closed form ≡ numpy.corrcoef on the lag-aligned pairs;
+    constant series yields NULL; a period-2 series alternates sign."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark.operators import stats
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 100, size=40)
+        rows = [("k", i, int(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        got = {r["lag"]: r for r in
+               stats.acf(df, ["key"], "t", "n", max_lag=4).collect()}
+        for lg in range(1, 5):
+            x, y = vals[lg:].astype(float), vals[:-lg].astype(float)
+            want = np.corrcoef(x, y)[0, 1]
+            assert got[lg]["n_pairs"] == 40 - lg
+            assert abs(got[lg]["acf_r"] - want) < 1e-9
+
+    def test_constant_series_null(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = [("k", i, 7) for i in range(10)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        out = stats.acf(df, ["key"], "t", "n", max_lag=2).collect()
+        assert all(r["acf_r"] is None for r in out)
+
+    def test_alternating_series_sign(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = [("k", i, 10 if i % 2 == 0 else 20) for i in range(20)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        got = {r["lag"]: r["acf_r"] for r in
+               stats.acf(df, ["key"], "t", "n", max_lag=2).collect()}
+        assert got[1] < -0.9 and got[2] > 0.9
+
+    def test_rejects_bad_lag(self, spark):
+        import pytest as _pytest
+
+        from geomatics_geotk_spark.operators import stats
+        df = spark.createDataFrame([("k", 0, 1)], "key string, t long, n long")
+        with _pytest.raises(ValueError):
+            stats.acf(df, ["key"], "t", "n", max_lag=0)
+
+
+class TestTheilSen:
+    """Lower-median pairwise slope ≡ the numpy enumeration; a clean
+    linear series recovers its exact slope under one wild outlier."""
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark.operators import stats
+        rng = np.random.default_rng(3)
+        ts = np.sort(rng.choice(np.arange(100), size=15, replace=False))
+        vs = rng.integers(0, 50, size=15)
+        rows = [("k", int(t), int(v)) for t, v in zip(ts, vs)]
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        out = stats.theil_sen(df, ["key"], "t", "n").collect()[0]
+        slopes = sorted(
+            (vs[j] - vs[i]) / (ts[j] - ts[i])
+            for i in range(15) for j in range(i + 1, 15)
+        )
+        m = len(slopes)
+        assert out["n_pairs"] == m
+        assert out["slope_med"] == slopes[(m + 1) // 2 - 1]
+
+    def test_outlier_immune(self, spark):
+        from geomatics_geotk_spark.operators import stats
+        rows = [("k", i, 3 * i) for i in range(12)]
+        rows[5] = ("k", 5, 1000)  # one wild point
+        df = spark.createDataFrame(rows, "key string, t long, n long")
+        out = stats.theil_sen(df, ["key"], "t", "n").collect()[0]
+        assert out["slope_med"] == 3.0

@@ -171,3 +171,31 @@ class TestGeoBatch4Plans:
         assert "Join" not in plan
         assert "TakeOrderedAndProject" in plan
         assert _nodes(plan, "Exchange") == 1
+
+
+class TestSeriesBatch4Plans:
+    """acf_profile / theil_sen / cdc_apply: series-frame or key-window
+    shapes — no Python, no single-partition window, no cartesian."""
+
+    def test_acf_one_series_window(self, spark):
+        df = queries.q_acf_profile(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+        assert _nodes(plan, "Window") == 1  # all 6 lags share one spec
+
+    def test_theil_sen_series_join(self, spark):
+        df = queries.q_theil_sen(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cdc_apply_one_window_exchange(self, spark):
+        df = queries.q_cdc_apply(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "Join" not in plan  # the log IS the state — no base-table merge
+        assert _nodes(plan, "Exchange") == 1
