@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "acf_profile",
     "theil_sen",
     "cdc_apply",
+    "common_neighbors",
+    "token_bursts",
 ]
 
 

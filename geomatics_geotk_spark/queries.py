@@ -5889,6 +5889,112 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (``graph.common_neighbor_scores``)
+    over the deterministic 3-out doc graph (the pagerank/triangles
+    fixture taken undirected): top-30 non-adjacent pairs by
+    neighborhood Jaccard — the missing-link / entity-merge candidate
+    list.  Wedges explode join-free from sorted midpoint adjacency
+    arrays (the basket_pairs shape); the oracle is the structurally
+    different adjacency SELF-JOIN, so the hash match checks the wedge
+    algebra, not a replay."""
+    from .operators import graph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id", "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 7919 + j * 104729 + 13) % _n").alias("dst"),
+        )
+    )
+    out = graph.common_neighbor_scores(edges, min_common=2)
+    return out.orderBy(
+        F.desc("jaccard"), F.desc("n_common"), "node_a", "node_b"
+    ).limit(30)
+
+
+ORACLE_COMMON_NEIGHBORS = (
+    "WITH nn AS (SELECT count(*) AS n FROM documents), "
+    "lanes AS (SELECT unnest([0, 1, 2]) AS j), "
+    "ed AS (SELECT doc_id AS src, (doc_id * 7919 + j * 104729 + 13) % n "
+    "AS dst FROM documents CROSS JOIN nn CROSS JOIN lanes), "
+    "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM ed WHERE src <> dst), "
+    "adj AS (SELECT a AS node, b AS nb FROM ce "
+    "UNION ALL SELECT b, a FROM ce), "
+    "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree "
+    "FROM adj GROUP BY 1), "
+    "w AS (SELECT x.nb AS u, y.nb AS v FROM adj x JOIN adj y "
+    "ON y.node = x.node AND x.nb < y.nb), "
+    "cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common "
+    "FROM w GROUP BY 1, 2 HAVING count(*) >= 2), "
+    "ne AS (SELECT cn.* FROM cn WHERE NOT EXISTS "
+    "(SELECT 1 FROM ce WHERE ce.a = cn.u AND ce.b = cn.v)) "
+    "SELECT ne.u AS node_a, ne.v AS node_b, ne.n_common, "
+    "da.degree AS deg_a, db.degree AS deg_b, "
+    "CAST(ne.n_common AS DOUBLE) "
+    "/ CAST(da.degree + db.degree - ne.n_common AS DOUBLE) AS jaccard "
+    "FROM ne JOIN deg da ON da.node = ne.u JOIN deg db ON db.node = ne.v "
+    "ORDER BY jaccard DESC, ne.n_common DESC, node_a, node_b LIMIT 30"
+)
+
+
+def q_token_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bursty-vocabulary detection: tokens whose count on one (planted,
+    doc_id mod 14) day far exceeds their cross-day average — lift =
+    c_td · n_days / c_t, the trending-terms screen next to
+    `rate_anomaly`'s volume spikes (a burst is a MIX shift, not a
+    volume shift).  Integer counts, one mirrored double division;
+    thresholds keep rare-token noise out.
+
+    Shape: explode → map-side partial count on (token, day) — hot
+    stopwords are hot KEYS absorbed by partials — then token totals
+    roll up from the (token, day) table (vocab × days, NOT corpus
+    rows); TakeOrderedAndProject top-30."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(14)).alias("day"),
+        F.explode(F.split("text", r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    td = toks.groupBy("token", "day").agg(F.count("*").alias("c_td"))
+    tot = td.groupBy("token").agg(F.sum("c_td").alias("c_t"))
+    j = td.join(tot, "token").where(
+        (F.col("c_td") >= 5) & (F.col("c_t") >= 20)
+    )
+    return (
+        j.select(
+            "token", "day", "c_td", "c_t",
+            (
+                (F.col("c_td") * F.lit(14)).cast("double")
+                / F.col("c_t").cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("c_td"), "token", "day")
+        .limit(30)
+    )
+
+
+ORACLE_TOKEN_BURSTS = (
+    "WITH t AS (SELECT doc_id % 14 AS day, "
+    "unnest(string_split_regex(text, '\\s+')) AS token FROM documents), "
+    "td AS (SELECT token, day, CAST(count(*) AS BIGINT) AS c_td FROM t "
+    "WHERE token <> '' GROUP BY 1, 2), "
+    "tot AS (SELECT token, CAST(sum(c_td) AS BIGINT) AS c_t "
+    "FROM td GROUP BY 1) "
+    "SELECT td.token, td.day, td.c_td, tot.c_t, "
+    "CAST(td.c_td * 14 AS DOUBLE) / CAST(tot.c_t AS DOUBLE) AS lift "
+    "FROM td JOIN tot ON tot.token = td.token "
+    "WHERE td.c_td >= 5 AND tot.c_t >= 20 "
+    "ORDER BY lift DESC, td.c_td DESC, td.token, td.day LIMIT 30"
+)
+
+
 def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation profile (``stats.acf``) of each event type's
     hourly count series at row-lags 1..6 — the persistence /
@@ -9151,6 +9257,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "common_neighbors": q_common_neighbors,
+    "token_bursts": q_token_bursts,
     "acf_profile": q_acf_profile,
     "theil_sen": q_theil_sen,
     "cdc_apply": q_cdc_apply,
@@ -9365,6 +9473,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "common_neighbors": ORACLE_COMMON_NEIGHBORS,
+    "token_bursts": ORACLE_TOKEN_BURSTS,
     "acf_profile": ORACLE_ACF_PROFILE,
     "theil_sen": ORACLE_THEIL_SEN,
     "cdc_apply": ORACLE_CDC_APPLY,
@@ -9584,6 +9694,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "common_neighbors",                                  # new: link prediction
+    "token_bursts",                                      # new: trending terms
     "acf_profile",                                       # new: lag-k ACF
     "theil_sen",                                         # new: robust slope
     "cdc_apply",                                         # new: CDC merge-apply

@@ -1437,3 +1437,47 @@ class TestTheilSen:
         df = spark.createDataFrame(rows, "key string, t long, n long")
         out = stats.theil_sen(df, ["key"], "t", "n").collect()[0]
         assert out["slope_med"] == 3.0
+
+
+class TestCommonNeighbors:
+    """Wedge-counted link prediction ≡ a brute-force python set
+    enumeration on a small random graph; adjacent pairs are excluded;
+    Jaccard uses the |N(a)∪N(b)| denominator."""
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        import numpy as np
+
+        from geomatics_geotk_spark.operators import graph
+        rng = np.random.default_rng(5)
+        edges = {tuple(sorted((int(p[0]), int(p[1]))))
+                 for p in rng.integers(0, 12, (30, 2)) if p[0] != p[1]}
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src long, dst long")
+        got = {(r["node_a"], r["node_b"]):
+               (r["n_common"], r["deg_a"], r["deg_b"], r["jaccard"])
+               for r in graph.common_neighbor_scores(df).collect()}
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        want = {}
+        for u, v in itertools.combinations(sorted(nbr), 2):
+            cn = len(nbr[u] & nbr[v])
+            if cn >= 1 and (u, v) not in edges:
+                want[(u, v)] = (
+                    cn, len(nbr[u]), len(nbr[v]),
+                    cn / (len(nbr[u]) + len(nbr[v]) - cn),
+                )
+        assert got == want
+
+    def test_excludes_existing_edges(self, spark):
+        from geomatics_geotk_spark.operators import graph
+        # triangle + pendant: (0,1) adjacent, both see 2 -> excluded
+        df = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long")
+        out = {(r["node_a"], r["node_b"])
+               for r in graph.common_neighbor_scores(df).collect()}
+        assert (0, 1) not in out
+        assert (0, 3) in out and (1, 3) in out

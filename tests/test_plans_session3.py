@@ -199,3 +199,22 @@ class TestSeriesBatch4Plans:
         assert "SinglePartition" not in plan
         assert "Join" not in plan  # the log IS the state — no base-table merge
         assert _nodes(plan, "Exchange") == 1
+
+
+class TestLinkBurstPlans:
+    """common_neighbors / token_bursts: join-free wedge or vocab-keyed
+    aggregation shapes — no Python, global top-k never a window."""
+
+    def test_common_neighbors_no_edge_self_join_python(self, spark):
+        df = queries.q_common_neighbors(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_token_bursts_takeordered(self, spark):
+        df = queries.q_token_bursts(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
