@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "cdc_apply",
     "common_neighbors",
     "token_bursts",
+    "kcore",
+    "ewma_chart",
 ]
 
 

@@ -281,3 +281,61 @@ def common_neighbor_scores(edges: DataFrame, src: str = "src",
             .cast("double")
         ).alias("jaccard"),
     )
+
+
+def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+          max_iters: int = 30) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node keeps degree ≥ ``k`` — the standard dense-community /
+    spam-farm screen (a link ring survives peeling; organic periphery
+    does not).
+
+    Classic iterative peel: drop nodes with degree < k, drop their
+    incident edges, repeat to fixpoint.  Each round is ONE degree
+    aggregation + one semi-join back onto the edge set — the pagerank
+    loop shape (driver-side bounded iteration, ``localCheckpoint``
+    lineage truncation every round, one ``count()`` action as the
+    fixpoint probe).  Convergence takes at most the peel depth of the
+    graph (≪ ``max_iters`` for any real degree distribution); the
+    operator raises if the cap is hit rather than return a
+    non-fixpoint.
+
+    Output: (node, core_degree) for every member of the k-core, with
+    its degree INSIDE the core subgraph (≥ k by construction).
+    Integer-only — bit-exact at any parallelism."""
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    cur = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(f"kcore: no fixpoint within {max_iters} rounds")
+    return (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

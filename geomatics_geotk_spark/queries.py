@@ -5889,6 +5889,113 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core membership (``graph.kcore``) of a deterministic
+    hub-concentrated doc graph (3 out-links per doc, all landing in the
+    first quarter of the id space — a scale-free-ish core/periphery
+    shape where the peel does real work: periphery drops, cascades
+    shrink the hubs to a 122-node core at sf0.01).  Spark runs the true
+    iterative fixpoint (pagerank-shaped rounds: one degree agg + two
+    semi-joins, localCheckpoint per round); the oracle UNROLLS 30 peel
+    rounds as nested CTEs — past the fixpoint every extra round is the
+    identity, so the hash match verifies the fixpoint itself (the
+    operator raises before returning a non-fixpoint)."""
+    from .operators import graph
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id", "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                "(doc_id * 7919 + j * 104729 + 13) % (_n div 4)"
+            ).alias("dst"),
+        )
+    )
+    return graph.kcore(edges, k=5)
+
+
+def _oracle_kcore(k: int = 5, rounds: int = 30) -> str:
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents), "
+        "lanes AS (SELECT unnest([0, 1, 2]) AS j), "
+        "ed AS (SELECT doc_id AS src, "
+        "(doc_id * 7919 + j * 104729 + 13) % (n // 4) AS dst "
+        "FROM documents CROSS JOIN nn CROSS JOIN lanes), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM ed WHERE src <> dst)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) "
+            "GROUP BY 1)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN d{i} x ON x.node = e.a JOIN d{i} y ON y.node = e.b "
+            f"WHERE x.deg >= {k} AND y.deg >= {k})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT a AS node FROM e{rounds} "
+        f"UNION ALL SELECT b FROM e{rounds}) GROUP BY 1"
+    )
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over each event type's hourly count series
+    (α = 0.25 — a BINARY-EXACT smoothing constant): the
+    exponentially-weighted level that reacts to small sustained shifts
+    faster than `rate_anomaly`'s unweighted window and smoother than
+    raw CUSUM.  Truncated to a 32-row memory (weight beyond the frame
+    ≤ 0.75³² ≈ 1e-4 — the documented truncation contract); the fold is
+    acc·0.75 + x·0.25 left-to-right over the frame array with the
+    OLDEST frame row as seed, mirrored exactly by DuckDB's
+    ``list_reduce`` (same seed rule, same fold order), so the doubles
+    match bit-for-bit before the defensive 9 dp round.
+
+    Shape: the frame array rides the series window's ONE exchange on
+    event_type; the fold is plan-time JVM codegen over ≤32 elements —
+    never a self-join, never Python."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-31, Window.currentRow)
+    )
+    arr = F.collect_list(F.col("n").cast("double")).over(w)
+    staged = c.select("event_type", "hour", "n", arr.alias("_fr"))
+    ewma = F.aggregate(
+        F.slice(F.col("_fr"), F.lit(2), F.size("_fr") - F.lit(1)),
+        F.element_at("_fr", 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return staged.select(
+        "event_type", "hour", "n", F.round(ewma, 9).alias("ewma_r")
+    )
+
+
+ORACLE_EWMA_CHART = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "f AS (SELECT event_type, hour, n, "
+    "list(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fr FROM c) "
+    "SELECT event_type, hour, n, "
+    "round(list_reduce(fr, (acc, x) -> acc * 0.75 + x * 0.25), 9) "
+    "AS ewma_r FROM f"
+)
+
+
 def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (``graph.common_neighbor_scores``)
     over the deterministic 3-out doc graph (the pagerank/triangles
@@ -9257,6 +9364,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "kcore": q_kcore,
+    "ewma_chart": q_ewma_chart,
     "common_neighbors": q_common_neighbors,
     "token_bursts": q_token_bursts,
     "acf_profile": q_acf_profile,
@@ -9473,6 +9582,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kcore": _oracle_kcore(),
+    "ewma_chart": ORACLE_EWMA_CHART,
     "common_neighbors": ORACLE_COMMON_NEIGHBORS,
     "token_bursts": ORACLE_TOKEN_BURSTS,
     "acf_profile": ORACLE_ACF_PROFILE,
@@ -9694,6 +9805,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "kcore",                                             # new: dense-core peel
+    "ewma_chart",                                        # new: EWMA control chart
     "common_neighbors",                                  # new: link prediction
     "token_bursts",                                      # new: trending terms
     "acf_profile",                                       # new: lag-k ACF

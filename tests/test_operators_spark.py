@@ -1481,3 +1481,85 @@ class TestCommonNeighbors:
                for r in graph.common_neighbor_scores(df).collect()}
         assert (0, 1) not in out
         assert (0, 3) in out and (1, 3) in out
+
+
+class TestKcore:
+    """Peeling fixpoint ≡ a sequential python peel; cascade removal
+    (a chain hanging off a clique) is fully pruned; empty core OK."""
+
+    def _py_kcore(self, edges, k):
+        edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {e for e in edges if e[0] in keep and e[1] in keep}
+            if nxt == edges:
+                break
+            edges = nxt
+        out = {}
+        for a, b in edges:
+            out[a] = out.get(a, 0) + 1
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    def test_matches_sequential_peel(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark.operators import graph
+        rng = np.random.default_rng(9)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (60, 2))]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["core_degree"]
+               for r in graph.kcore(df, k=3).collect()}
+        assert got == self._py_kcore(edges, 3)
+
+    def test_cascade_prunes_chain(self, spark):
+        from geomatics_geotk_spark.operators import graph
+        # K4 clique (0-3) + a chain 3-4-5: chain peels away entirely
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        df = spark.createDataFrame(
+            clique + [(3, 4), (4, 5)], "src long, dst long")
+        got = {r["node"]: r["core_degree"]
+               for r in graph.kcore(df, k=3).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_empty_core(self, spark):
+        from geomatics_geotk_spark.operators import graph
+        df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        assert graph.kcore(df, k=3).count() == 0
+
+
+class TestEwmaFold:
+    """The frame-fold EWMA ≡ the sequential recursion seeded at the
+    window's oldest row (exact: alpha = 0.25 is binary-representable)."""
+
+    def test_matches_sequential(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark import queries  # noqa: F401
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        rng = np.random.default_rng(2)
+        vals = [int(v) for v in rng.integers(0, 100, size=50)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, t long, n long")
+        w = Window.partitionBy("key").orderBy("t").rowsBetween(-31, 0)
+        arr = F.collect_list(F.col("n").cast("double")).over(w)
+        staged = df.select("t", "n", arr.alias("_fr"))
+        ewma = F.aggregate(
+            F.slice(F.col("_fr"), F.lit(2), F.size("_fr") - F.lit(1)),
+            F.element_at("_fr", 1),
+            lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+        )
+        got = {r["t"]: r["e"] for r in
+               staged.select("t", ewma.alias("e")).collect()}
+        for t in range(50):
+            frame = vals[max(0, t - 31):t + 1]
+            acc = float(frame[0])
+            for x in frame[1:]:
+                acc = acc * 0.75 + x * 0.25
+            assert got[t] == acc, t

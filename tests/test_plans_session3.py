@@ -218,3 +218,13 @@ class TestLinkBurstPlans:
         assert _no_python(plan)
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
+
+
+class TestCorePlans:
+    def test_ewma_one_window_no_python(self, spark):
+        df = queries.q_ewma_chart(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert _nodes(plan, "Window") == 1
+        assert "Join" not in plan
