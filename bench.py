@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "token_bursts",
     "kcore",
     "ewma_chart",
+    "haar_multires",
+    "zipf_fit",
 ]
 
 

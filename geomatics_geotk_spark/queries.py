@@ -5889,6 +5889,146 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_haar_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar multi-resolution rollup of each event type's hourly count
+    series — the time-series tile pyramid: for levels 1..4, each
+    2^L-hour block's total (approximation coefficient) and its
+    left-minus-right half difference (detail coefficient).  A burst
+    localizes as a large |detail| at its level; compaction keeps coarse
+    levels and drops fine ones.  All-INTEGER arithmetic (sums and
+    differences of counts) — bit-exact everywhere.
+
+    Shape: the 4 levels explode MAP-SIDE from the (type, hour) series
+    rows (4× a series-sized frame, never corpus rows); ONE
+    map-side-combined exchange on (type, level, block)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "n",
+            F.expr("unix_micros(hour) div 3600000000").alias("eh"),
+        )
+    )
+    lv = c.select(
+        "event_type", "n", "eh",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 5)])).alias("level"),
+    )
+    blk = F.expr("eh div cast(pow(2, level) as long)")
+    # left half of the block ⇔ bit (level-1) of eh is 0
+    left = F.expr("((eh div cast(pow(2, level - 1) as long)) % 2) = 0")
+    return (
+        lv.select(
+            "event_type", "level", blk.alias("block"), "n", left.alias("_l")
+        )
+        .groupBy("event_type", "level", "block")
+        .agg(
+            F.sum("n").alias("approx"),
+            F.sum(
+                F.when(F.col("_l"), F.col("n")).otherwise(-F.col("n"))
+            ).alias("detail"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+ORACLE_HAAR_MULTIRES = (
+    "WITH c AS (SELECT event_type, "
+    "epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "lv AS (SELECT event_type, eh, n, unnest([1, 2, 3, 4]) AS level "
+    "FROM c) "
+    "SELECT event_type, CAST(level AS INTEGER) AS level, "
+    "eh // CAST(pow(2, level) AS BIGINT) AS block, "
+    "CAST(sum(n) AS BIGINT) AS approx, "
+    "CAST(sum(CASE WHEN ((eh // CAST(pow(2, level - 1) AS BIGINT)) % 2) = 0 "
+    "THEN n ELSE -n END) AS BIGINT) AS detail, "
+    "CAST(count(*) AS BIGINT) AS n_hours "
+    "FROM lv GROUP BY 1, 2, 3"
+)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail fit per language: least-squares slope of ln(count) on
+    ln(rank) over the top-100 vocabulary ranks — the corpus-health
+    fingerprint (natural text sits near slope −1; boilerplate or
+    synthetic text bends the curve).  The `source_kl` exactness trick:
+    both logs round at 6 dp into DECIMAL before any multiplication, the
+    moment sums fold as DECIMAL (order-independent), and only the final
+    slope/intercept divisions are doubles rounded at 9 dp.
+
+    Shape: token counts partial-combine map-side (hot stopwords are hot
+    KEYS); the rank window and the fit run on the per-lang top-100
+    frame — vocabulary-sized, never corpus-sized."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    top = cnt.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 100
+    )
+    lx = F.round(F.log("rank"), 6).cast("decimal(18,6)")
+    ly = F.round(F.log("n"), 6).cast("decimal(18,6)")
+    staged = top.select(
+        "lang", lx.alias("_x"), ly.alias("_y"),
+        (lx * ly).cast("decimal(38,12)").alias("_xy"),
+        (lx * lx).cast("decimal(38,12)").alias("_xx"),
+    )
+    m = staged.groupBy("lang").agg(
+        F.count("*").alias("n_ranks"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_xx").alias("_sxx"),
+    )
+    # decimal sums are exact; their decimal→double casts are correctly
+    # rounded in BOTH engines (same decimal ⇒ same double), so the fit
+    # algebra below runs in doubles with an identical expression tree
+    nn = F.col("n_ranks").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    num = nn * sxy - sx * sy
+    den = nn * sxx - sx * sx
+    slope = F.round(num / den, 9)
+    intercept = F.round((sy - (num / den) * sx) / nn, 9)
+    return m.select(
+        "lang", "n_ranks", slope.alias("zipf_slope_r"),
+        intercept.alias("intercept_r"),
+    )
+
+
+ORACLE_ZIPF_FIT = (
+    "WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) "
+    "AS token FROM documents), "
+    "c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM t "
+    "WHERE token <> '' GROUP BY 1, 2), "
+    "r AS (SELECT lang, n, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n DESC, token ASC) AS rank FROM c), "
+    "s AS (SELECT lang, "
+    "CAST(round(ln(rank), 6) AS DECIMAL(18,6)) AS x, "
+    "CAST(round(ln(n), 6) AS DECIMAL(18,6)) AS y "
+    "FROM r WHERE rank <= 100), "
+    "m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks, "
+    "CAST(sum(x) AS DECIMAL(38,6)) AS sx, "
+    "CAST(sum(y) AS DECIMAL(38,6)) AS sy, "
+    "CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy, "
+    "CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx "
+    "FROM s GROUP BY 1), "
+    "d AS (SELECT lang, n_ranks, CAST(n_ranks AS DOUBLE) AS nd, "
+    "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
+    "CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM m) "
+    "SELECT lang, n_ranks, "
+    "round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 9) "
+    "AS zipf_slope_r, "
+    "round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) "
+    "* sxd) / nd, 9) AS intercept_r FROM d"
+)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-core membership (``graph.kcore``) of a deterministic
     hub-concentrated doc graph (3 out-links per doc, all landing in the
@@ -9364,6 +9504,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "haar_multires": q_haar_multires,
+    "zipf_fit": q_zipf_fit,
     "kcore": q_kcore,
     "ewma_chart": q_ewma_chart,
     "common_neighbors": q_common_neighbors,
@@ -9582,6 +9724,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "haar_multires": ORACLE_HAAR_MULTIRES,
+    "zipf_fit": ORACLE_ZIPF_FIT,
     "kcore": _oracle_kcore(),
     "ewma_chart": ORACLE_EWMA_CHART,
     "common_neighbors": ORACLE_COMMON_NEIGHBORS,
@@ -9805,6 +9949,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "haar_multires",                                     # new: series pyramid
+    "zipf_fit",                                          # new: vocab power law
     "kcore",                                             # new: dense-core peel
     "ewma_chart",                                        # new: EWMA control chart
     "common_neighbors",                                  # new: link prediction

@@ -1563,3 +1563,36 @@ class TestEwmaFold:
             for x in frame[1:]:
                 acc = acc * 0.75 + x * 0.25
             assert got[t] == acc, t
+
+
+class TestHaarMultires:
+    """Level-L Haar coefficients over a hand series: approx = block
+    sums, detail = left-half minus right-half, pyramid-consistent."""
+
+    def test_hand_series(self, spark):
+        import datetime as dt
+
+        from geomatics_geotk_spark import queries as qmod
+        # direct algebra on a tiny frame via the same expressions
+        from pyspark.sql import functions as F
+        rows = []
+        base = dt.datetime(2024, 1, 1)
+        counts = [3, 1, 4, 1, 5, 9, 2, 6]
+        for i, n in enumerate(counts):
+            for j in range(n):
+                rows.append(("t", base + dt.timedelta(hours=i, minutes=j)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            out = qmod.q_haar_multires(spark, d).collect()
+        got = {(r["level"], r["block"]): (r["approx"], r["detail"])
+               for r in out}
+        eh0 = 473352  # epoch hours of 2024-01-01 00:00 (÷8 aligned)
+        # level 1 blocks pair consecutive hours
+        assert got[(1, (eh0 + 0) // 2)] == (3 + 1, 3 - 1)
+        assert got[(1, (eh0 + 4) // 2)] == (5 + 9, 5 - 9)
+        # level 3: one aligned block over all 8 hours
+        assert got[(3, eh0 // 8)] == (31, (3 + 1 + 4 + 1) - (5 + 9 + 2 + 6))
+        lvl2 = [v for (lv, _), v in got.items() if lv == 2]
+        assert sum(a for a, _ in lvl2) == sum(counts)

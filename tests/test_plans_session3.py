@@ -228,3 +228,22 @@ class TestCorePlans:
         assert "SinglePartition" not in plan
         assert _nodes(plan, "Window") == 1
         assert "Join" not in plan
+
+
+class TestMultiresZipfPlans:
+    def test_haar_one_exchange_no_python(self, spark):
+        df = queries.q_haar_multires(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "Join" not in plan
+        assert "SinglePartition" not in plan
+        # levels explode map-side; series agg + level agg share no extra
+        # data-sized exchange beyond the two hash aggregations
+        assert _nodes(plan, "Exchange") <= 2
+
+    def test_zipf_vocab_frame_window(self, spark):
+        df = queries.q_zipf_fit(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
