@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "ewma_chart",
     "haar_multires",
     "zipf_fit",
+    "variogram",
+    "gap_fill",
+    "survival_km",
 ]
 
 

@@ -5889,6 +5889,246 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of the event-density surface: cells at
+    0.05° carry integer counts; for every cell pair within 5 cells,
+    γ(h) = Σ(v_a − v_b)² / (2·N) by squared-distance band h = dx²+dy²
+    — the kriging precursor that quantifies HOW FAR spatial correlation
+    reaches (Moran's I says whether; the variogram says the range).
+    Numerator sums are BIGINT-exact; one double division rounded 9 dp.
+
+    Shape: the corpus collapses to the ≤(360/0.05)² cell table in ONE
+    map-side-combined exchange; the pair join is a self-join of that
+    bounded SURFACE (never events) with the band predicate inside the
+    join filter."""
+    pts = _event_pts(spark, sf_dir)
+    cells = (
+        pts.select(
+            F.floor(F.col("lon") * F.lit(20.0)).alias("cx"),
+            F.floor(F.col("lat") * F.lit(20.0)).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("v"))
+    )
+    a = cells.select(
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+        F.col("v").alias("va"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.crossJoin(b).where(
+        (
+            (F.col("ax") < F.col("bx"))
+            | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+        )
+        & (F.abs(F.col("ax") - F.col("bx")) <= 5)
+        & (F.abs(F.col("ay") - F.col("by")) <= 5)
+    )
+    band = (
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    d2 = (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+    g = (
+        pairs.select(band.alias("band"), d2.alias("_d2"))
+        .where(F.col("band") <= 25)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_pairs"), F.sum("_d2").alias("_s"))
+    )
+    return g.select(
+        "band", "n_pairs",
+        F.round(
+            F.col("_s").cast("double")
+            / (F.lit(2.0) * F.col("n_pairs").cast("double")),
+            9,
+        ).alias("gamma_r"),
+    )
+
+
+ORACLE_VARIOGRAM = (
+    f"WITH pts AS ({_EVENT_PTS_SQL}), "
+    "cells AS (SELECT CAST(floor(lon * 20.0) AS BIGINT) AS cx, "
+    "CAST(floor(lat * 20.0) AS BIGINT) AS cy, "
+    "CAST(count(*) AS BIGINT) AS v FROM pts GROUP BY 1, 2), "
+    "p AS (SELECT a.v AS va, b.v AS vb, "
+    "(a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS band "
+    "FROM cells a JOIN cells b ON "
+    "(a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy)) "
+    "AND abs(a.cx - b.cx) <= 5 AND abs(a.cy - b.cy) <= 5), "
+    "g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS s "
+    "FROM p WHERE band <= 25 GROUP BY 1) "
+    "SELECT band, n_pairs, "
+    "round(CAST(s AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE)), 9) "
+    "AS gamma_r FROM g"
+)
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill gap repair of each event type's hourly count series:
+    the dense hour grid from the type's first to last hour, observed
+    counts where present, the LAST OBSERVED count carried forward into
+    gaps, with a was_gap flag — the feed-repair step downstream of
+    `coverage_gaps`' detection (a resampler needs a dense series; a
+    silent gap poisons rolling stats).  Integer passthrough — bit-exact.
+
+    Shape: the dense grid explodes map-side from one (min, max) row per
+    type (sequence + explode — series-sized, never corpus rows); the
+    observed series left-joins on (type, hour) and the carry-forward is
+    last(ignorenulls) over the type window — ONE series exchange."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "n",
+            F.expr("unix_micros(hour) div 3600000000").alias("eh"),
+        )
+    )
+    span = c.groupBy("event_type").agg(
+        F.min("eh").alias("_mn"), F.max("eh").alias("_mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("eh"),
+    )
+    j = grid.join(c, ["event_type", "eh"], "left")
+    w = (
+        Window.partitionBy("event_type").orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("n", ignorenulls=True).over(w)
+    return j.select(
+        "event_type", "eh",
+        filled.alias("n_filled"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+ORACLE_GAP_FILL = (
+    "WITH c AS (SELECT event_type, "
+    "epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "span AS (SELECT event_type, min(eh) AS mn, max(eh) AS mx "
+    "FROM c GROUP BY 1), "
+    "grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS eh "
+    "FROM span), "
+    "j AS (SELECT g.event_type, g.eh, c.n FROM grid g "
+    "LEFT JOIN c ON c.event_type = g.event_type AND c.eh = g.eh) "
+    "SELECT event_type, eh, "
+    "last_value(n IGNORE NULLS) OVER (PARTITION BY event_type "
+    "ORDER BY eh ROWS UNBOUNDED PRECEDING) AS n_filled, "
+    "n IS NULL AS was_gap FROM j"
+)
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes: duration = days
+    between a user's first and last event; a user whose (ts, event_id)-
+    last event is an 'error' is a DEATH at that duration, anyone else
+    is censored there — the churn-analysis estimator
+    S(t) = Π_{t'≤t} (1 − d_t'/n_t').  Exactness is the source_kl
+    pattern composed with a cumulative window: every factor is
+    ln(n−d) − ln(d's survivors) of INTEGER counts rounded at 6 dp into
+    DECIMAL, the running product is a DECIMAL cumsum, and S = exp(·)
+    rounds at 9 dp; a band where every at-risk user dies pins S to 0
+    from there on (ln is never fed 0).
+
+    Shape: per-user rollup (one corpus exchange on user_id), then the
+    risk table is |distinct durations| rows — the window runs on that
+    frame."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                               "event_type")
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    per_user = (
+        ev.withColumn("_rk", F.row_number().over(wlast))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("_first"),
+            F.max(F.col("ts").cast("date")).alias("_last"),
+            F.max(
+                F.when(F.col("_rk") == 1,
+                       (F.col("event_type") == "error").cast("int"))
+            ).alias("_died"),
+        )
+        .select(
+            F.datediff("_last", "_first").alias("dur"),
+            F.col("_died").alias("died"),
+        )
+    )
+    risk = per_user.groupBy("dur").agg(
+        F.count("*").alias("_ending"),
+        F.sum("died").alias("n_deaths"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    staged = risk.select(
+        "dur", "n_deaths",
+        (
+            F.sum("_ending").over(wtot)
+            - F.sum("_ending").over(wcum) + F.col("_ending")
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_deaths") < F.col("n_risk"),
+        (
+            F.round(F.log(F.col("n_risk") - F.col("n_deaths")), 6)
+            .cast("decimal(18,6)")
+            - F.round(F.log("n_risk"), 6).cast("decimal(18,6)")
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    zeroed = F.max(
+        (F.col("n_deaths") == F.col("n_risk")).cast("int")
+    ).over(wcum)
+    cum = F.sum(term).over(wcum)
+    out = staged.select(
+        "dur", "n_risk", "n_deaths",
+        F.when(zeroed == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(cum.cast("double")), 9)
+        ).alias("survival_r"),
+    )
+    return out
+
+
+ORACLE_SURVIVAL_KM = (
+    "WITH ev AS (SELECT user_id, ts, event_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rk FROM events), "
+    "pu AS (SELECT user_id, "
+    "date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) "
+    "AS dur, max(CASE WHEN rk = 1 THEN "
+    "CAST(event_type = 'error' AS INTEGER) END) AS died FROM ev "
+    "GROUP BY 1), "
+    "risk AS (SELECT dur, CAST(count(*) AS BIGINT) AS ending, "
+    "CAST(sum(died) AS BIGINT) AS n_deaths FROM pu GROUP BY 1), "
+    "st AS (SELECT dur, n_deaths, "
+    "CAST(sum(ending) OVER () AS BIGINT) "
+    "- CAST(sum(ending) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) + ending AS n_risk FROM risk), "
+    "tm AS (SELECT dur, n_risk, n_deaths, "
+    "CASE WHEN n_deaths < n_risk THEN "
+    "CAST(round(ln(n_risk - n_deaths), 6) AS DECIMAL(18,6)) "
+    "- CAST(round(ln(n_risk), 6) AS DECIMAL(18,6)) "
+    "ELSE CAST(0 AS DECIMAL(18,6)) END AS term, "
+    "CAST(n_deaths = n_risk AS INTEGER) AS z FROM st), "
+    "cm AS (SELECT dur, n_risk, n_deaths, "
+    "CAST(sum(term) OVER w AS DECIMAL(38,6)) AS cum, "
+    "max(z) OVER w AS zeroed FROM tm "
+    "WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)) "
+    "SELECT dur, n_risk, n_deaths, "
+    "CASE WHEN zeroed = 1 THEN 0.0 "
+    "ELSE round(exp(CAST(cum AS DOUBLE)), 9) END AS survival_r FROM cm"
+)
+
+
 def q_haar_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haar multi-resolution rollup of each event type's hourly count
     series — the time-series tile pyramid: for levels 1..4, each
@@ -9504,6 +9744,9 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "variogram": q_variogram,
+    "gap_fill": q_gap_fill,
+    "survival_km": q_survival_km,
     "haar_multires": q_haar_multires,
     "zipf_fit": q_zipf_fit,
     "kcore": q_kcore,
@@ -9724,6 +9967,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "variogram": ORACLE_VARIOGRAM,
+    "gap_fill": ORACLE_GAP_FILL,
+    "survival_km": ORACLE_SURVIVAL_KM,
     "haar_multires": ORACLE_HAAR_MULTIRES,
     "zipf_fit": ORACLE_ZIPF_FIT,
     "kcore": _oracle_kcore(),
@@ -9949,6 +10195,9 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "variogram",                                         # new: semivariogram
+    "gap_fill",                                          # new: forward-fill repair
+    "survival_km",                                       # new: Kaplan-Meier
     "haar_multires",                                     # new: series pyramid
     "zipf_fit",                                          # new: vocab power law
     "kcore",                                             # new: dense-core peel

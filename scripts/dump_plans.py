@@ -549,6 +549,130 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_behavior_entropy(spark, SF)), 25),
     ))
 
+    sections.append((
+        "Hausdorff route matching (hausdorff_routes)",
+        "The 5×20 route dimension folds INLINE per point row (100 "
+        "codegen comparisons — zero joins, zero Python); ONE map-side-"
+        "combined exchange on user_id; argmin over routes is an "
+        "array_min on the aggregated row.",
+        _trim(plans.formatted_plan(queries.q_hausdorff_routes(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "Voronoi site rollup (voronoi_stats)",
+        "The 25-site dimension (bounded driver collect, the clustering-"
+        "centroid pattern) folds inline as an array_min over (d², key) "
+        "structs — no join, no per-event exchange; the ONLY shuffle is "
+        "the ≤25-row per-site rollup.",
+        _trim(plans.formatted_plan(queries.q_voronoi_stats(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "Hexagonal binning (hex_bin)",
+        "Cube-rounded axial hex ids are pure map-side Column math; ONE "
+        "map-side-combined exchange on (q, r); TakeOrderedAndProject "
+        "top-30.",
+        _trim(plans.formatted_plan(queries.q_hex_bin(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "ACF profile (acf_profile)",
+        "All 6 lags share ONE window spec (one exchange + sort of the "
+        "series frame); the lag dimension explodes map-side; moment "
+        "rollup partial-combines on (key, lag).",
+        _trim(plans.formatted_plan(queries.q_acf_profile(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Theil-Sen slope (theil_sen)",
+        "The O(T²) pair generation is a self-equi-join ON THE KEY of "
+        "the series frame (the mann_kendall shape); the lower-median "
+        "window runs on per-key pair lists — series-bounded, never "
+        "corpus-bounded.",
+        _trim(plans.formatted_plan(queries.q_theil_sen(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "CDC merge-apply (cdc_apply)",
+        "ONE window exchange on the business key — the log IS the "
+        "state; no base-table merge join (plan-asserted Join-free).",
+        _trim(plans.formatted_plan(queries.q_cdc_apply(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "Common-neighbor link prediction (common_neighbors)",
+        "Wedge pairs explode MAP-SIDE from sorted midpoint adjacency "
+        "arrays (the basket_pairs shape — no edge self-join); pair "
+        "counts partial-combine; degrees join on the node-sized table; "
+        "TakeOrderedAndProject top-30.",
+        _trim(plans.formatted_plan(queries.q_common_neighbors(spark, SF)), 40),
+    ))
+
+    sections.append((
+        "Bursty vocabulary (token_bursts)",
+        "Explode → map-side partial count on (token, day); totals roll "
+        "up from the vocab×days table, never corpus rows; "
+        "TakeOrderedAndProject (zero Window nodes).",
+        _trim(plans.formatted_plan(queries.q_token_bursts(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "EWMA control chart (ewma_chart)",
+        "The ≤32-element frame array rides the series window's ONE "
+        "exchange; the fold is plan-time JVM codegen (alpha = 0.25 "
+        "binary-exact, bit-identical to DuckDB's list_reduce).",
+        _trim(plans.formatted_plan(queries.q_ewma_chart(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "Haar multi-resolution rollup (haar_multires)",
+        "The 4 levels explode map-side from series rows; ONE map-side-"
+        "combined exchange on (type, level, block) — all-integer "
+        "coefficients.",
+        _trim(plans.formatted_plan(queries.q_haar_multires(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "Zipf tail fit (zipf_fit)",
+        "Token counts partial-combine map-side; the rank window and "
+        "fit moments run on the per-lang top-100 frame — vocabulary-"
+        "sized; decimal-rounded logs make the fit oracle-exact.",
+        _trim(plans.formatted_plan(queries.q_zipf_fit(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Empirical semivariogram (variogram)",
+        "The corpus collapses to the bounded cell surface in ONE "
+        "map-side-combined exchange; the pair join is a "
+        "BroadcastNestedLoopJoin of that surface with the band "
+        "predicate in the join filter — never raw events.",
+        _trim(plans.formatted_plan(queries.q_variogram(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Forward-fill gap repair (gap_fill)",
+        "The dense grid explodes map-side from one (min, max) row per "
+        "type; observed counts left-join on (type, hour); carry-forward "
+        "is last(ignorenulls) over ONE series window.",
+        _trim(plans.formatted_plan(queries.q_gap_fill(spark, SF)), 25),
+    ))
+
+    sections.append((
+        "Kaplan-Meier survival (survival_km)",
+        "Per-user rollup is the one corpus exchange; the cumulative-"
+        "product window runs ONLY on the |distinct durations| risk "
+        "frame (decimal-rounded log folds, exp at the end).",
+        _trim(plans.formatted_plan(queries.q_survival_km(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "k-core peel (kcore)",
+        "Final plan after the bounded driver-side fixpoint loop: the "
+        "degree rollup over the last checkpointed edge set (each round "
+        "was one degree agg + two semi-joins + localCheckpoint).",
+        _trim(plans.formatted_plan(queries.q_kcore(spark, SF)), 15),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"

@@ -247,3 +247,29 @@ class TestMultiresZipfPlans:
         assert _no_python(plan)
         assert "SinglePartition" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGeoStatBatchPlans:
+    def test_variogram_surface_join_no_python(self, spark):
+        df = queries.q_variogram(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        # the self-join runs on the bounded cell SURFACE, which arrives
+        # aggregated (HashAggregate below the join) — never raw events
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_gap_fill_one_series_window(self, spark):
+        df = queries.q_gap_fill(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert _nodes(plan, "Window") == 1
+
+    def test_survival_km_risk_frame_only(self, spark):
+        df = queries.q_survival_km(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        # the global cumulative-product window is allowed ONLY because
+        # it runs on the |distinct durations| risk frame; the corpus
+        # exchange is the per-user rollup
+        assert "CartesianProduct" not in plan
