@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "variogram",
     "gap_fill",
     "survival_km",
+    "leadlag_xcorr",
+    "path_trigrams",
 ]
 
 

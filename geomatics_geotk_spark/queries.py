@@ -5889,6 +5889,128 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation: Pearson r between the CLICK and
+    PURCHASE hourly count series at hour-shifts −6..+6 — does one
+    metric LEAD the other (peak at a nonzero lag) or do they co-move?
+    The cross-series companion of `acf_profile` (self) and
+    `attribution` (per-event): same BIGINT moment algebra, one double
+    √ at the end, NULL on zero variance.
+
+    Shape: both series collapse in the shared (type, hour) exchange;
+    the shift dimension explodes map-side over the CLICK series and
+    the alignment is an equi-join on the shifted epoch-hour — all
+    frames are series-sized."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "n",
+            F.expr("unix_micros(hour) div 3600000000").alias("eh"),
+        )
+    )
+    x = c.where(F.col("event_type") == "click").select(
+        F.col("eh").alias("xeh"), F.col("n").alias("x")
+    )
+    y = c.where(F.col("event_type") == "purchase").select(
+        F.col("eh").alias("yeh"), F.col("n").alias("y")
+    )
+    shifted = x.select(
+        "xeh", "x",
+        F.explode(
+            F.sequence(F.lit(-6), F.lit(6))
+        ).alias("shift"),
+    )
+    p = shifted.join(y, shifted["xeh"] + shifted["shift"] == y["yeh"])
+    m = p.groupBy("shift").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    num = F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den1 = F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den2 = F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.round(
+        num.cast("double")
+        / F.sqrt(den1.cast("double") * den2.cast("double")),
+        9,
+    )
+    return m.select(
+        "shift", "n_pairs",
+        F.when((den1 > 0) & (den2 > 0), r).alias("xcorr_r"),
+    )
+
+
+ORACLE_LEADLAG_XCORR = (
+    "WITH c AS (SELECT event_type, "
+    "epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "x AS (SELECT eh AS xeh, n AS x FROM c WHERE event_type = 'click'), "
+    "y AS (SELECT eh AS yeh, n AS y FROM c "
+    "WHERE event_type = 'purchase'), "
+    "sh AS (SELECT xeh, x, unnest(generate_series(-6, 6)) AS shift "
+    "FROM x), "
+    "p AS (SELECT shift, x, y FROM sh JOIN y ON sh.xeh + sh.shift = y.yeh), "
+    "m AS (SELECT shift, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(y * y) AS BIGINT) AS syy FROM p GROUP BY 1) "
+    "SELECT CAST(shift AS INTEGER) AS shift, n_pairs, "
+    "CASE WHEN n_pairs * sxx - sx * sx > 0 "
+    "AND n_pairs * syy - sy * sy > 0 THEN "
+    "round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) "
+    "* CAST(n_pairs * syy - sy * sy AS DOUBLE)), 9) END AS xcorr_r "
+    "FROM m"
+)
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the 20 most frequent 3-step
+    event-type sequences over per-user (ts, event_id)-ordered streams —
+    the path-mining extension of `event_transitions`' bigrams (a
+    signup→click→purchase path is a conversion motif; error→error→error
+    is a rage loop).
+
+    Shape: two lead() columns share the bigram window's ONE exchange on
+    user_id; trigram counts partial-combine; TakeOrderedAndProject
+    top-20 — no second corpus exchange, no window over the count
+    table."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(20)
+    )
+
+
+ORACLE_PATH_TRIGRAMS = (
+    "WITH s AS (SELECT user_id, event_type AS step1, "
+    "lead(event_type, 1) OVER w AS step2, "
+    "lead(event_type, 2) OVER w AS step3 FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n "
+    "FROM s WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 "
+    "ORDER BY n DESC, step1, step2, step3 LIMIT 20"
+)
+
+
 def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical semivariogram of the event-density surface: cells at
     0.05° carry integer counts; for every cell pair within 5 cells,
@@ -9744,6 +9866,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "leadlag_xcorr": q_leadlag_xcorr,
+    "path_trigrams": q_path_trigrams,
     "variogram": q_variogram,
     "gap_fill": q_gap_fill,
     "survival_km": q_survival_km,
@@ -9967,6 +10091,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "leadlag_xcorr": ORACLE_LEADLAG_XCORR,
+    "path_trigrams": ORACLE_PATH_TRIGRAMS,
     "variogram": ORACLE_VARIOGRAM,
     "gap_fill": ORACLE_GAP_FILL,
     "survival_km": ORACLE_SURVIVAL_KM,
@@ -10195,6 +10321,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "leadlag_xcorr",                                     # new: lead-lag xcorr
+    "path_trigrams",                                     # new: journey motifs
     "variogram",                                         # new: semivariogram
     "gap_fill",                                          # new: forward-fill repair
     "survival_km",                                       # new: Kaplan-Meier

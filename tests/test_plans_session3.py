@@ -273,3 +273,19 @@ class TestGeoStatBatchPlans:
         # it runs on the |distinct durations| risk frame; the corpus
         # exchange is the per-user rollup
         assert "CartesianProduct" not in plan
+
+
+class TestLeadLagPathPlans:
+    def test_leadlag_series_frames_only(self, spark):
+        df = queries.q_leadlag_xcorr(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+
+    def test_path_trigrams_one_window_takeordered(self, spark):
+        df = queries.q_path_trigrams(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert _nodes(plan, "Window") == 1  # both leads share the spec
+        assert "TakeOrderedAndProject" in plan
