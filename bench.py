@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "survival_km",
     "leadlag_xcorr",
     "path_trigrams",
+    "mad_outliers",
+    "anomaly_drilldown",
 ]
 
 

@@ -5889,6 +5889,137 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type: the
+    robust-statistics companion of `robust_stats`' winsorized moments —
+    med and MAD are 50%-breakdown estimators, so a contaminated feed
+    cannot drag its own fences the way 3σ rules do.  Flags values with
+    |v − med| > 3·MAD.  Both quantiles are `percentile`/`quantile_cont`
+    mirrors rounded at 6 dp (the group_quantiles convention); every
+    comparison then runs on identical doubles.
+
+    Shape: three passes over the keyed corpus (median → deviations+MAD
+    → fence count), each ONE map-side-combined agg on event_type with
+    the 5-row med/MAD tables broadcast back — no window over corpus
+    rows.  At 100 TB swap percentile for percentile_approx (the
+    group_quantiles split) — the operator contract keeps the fence
+    rule, only the estimator changes."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_r")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_r",
+        F.abs(F.col("value") - F.col("med_r")).alias("_dev"),
+    )
+    a = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("med_r").alias("med_r"),
+        F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("mad_r"),
+    )
+    fenced = d.join(F.broadcast(a.select("event_type", "n", "mad_r")),
+                    "event_type")
+    return (
+        fenced.groupBy("event_type", "n", "mad_r")
+        .agg(
+            F.sum(
+                F.when(F.col("_dev") > 3 * F.col("mad_r"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "n", "med_r", "mad_r", "n_outliers")
+    )
+
+
+ORACLE_MAD_OUTLIERS = (
+    "WITH m AS (SELECT event_type, "
+    "round(quantile_cont(value, 0.5), 6) AS med_r FROM events GROUP BY 1), "
+    "d AS (SELECT e.event_type, m.med_r, "
+    "abs(e.value - m.med_r) AS dev FROM events e JOIN m USING (event_type)), "
+    "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "max(med_r) AS med_r, round(quantile_cont(dev, 0.5), 6) AS mad_r "
+    "FROM d GROUP BY 1) "
+    "SELECT a.event_type, a.n, a.med_r, a.mad_r, "
+    "CAST(sum(CASE WHEN d.dev > 3 * a.mad_r THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_outliers FROM d JOIN a USING (event_type) "
+    "GROUP BY 1, 2, 3, 4"
+)
+
+
+def q_anomaly_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm drill-down: for the 5 strongest rate-anomaly hours
+    (`rate_anomaly`'s |z| ranking), the top-3 contributing users with
+    their share of the hour's volume — the triage view an on-call
+    engineer opens next (one scraper account, or organic load?).
+    Operator COMPOSITION: the z-score series machinery feeds a
+    broadcast semi-join back onto raw events; integer counts, one
+    mirrored share division.
+
+    Shape: the alarm table is ≤5 rows (broadcast); events join it
+    map-side, user counts partial-combine on (type, hour, user), and
+    the top-3 window ranks only each alarm hour's user frame."""
+    from .operators import stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    z = stats.rolling_zscore(c, ["event_type"], "hour", "n",
+                             trailing=24, min_obs=12)
+    al = (
+        z.orderBy(F.abs(F.col("z")).desc(), "event_type", "hour")
+        .limit(5)
+        .select("event_type", "hour", F.col("n").alias("n_hour"), "z")
+    )
+    uc = (
+        ev.join(F.broadcast(al), ["event_type", "hour"])
+        .groupBy("event_type", "hour", "n_hour", "z", "user_id")
+        .agg(F.count("*").alias("n_user"))
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("n_user"), F.asc("user_id")
+    )
+    return (
+        uc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "event_type", "hour", "z", "rk", "user_id", "n_user", "n_hour",
+            F.round(
+                F.col("n_user").cast("double")
+                / F.col("n_hour").cast("double"), 9
+            ).alias("share_r"),
+        )
+    )
+
+
+ORACLE_ANOMALY_DRILLDOWN = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "w AS (SELECT event_type, hour, n, "
+    "CAST(count(*) OVER fr AS BIGINT) AS n_base, "
+    "CAST(sum(n) OVER fr AS BIGINT) AS sum_base, "
+    "CAST(sum(n * n) OVER fr AS BIGINT) AS ss FROM c "
+    "WINDOW fr AS (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), "
+    "al AS (SELECT event_type, hour, n AS n_hour, "
+    "CAST(n * n_base - sum_base AS DOUBLE) "
+    "/ sqrt(CAST(n_base * ss - sum_base * sum_base AS DOUBLE)) AS z "
+    "FROM w WHERE n_base >= 12 AND n_base * ss - sum_base * sum_base > 0 "
+    "ORDER BY abs(z) DESC, event_type, hour LIMIT 5), "
+    "uc AS (SELECT e.event_type, al.hour, al.n_hour, al.z, e.user_id, "
+    "CAST(count(*) AS BIGINT) AS n_user FROM events e "
+    "JOIN al ON al.event_type = e.event_type "
+    "AND al.hour = date_trunc('hour', e.ts) GROUP BY 1, 2, 3, 4, 5), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hour "
+    "ORDER BY n_user DESC, user_id ASC) AS rk FROM uc) "
+    "SELECT event_type, hour, z, CAST(rk AS INTEGER) AS rk, user_id, "
+    "n_user, n_hour, "
+    "round(CAST(n_user AS DOUBLE) / CAST(n_hour AS DOUBLE), 9) AS share_r "
+    "FROM r WHERE rk <= 3"
+)
+
+
 def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead–lag cross-correlation: Pearson r between the CLICK and
     PURCHASE hourly count series at hour-shifts −6..+6 — does one
@@ -9866,6 +9997,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "mad_outliers": q_mad_outliers,
+    "anomaly_drilldown": q_anomaly_drilldown,
     "leadlag_xcorr": q_leadlag_xcorr,
     "path_trigrams": q_path_trigrams,
     "variogram": q_variogram,
@@ -10091,6 +10224,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "anomaly_drilldown": ORACLE_ANOMALY_DRILLDOWN,
     "leadlag_xcorr": ORACLE_LEADLAG_XCORR,
     "path_trigrams": ORACLE_PATH_TRIGRAMS,
     "variogram": ORACLE_VARIOGRAM,
@@ -10321,6 +10456,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "mad_outliers",                                      # new: MAD fences
+    "anomaly_drilldown",                                 # new: alarm triage
     "leadlag_xcorr",                                     # new: lead-lag xcorr
     "path_trigrams",                                     # new: journey motifs
     "variogram",                                         # new: semivariogram

@@ -289,3 +289,20 @@ class TestLeadLagPathPlans:
         assert "SinglePartition" not in plan
         assert _nodes(plan, "Window") == 1  # both leads share the spec
         assert "TakeOrderedAndProject" in plan
+
+
+class TestRobustDrilldownPlans:
+    def test_mad_no_corpus_window(self, spark):
+        df = queries.q_mad_outliers(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "Window" not in plan  # quantiles via agg path, not ranking
+        assert _nodes(plan, "BroadcastHashJoin") >= 2
+
+    def test_drilldown_alarm_broadcast(self, spark):
+        df = queries.q_anomaly_drilldown(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        # the <=5-row alarm table must arrive broadcast at the events join
+        assert "BroadcastHashJoin" in plan
