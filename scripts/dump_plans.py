@@ -673,6 +673,37 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_kcore(spark, SF)), 15),
     ))
 
+    sections.append((
+        "Lead-lag cross-correlation (leadlag_xcorr)",
+        "Both series collapse in the shared (type, hour) exchange; the "
+        "13 shifts explode map-side over the click series; alignment is "
+        "an equi-join on shifted epoch-hours — all series-sized frames.",
+        _trim(plans.formatted_plan(queries.q_leadlag_xcorr(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "Journey trigram mining (path_trigrams)",
+        "Two lead() columns share ONE window exchange on user_id; "
+        "trigram counts partial-combine; TakeOrderedAndProject top-20.",
+        _trim(plans.formatted_plan(queries.q_path_trigrams(spark, SF)), 15),
+    ))
+
+    sections.append((
+        "MAD outlier fences (mad_outliers)",
+        "Three agg passes on event_type with 5-row med/MAD tables "
+        "broadcast back — quantiles via the AGG path (plan-asserted "
+        "zero Window nodes), never a corpus ranking.",
+        _trim(plans.formatted_plan(queries.q_mad_outliers(spark, SF)), 30),
+    ))
+
+    sections.append((
+        "Rate-alarm drilldown (anomaly_drilldown)",
+        "The ≤5-row alarm table broadcasts into the events join; user "
+        "counts partial-combine on (type, hour, user); the top-3 window "
+        "ranks only each alarm hour's user frame.",
+        _trim(plans.formatted_plan(queries.q_anomaly_drilldown(spark, SF)), 35),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
