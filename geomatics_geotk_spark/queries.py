@@ -6150,10 +6150,20 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches (Moran's I says whether; the variogram says the range).
     Numerator sums are BIGINT-exact; one double division rounded 9 dp.
 
-    Shape: the corpus collapses to the ≤(360/0.05)² cell table in ONE
-    map-side-combined exchange; the pair join is a self-join of that
-    bounded SURFACE (never events) with the band predicate inside the
-    join filter."""
+    Shape: the corpus collapses to the cell surface in ONE map-side-
+    combined exchange; each cell then explodes its 40 CANONICAL offset
+    probes (the lexicographically-positive half of the ≤5-cell
+    neighborhood, band ≤ 25) and pairs form by EQUI-join on the probed
+    coordinate — O(cells·56) rows through a hash join, never a
+    cell-table self-cross (a planet-wide 0.05° surface is ~2.6·10⁷
+    cells: the cross would be 10¹⁴ compares; the probe join is ~10⁹ rows).  Empty-cell pairs contribute nothing, matching the
+    pairs-of-observed-cells estimator the oracle replays."""
+    offsets = [
+        (dx, dy)
+        for dx in range(0, 6)
+        for dy in range(-5, 6)
+        if (dx > 0 or dy > 0) and dx * dx + dy * dy <= 25
+    ]
     pts = _event_pts(spark, sf_dir)
     cells = (
         pts.select(
@@ -6163,30 +6173,27 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cx", "cy")
         .agg(F.count("*").alias("v"))
     )
-    a = cells.select(
-        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+    probes = cells.select(
         F.col("v").alias("va"),
-    )
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + F.lit(dx)).alias("bx"),
+                    (F.col("cy") + F.lit(dy)).alias("by"),
+                    F.lit(dx * dx + dy * dy).cast("long").alias("band"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("p"),
+    ).select("va", "p.bx", "p.by", "p.band")
     b = cells.select(
         F.col("cx").alias("bx"), F.col("cy").alias("by"),
         F.col("v").alias("vb"),
     )
-    pairs = a.crossJoin(b).where(
-        (
-            (F.col("ax") < F.col("bx"))
-            | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
-        )
-        & (F.abs(F.col("ax") - F.col("bx")) <= 5)
-        & (F.abs(F.col("ay") - F.col("by")) <= 5)
-    )
-    band = (
-        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
-    )
+    pairs = probes.join(b, ["bx", "by"])
     d2 = (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
     g = (
-        pairs.select(band.alias("band"), d2.alias("_d2"))
-        .where(F.col("band") <= 25)
+        pairs.select("band", d2.alias("_d2"))
         .groupBy("band")
         .agg(F.count("*").alias("n_pairs"), F.sum("_d2").alias("_s"))
     )

@@ -250,13 +250,14 @@ class TestMultiresZipfPlans:
 
 
 class TestGeoStatBatchPlans:
-    def test_variogram_surface_join_no_python(self, spark):
+    def test_variogram_probe_equi_join_no_python(self, spark):
         df = queries.q_variogram(spark, SF)
         plan = plans.formatted_plan(df)
         assert _no_python(plan)
-        # the self-join runs on the bounded cell SURFACE, which arrives
-        # aggregated (HashAggregate below the join) — never raw events
-        assert "BroadcastNestedLoopJoin" in plan
+        # offset probes pair via an EQUI-join on the probed coordinate —
+        # a cell-surface self-cross (BNLJ/Cartesian) is the regression
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
 
     def test_gap_fill_one_series_window(self, spark):
         df = queries.q_gap_fill(spark, SF)
