@@ -203,3 +203,15 @@ class TestRelationalPlans:
         # the == form would hash (partkey, price) on both fact sides
         assert not re.search(r"hashpartitioning\([^)]*price", plan), plan
         assert _no_python(plan)
+
+
+class TestZipfWindowLimit:
+    def test_zipf_rank_pushes_window_group_limit(self, spark):
+        """The rank<=100 filter must reach the vocab window as a
+        WindowGroupLimit so the per-lang sort carries top-100 partials,
+        not the full 10^8-token vocabulary (same contract as
+        vocab_topk/tfidf_topk — a Spark upgrade must not regress it)."""
+        from geomatics_geotk_spark import queries as q
+        plan = plans.formatted_plan(q.q_zipf_fit(spark, SF))
+        assert _nodes(plan, "WindowGroupLimit") >= 1
+        assert _no_python(plan)
