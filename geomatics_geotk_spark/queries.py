@@ -6495,7 +6495,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = nn * sxx - sx * sx
     slope = F.round(num / den, 9)
     intercept = F.round((sy - (num / den) * sx) / nn, 9)
-    return m.select(
+    # a degenerate vocabulary (<3 ranks) has no fittable tail — drop it
+    # rather than emit an Inf/NaN slope from a zero denominator
+    return m.where(F.col("n_ranks") >= 3).select(
         "lang", "n_ranks", slope.alias("zipf_slope_r"),
         intercept.alias("intercept_r"),
     )
@@ -6517,7 +6519,7 @@ ORACLE_ZIPF_FIT = (
     "CAST(sum(y) AS DECIMAL(38,6)) AS sy, "
     "CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy, "
     "CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx "
-    "FROM s GROUP BY 1), "
+    "FROM s GROUP BY 1 HAVING count(*) >= 3), "
     "d AS (SELECT lang, n_ranks, CAST(n_ranks AS DOUBLE) AS nd, "
     "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
     "CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM m) "
