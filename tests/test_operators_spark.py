@@ -1596,3 +1596,48 @@ class TestHaarMultires:
         assert got[(3, eh0 // 8)] == (31, (3 + 1 + 4 + 1) - (5 + 9 + 2 + 6))
         lvl2 = [v for (lv, _), v in got.items() if lv == 2]
         assert sum(a for a, _ in lvl2) == sum(counts)
+
+
+class TestHexBinRounding:
+    """Cube-rounding invariants on the hex_bin expressions: every point
+    maps to hex axial coords whose cube form sums to zero, and the
+    assigned hex center is the nearest of all hexes (spot-checked on a
+    random cloud against a numpy re-implementation)."""
+
+    def test_matches_numpy_cube_round(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark import queries as qmod
+        import tempfile
+
+        rng = np.random.default_rng(13)
+        # synthesize events whose derived positions tile the box densely
+        rows = [(int(i),) for i in rng.integers(0, 100000, size=400)]
+        df = spark.createDataFrame(rows, "event_id long").select(
+            "event_id", F.lit(1).alias("user_id"),
+            F.current_timestamp().alias("ts"),
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            out = qmod.q_hex_bin(spark, d).collect()
+            pts = qmod._event_pts(spark, d).select("lon", "lat").collect()
+        # numpy reference cube rounding
+        inv_sqrt3, s = 0.5773502691896258, 20.0
+        counts = {}
+        for r in pts:
+            qf = (r["lon"] * inv_sqrt3 - r["lat"] / 3.0) * s
+            rf = (r["lat"] * 2.0 / 3.0) * s
+            yf = -qf - rf
+            rx, ry, rz = (np.floor(qf + .5), np.floor(yf + .5),
+                          np.floor(rf + .5))
+            dx, dy, dz = abs(rx - qf), abs(ry - yf), abs(rz - rf)
+            if dx > dy and dx > dz:
+                rx = -ry - rz
+            elif dy > dz:
+                ry = -rx - rz
+            else:
+                rz = -rx - ry
+            counts[(int(rx), int(rz))] = counts.get((int(rx), int(rz)), 0) + 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1],) + kv[0])[:30]
+        got = [((r["hex_q"], r["hex_r"]), r["n_events"]) for r in out]
+        assert got == [(k, v) for k, v in want]
