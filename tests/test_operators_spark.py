@@ -1641,3 +1641,94 @@ class TestHexBinRounding:
         want = sorted(counts.items(), key=lambda kv: (-kv[1],) + kv[0])[:30]
         got = [((r["hex_q"], r["hex_r"]), r["n_events"]) for r in out]
         assert got == [(k, v) for k, v in want]
+
+
+class TestSurvivalKm:
+    """Kaplan-Meier over a hand-built cohort: risk sets shrink by
+    earlier endings, factors multiply only where deaths occur, and a
+    full-death band pins the curve to zero."""
+
+    def _run(self, spark, users):
+        """users: list of (user_id, dur_days, died) synthesized as
+        events with first ts 2024-01-01 and last ts offset by dur."""
+        import datetime as dt
+        import tempfile
+
+        from geomatics_geotk_spark import queries as qmod
+        base = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for uid, dur, died in users:
+            rows.append((eid, uid, base, "view", 1.0))
+            eid += 1
+            last_type = "error" if died else "click"
+            rows.append((eid, uid, base + dt.timedelta(days=dur),
+                         last_type, 1.0))
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double")
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            return {r["dur"]: r for r in
+                    qmod.q_survival_km(spark, d).collect()}
+
+    def test_textbook_curve(self, spark):
+        import math
+        # durations: 2 (1 death of 2 ending), 5 (1 death), 8 (censored)
+        users = [(1, 2, True), (2, 2, False), (3, 5, True), (4, 8, False)]
+        got = self._run(spark, users)
+        assert got[2]["n_risk"] == 4 and got[2]["n_deaths"] == 1
+        assert got[5]["n_risk"] == 2 and got[5]["n_deaths"] == 1
+        assert got[8]["n_risk"] == 1 and got[8]["n_deaths"] == 0
+        # S(2) = 3/4; S(5) = 3/4 * 1/2; S(8) unchanged (no death)
+        def ref(*terms):
+            s = sum(round(math.log(n - d), 6) - round(math.log(n), 6)
+                    for n, d in terms)
+            return round(math.exp(round(s, 6)), 9)
+        assert got[2]["survival_r"] == ref((4, 1))
+        assert got[5]["survival_r"] == ref((4, 1), (2, 1))
+        assert got[8]["survival_r"] == ref((4, 1), (2, 1))
+
+    def test_total_death_band_zeroes(self, spark):
+        users = [(1, 3, True), (2, 3, True), (3, 1, False)]
+        got = self._run(spark, users)
+        # at dur=3 every remaining user dies -> S pinned to 0
+        assert got[3]["survival_r"] == 0.0
+
+
+class TestLeadLagXcorr:
+    """Cross-correlation vs numpy on a planted lead: y = x shifted by
+    +2 hours ⇒ the peak sits exactly at shift +2 with r ≈ 1."""
+
+    def test_planted_lead(self, spark):
+        import datetime as dt
+        import tempfile
+
+        import numpy as np
+
+        from geomatics_geotk_spark import queries as qmod
+        rng = np.random.default_rng(4)
+        base = dt.datetime(2024, 1, 1)
+        x = rng.integers(1, 30, size=48)
+        rows, eid = [], 0
+        for h, n in enumerate(x):
+            for _ in range(int(n)):            # clicks at hour h
+                rows.append((eid, 1, base + dt.timedelta(hours=h),
+                             "click", 1.0))
+                eid += 1
+            for _ in range(int(n)):            # purchases 2h later
+                rows.append((eid, 1, base + dt.timedelta(hours=h + 2),
+                             "purchase", 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double")
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            got = {r["shift"]: r["xcorr_r"] for r in
+                   qmod.q_leadlag_xcorr(spark, d).collect()}
+        assert got[2] == 1.0
+        assert all(v is None or v < 1.0
+                   for s, v in got.items() if s != 2)
