@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "path_trigrams",
     "mad_outliers",
     "anomaly_drilldown",
+    "markov_stationary",
+    "seasonality_profile",
+    "assortativity",
 ]
 
 

@@ -5889,6 +5889,223 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: 12
+    decimal-fixed-point power iterations π ← πP over the event-type
+    transition matrix (`event_transitions`' counts row-normalized) —
+    the long-run behavioral mix the chain converges to, independent of
+    where users start.  Exactness is the pagerank recipe at matrix
+    scale: every iteration's terms are round(π·p, 12) DECIMALs summed
+    exactly (order-independent), so 12 iterations land on identical
+    decimals in any engine; p itself is one rational double n/r shared
+    by both sides.
+
+    Shape: the chain is |event types|² rows — every iteration is a
+    tiny broadcast join + agg; the ONLY corpus-sized work is the one
+    transition-count window `event_transitions` already pays."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    cnt = tr.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("r"))
+    p = cnt.join(tot, "from_type").select(
+        "from_type", "to_type",
+        (F.col("n").cast("double") / F.col("r").cast("double")).alias("p"),
+    ).localCheckpoint()
+    pi = tot.select(
+        F.col("from_type").alias("state"),
+        F.lit("0.200000000000").cast("decimal(20,12)").alias("pi"),
+    )
+    n_states = pi.count()
+    if n_states != 5:  # the uniform-π/5 literal is the oracle contract
+        raise ValueError(
+            f"markov_stationary: expected the 5-type chain, got {n_states}"
+        )
+    for _ in range(12):
+        term = (
+            pi.join(p, pi["state"] == p["from_type"])
+            .select(
+                F.col("to_type").alias("state"),
+                F.round(
+                    F.col("pi").cast("double") * F.col("p"), 12
+                ).cast("decimal(20,12)").alias("_t"),
+            )
+        )
+        pi = term.groupBy("state").agg(
+            F.sum("_t").cast("decimal(20,12)").alias("pi")
+        )
+    return pi.select(
+        "state", F.col("pi").cast("double").alias("pi_r")
+    )
+
+
+def _oracle_markov_stationary(iters: int = 12) -> str:
+    parts = [
+        "WITH tr AS (SELECT lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS from_type, "
+        "event_type AS to_type FROM events), "
+        "cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS r "
+        "FROM cnt GROUP BY 1), "
+        "p AS MATERIALIZED (SELECT cnt.from_type, cnt.to_type, "
+        "CAST(n AS DOUBLE) / CAST(r AS DOUBLE) AS p "
+        "FROM cnt JOIN tot USING (from_type)), "
+        "pi0 AS (SELECT from_type AS state, "
+        "CAST('0.200000000000' AS DECIMAL(20,12)) AS pi FROM tot)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"pi{i + 1} AS MATERIALIZED (SELECT p.to_type AS state, "
+            f"CAST(sum(CAST(round(CAST(pi{i}.pi AS DOUBLE) * p.p, 12) "
+            f"AS DECIMAL(20,12))) AS DECIMAL(20,12)) AS pi "
+            f"FROM pi{i} JOIN p ON p.from_type = pi{i}.state GROUP BY 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT state, CAST(pi AS DOUBLE) AS pi_r FROM pi{iters}"
+    )
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality heatmap: event share by (type, day-of-week,
+    hour-of-day) — the weekly rhythm a capacity planner or
+    anomaly-baseline needs (rate_anomaly's trailing window deliberately
+    forgets it).  Day-of-week computes as (epoch_days + 4) mod 7
+    (0 = Sunday) — pure integer arithmetic, immune to the engines'
+    different DAYOFWEEK numbering conventions.  One map-side-combined
+    exchange on the 7·24·|types| key space; shares are one mirrored
+    double division."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.unix_date(F.col("ts").cast("date")) + F.lit(4), F.lit(7))
+        .alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    c = ev.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("_t"))
+    return c.join(tot, "event_type").select(
+        "event_type", "dow", "hod", "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_t").cast("double"), 9
+        ).alias("share_r"),
+    )
+
+
+ORACLE_SEASONALITY_PROFILE = (
+    "WITH e AS (SELECT event_type, "
+    "(CAST(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400000000 "
+    "AS BIGINT) + 4) % 7 AS dow, "
+    "CAST(hour(ts) AS INTEGER) AS hod FROM events), "
+    "c AS (SELECT event_type, dow, hod, CAST(count(*) AS BIGINT) AS n "
+    "FROM e GROUP BY 1, 2, 3), "
+    "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt "
+    "FROM c GROUP BY 1) "
+    "SELECT c.event_type, c.dow, c.hod, c.n, "
+    "round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 9) AS share_r "
+    "FROM c JOIN t USING (event_type)"
+)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the doc link graph: Pearson r of the
+    endpoint degrees over all directed stubs (each undirected edge
+    counted both ways — the standard Newman estimator) — do hubs link
+    hubs (assortative, r>0) or periphery (disassortative, r<0)?  The
+    graph-QC scalar completing `clustering_coeff` (local) and `kcore`
+    (mesoscale).  BIGINT moment sums; one double formula mirrored."""
+    from .operators import graph  # noqa: F401  (family anchor)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("_n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n_df))
+        .select(
+            "doc_id", "_n",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 7919 + j * 104729 + 13) % _n").alias("dst"),
+        )
+    )
+    ce = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = ce.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
+        ce.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    stubs = (
+        adj.join(deg.withColumnRenamed("node", "node"), "node")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.select(F.col("node").alias("nb"), F.col("d").alias("y")),
+            "nb",
+        )
+    )
+    m = stubs.agg(
+        F.count("*").alias("n_stubs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    num = F.col("n_stubs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den1 = F.col("n_stubs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den2 = F.col("n_stubs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.round(
+        num.cast("double")
+        / F.sqrt(den1.cast("double") * den2.cast("double")),
+        9,
+    )
+    return m.select(
+        "n_stubs",
+        F.when((den1 > 0) & (den2 > 0), r).alias("assortativity_r"),
+    )
+
+
+ORACLE_ASSORTATIVITY = (
+    "WITH nn AS (SELECT count(*) AS n FROM documents), "
+    "lanes AS (SELECT unnest([0, 1, 2]) AS j), "
+    "ed AS (SELECT doc_id AS src, (doc_id * 7919 + j * 104729 + 13) % n "
+    "AS dst FROM documents CROSS JOIN nn CROSS JOIN lanes), "
+    "ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM ed WHERE src <> dst), "
+    "adj AS (SELECT a AS node, b AS nb FROM ce "
+    "UNION ALL SELECT b, a FROM ce), "
+    "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d "
+    "FROM adj GROUP BY 1), "
+    "st AS (SELECT dx.d AS x, dy.d AS y FROM adj "
+    "JOIN deg dx ON dx.node = adj.node JOIN deg dy ON dy.node = adj.nb), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n_stubs, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(y * y) AS BIGINT) AS syy FROM st) "
+    "SELECT n_stubs, "
+    "CASE WHEN n_stubs * sxx - sx * sx > 0 "
+    "AND n_stubs * syy - sy * sy > 0 THEN "
+    "round(CAST(n_stubs * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n_stubs * sxx - sx * sx AS DOUBLE) "
+    "* CAST(n_stubs * syy - sy * sy AS DOUBLE)), 9) END "
+    "AS assortativity_r FROM m"
+)
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier screen per event type: the
     robust-statistics companion of `robust_stats`' winsorized moments —
@@ -10006,6 +10223,9 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "markov_stationary": q_markov_stationary,
+    "seasonality_profile": q_seasonality_profile,
+    "assortativity": q_assortativity,
     "mad_outliers": q_mad_outliers,
     "anomaly_drilldown": q_anomaly_drilldown,
     "leadlag_xcorr": q_leadlag_xcorr,
@@ -10233,6 +10453,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "markov_stationary": _oracle_markov_stationary(),
+    "seasonality_profile": ORACLE_SEASONALITY_PROFILE,
+    "assortativity": ORACLE_ASSORTATIVITY,
     "mad_outliers": ORACLE_MAD_OUTLIERS,
     "anomaly_drilldown": ORACLE_ANOMALY_DRILLDOWN,
     "leadlag_xcorr": ORACLE_LEADLAG_XCORR,
@@ -10465,6 +10688,9 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "markov_stationary",                                 # new: chain fixed point
+    "seasonality_profile",                               # new: weekly rhythm
+    "assortativity",                                     # new: graph QC scalar
     "mad_outliers",                                      # new: MAD fences
     "anomaly_drilldown",                                 # new: alarm triage
     "leadlag_xcorr",                                     # new: lead-lag xcorr

@@ -1732,3 +1732,31 @@ class TestLeadLagXcorr:
         assert got[2] == 1.0
         assert all(v is None or v < 1.0
                    for s, v in got.items() if s != 2)
+
+
+class TestMarkovStationary:
+    """12 decimal power iterations converge to the true stationary
+    distribution of the fixture chain (cross-checked vs numpy
+    eigenvector to 1e-6) and sum to ~1."""
+
+    def test_matches_eigen(self, spark):
+        import numpy as np
+
+        from geomatics_geotk_spark import queries as qmod
+        SF = "/root/testdata/sf0.001"
+        out = {r["state"]: r["pi_r"] for r in
+               qmod.q_markov_stationary(spark, SF).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+        # rebuild P from the same transition counts
+        tr = {(r["from_type"], r["to_type"]): r["n"] for r in
+              qmod.q_event_transitions(spark, SF).collect()}
+        states = sorted(out)
+        P = np.zeros((len(states), len(states)))
+        for (a, b), n in tr.items():
+            P[states.index(a), states.index(b)] = n
+        P = P / P.sum(axis=1, keepdims=True)
+        vals, vecs = np.linalg.eig(P.T)
+        v = np.real(vecs[:, np.argmax(np.real(vals))])
+        v = v / v.sum()
+        for i, s in enumerate(states):
+            assert abs(out[s] - v[i]) < 1e-6, s

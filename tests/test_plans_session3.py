@@ -307,3 +307,18 @@ class TestRobustDrilldownPlans:
         assert "CartesianProduct" not in plan
         # the <=5-row alarm table must arrive broadcast at the events join
         assert "BroadcastHashJoin" in plan
+
+
+class TestChainSeasonAssortPlans:
+    def test_seasonality_one_data_exchange(self, spark):
+        df = queries.q_seasonality_profile(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_assortativity_no_python(self, spark):
+        df = queries.q_assortativity(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
