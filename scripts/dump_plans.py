@@ -704,6 +704,29 @@ substring greps):
         _trim(plans.formatted_plan(queries.q_anomaly_drilldown(spark, SF)), 35),
     ))
 
+    sections.append((
+        "Markov stationary mix (markov_stationary)",
+        "The only corpus-sized work is the transition-count window; 12 "
+        "fixed-point iterations run as tiny broadcast joins + decimal "
+        "aggs over the |types|² chain (plan shown: final iteration).",
+        _trim(plans.formatted_plan(queries.q_markov_stationary(spark, SF)), 20),
+    ))
+
+    sections.append((
+        "Calendar seasonality (seasonality_profile)",
+        "Integer (epoch_days+4)%7 day-of-week sidesteps engine "
+        "DAYOFWEEK conventions; ONE map-side-combined exchange on the "
+        "7·24·|types| key space; totals join type-sized.",
+        _trim(plans.formatted_plan(queries.q_seasonality_profile(spark, SF)), 20),
+    ))
+
+    sections.append((
+        "Degree assortativity (assortativity)",
+        "Stub frame = adjacency ⋈ degrees (node-sized) twice; one "
+        "global BIGINT moment agg; the Pearson scalar folds at the end.",
+        _trim(plans.formatted_plan(queries.q_assortativity(spark, SF)), 30),
+    ))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — Catalyst physical plans of the scale-critical operators\n\n"
