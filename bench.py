@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "markov_stationary",
     "seasonality_profile",
     "assortativity",
+    "audience_overlap",
+    "series_peaks",
 ]
 
 

@@ -5889,6 +5889,126 @@ ORACLE_HEX_BIN = (
 )
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every ordered pair of event types,
+    how many users perform both, with the Jaccard of their audiences —
+    the cross-feature co-engagement view next to `source_overlap`'s
+    vocabulary version (here the SETS are users, not tokens).  Integer
+    counts, one mirrored division.
+
+    Shape: the corpus collapses to distinct (type, user) rows in ONE
+    exchange; the pair join runs on that membership frame keyed by
+    user (each user contributes |their types|² ≤ 25 pairs map-side
+    after a per-user collect_set — never a corpus self-join)."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    membership = ev.distinct()
+    per_user = membership.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(types) - 2), "
+                "i -> transform(sequence(i + 1, size(types) - 1), "
+                "j -> struct(types[i] AS type_a, types[j] AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    both = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_both")
+    )
+    aud = membership.groupBy("event_type").agg(
+        F.count("*").alias("n_aud")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"),
+                   F.col("n_aud").alias("aud_a"))
+    b = aud.select(F.col("event_type").alias("type_b"),
+                   F.col("n_aud").alias("aud_b"))
+    return (
+        both.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "aud_a", "aud_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("aud_a") + F.col("aud_b") - F.col("n_both"))
+                .cast("double"),
+                9,
+            ).alias("jaccard_r"),
+        )
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = (
+    "WITH m AS (SELECT DISTINCT event_type, user_id FROM events), "
+    "p AS (SELECT x.event_type AS type_a, y.event_type AS type_b "
+    "FROM m x JOIN m y ON y.user_id = x.user_id "
+    "AND x.event_type < y.event_type), "
+    "b AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_both "
+    "FROM p GROUP BY 1, 2), "
+    "aud AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_aud "
+    "FROM m GROUP BY 1) "
+    "SELECT b.type_a, b.type_b, b.n_both, "
+    "xa.n_aud AS aud_a, xb.n_aud AS aud_b, "
+    "round(CAST(b.n_both AS DOUBLE) "
+    "/ CAST(xa.n_aud + xb.n_aud - b.n_both AS DOUBLE), 9) AS jaccard_r "
+    "FROM b JOIN aud xa ON xa.event_type = b.type_a "
+    "JOIN aud xb ON xb.event_type = b.type_b"
+)
+
+
+def q_series_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the hourly rate series: hours whose
+    count strictly exceeds BOTH neighbors and is ≥ 2× the 24-hour
+    trailing mean (integer-cleared: 24·n > 2·trailing_sum with a full
+    baseline) — the discrete-event companion of `rate_anomaly`'s
+    z-scores (a peak is shape-local; a z-alarm is variance-relative).
+    All-integer predicate — bit-exact.
+
+    Shape: lag, lead, and the trailing frame share ONE window exchange
+    per type on the series frame."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    c = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    wtr = w.rowsBetween(-24, -1)
+    staged = c.select(
+        "event_type", "hour", "n",
+        F.lag("n").over(w).alias("_prev"),
+        F.lead("n").over(w).alias("_next"),
+        F.count("n").over(wtr).alias("_m"),
+        F.sum("n").over(wtr).alias("_ts"),
+    )
+    return staged.where(
+        F.col("_prev").isNotNull() & F.col("_next").isNotNull()
+        & (F.col("n") > F.col("_prev")) & (F.col("n") > F.col("_next"))
+        & (F.col("_m") == 24)
+        & (F.col("n") * 24 > F.col("_ts") * 2)
+    ).select(
+        "event_type", "hour", "n",
+        F.col("_prev").alias("n_prev"), F.col("_next").alias("n_next"),
+        F.col("_ts").alias("trailing_sum"),
+    )
+
+
+ORACLE_SERIES_PEAKS = (
+    "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, hour, n, "
+    "lag(n) OVER w AS prev, lead(n) OVER w AS next, "
+    "CAST(count(n) OVER (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS m, "
+    "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour "
+    "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS ts "
+    "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour)) "
+    "SELECT event_type, hour, n, prev AS n_prev, next AS n_next, "
+    "ts AS trailing_sum FROM s "
+    "WHERE prev IS NOT NULL AND next IS NOT NULL "
+    "AND n > prev AND n > next AND m = 24 AND n * 24 > ts * 2"
+)
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the behavioral Markov chain: 12
     decimal-fixed-point power iterations π ← πP over the event-type
@@ -10223,6 +10343,8 @@ ORACLE_DOMINANT_SUPPLIERS = (
 # covered only the first 50.  Queries the driver has NOT yet recorded
 # (added late in r2 or new in r3) therefore come FIRST.
 QUERIES = {
+    "audience_overlap": q_audience_overlap,
+    "series_peaks": q_series_peaks,
     "markov_stationary": q_markov_stationary,
     "seasonality_profile": q_seasonality_profile,
     "assortativity": q_assortativity,
@@ -10453,6 +10575,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audience_overlap": ORACLE_AUDIENCE_OVERLAP,
+    "series_peaks": ORACLE_SERIES_PEAKS,
     "markov_stationary": _oracle_markov_stationary(),
     "seasonality_profile": ORACLE_SEASONALITY_PROFILE,
     "assortativity": ORACLE_ASSORTATIVITY,
@@ -10688,6 +10812,8 @@ ORACLES = {
 # unchanged queries close the list.
 _R5_FRONT = [
     # (a) new/changed in round 5 — newest (continuation-session) first
+    "audience_overlap",                                  # new: co-engagement
+    "series_peaks",                                      # new: local maxima
     "markov_stationary",                                 # new: chain fixed point
     "seasonality_profile",                               # new: weekly rhythm
     "assortativity",                                     # new: graph QC scalar

@@ -25,8 +25,8 @@ class TestCatalog:
         """README.md's module-map numbers are these — update both together."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert len(q) == 222
-        assert len(o) == 222
+        assert len(q) == 224
+        assert len(o) == 224
         assert set(o) == set(q)  # r5: every entry oracle-checkable, no rows-only twins
 
     def test_every_query_callable_and_named(self):

@@ -322,3 +322,20 @@ class TestChainSeasonAssortPlans:
         plan = plans.formatted_plan(df)
         assert _no_python(plan)
         assert "CartesianProduct" not in plan
+
+
+class TestOverlapPeaksPlans:
+    def test_audience_overlap_membership_frame(self, spark):
+        df = queries.q_audience_overlap(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_series_peaks_one_window(self, spark):
+        df = queries.q_series_peaks(spark, SF)
+        plan = plans.formatted_plan(df)
+        assert _no_python(plan)
+        assert "SinglePartition" not in plan
+        assert _nodes(plan, "Window") == 1  # lag/lead/frame share the spec
+        assert "Join" not in plan
